@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship Phase-1 query (SURVEY §7: file_definitions,
+library.rs:334-373) on sf0.001. ``queries()`` exposes the implemented operator
+inventory; ``oracle_sql()`` the DuckDB equivalents. Graph queries run over the
+deterministic TPC-H→code-graph derivation (adapters/tpch.py) whose CTEs are
+prefixed onto each oracle so both engines see the identical graph.
+
+Query parameters are either fixed constants from the stable TPC-H vocabulary
+or resolved from the data itself (min-id probes) so every query is non-empty
+at every scale factor; the oracle resolves the same parameters via scalar
+subqueries over the same CTEs.
 """
 
 from __future__ import annotations
@@ -12,27 +17,259 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knowledge_graph_spark.adapters import tpch
+from knowledge_graph_spark.queries import library as L
+
+# ---------------------------------------------------------------------------
+# graph construction (cached per (session, sf_dir))
+# ---------------------------------------------------------------------------
+
+_GRAPH_CACHE: dict = {}
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = tpch.build_graph(spark, sf_dir)
+    return _GRAPH_CACHE[key]
+
+
+def _first_file_path(kg) -> str:
+    return kg.files.orderBy("id").limit(1).collect()[0]["path"]
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship smoke query
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    kg = _graph(spark, "/root/testdata/sf0.001")
+    return L.file_definitions(kg, _first_file_path(kg), limit=100)
+
+
+# ---------------------------------------------------------------------------
+# queries — one entry per implemented operator (SURVEY §2 ids in comments)
+# ---------------------------------------------------------------------------
+
+
+def _q_file_definitions(spark, sf_dir):  # J1 P1 P2 O1 O6
+    kg = _graph(spark, sf_dir)
+    return L.file_definitions(kg, _first_file_path(kg))
+
+
+def _q_file_imports(spark, sf_dir):  # J1 J6
+    kg = _graph(spark, sf_dir)
+    return L.file_imports(kg, _first_file_path(kg))
+
+
+def _q_import_usage(spark, sf_dir):  # J4 P3 P6 P11 G6
+    kg = _graph(spark, sf_dir)
+    paths = [
+        r["import_path"]
+        for r in kg.imports.select("import_path").distinct().orderBy("import_path").limit(2).collect()
+    ]
+    return L.import_usage(kg, paths)
+
+
+def _q_get_references(spark, sf_dir):  # J2 O5
+    kg = _graph(spark, sf_dir)
+    name = kg.imports.orderBy("id").limit(1).collect()[0]["name"]
+    return L.get_references(kg, name, page=1)
+
+
+def _q_get_references_page2(spark, sf_dir):  # O5 offset pagination, page 2
+    kg = _graph(spark, sf_dir)
+    name = kg.imports.orderBy("id").limit(1).collect()[0]["name"]
+    return L.get_references(kg, name, page=2)
+
+
+def _ref_edge_params(kg):
+    row = (
+        kg.edges["definition_relationships"]
+        .filter(F.col("type").isin(["CALLS", "AMBIGUOUSLY_CALLS", "PROPERTY_REFERENCE"]))
+        .orderBy("source_id", "target_id", "type")
+        .limit(1)
+        .join(kg.definitions.select(F.col("id").alias("source_id"), "primary_file_path"), "source_id")
+        .collect()[0]
+    )
+    return row["primary_file_path"], row["source_start_line"], row["source_start_col"]
+
+
+def _q_definition_at(spark, sf_dir):  # J5 P9 P7 P8 G8
+    kg = _graph(spark, sf_dir)
+    fp, line, col = _ref_edge_params(kg)
+    return L.definition_at(kg, fp, line, col)
+
+
+def _q_list_matches(spark, sf_dir):  # P4 O2
+    kg = _graph(spark, sf_dir)
+    return L.list_matches(kg, "Bol", limit=100)  # "bolt" parts, mixed-case term
+
+
+def _q_search_definitions(spark, sf_dir):  # P5 P11 O5
+    kg = _graph(spark, sf_dir)
+    return L.search_definitions(kg, ["RED", "gizmo"], page=2)
+
+
+def _q_search_nodes(spark, sf_dir):  # U2 P7 P8 O3 G7
+    kg = _graph(spark, sf_dir)
+    return L.search_nodes(kg, "ro", limit=100)
+
+
+def _q_neighbors_dir(spark, sf_dir):  # G1 J3 U3
+    kg = _graph(spark, sf_dir)
+    return L.neighbors(kg, "directory_nodes", 11, limit=100)
+
+
+def _q_neighbors_file(spark, sf_dir):  # G1 J3 J6
+    kg = _graph(spark, sf_dir)
+    fid = kg.files.agg(F.min("id")).collect()[0][0]
+    return L.neighbors(kg, "file_nodes", fid, limit=100)
+
+
+def _q_initial_graph(spark, sf_dir):  # G2 U1 O6
+    kg = _graph(spark, sf_dir)
+    return L.initial_graph(kg)
+
+
+def _q_graph_stats(spark, sf_dir):  # A1 A2 A4 A6 G3
+    kg = _graph(spark, sf_dir)
+    return L.graph_stats(kg)
+
+
+def _q_distinct_edge_endpoints(spark, sf_dir):  # A3
+    kg = _graph(spark, sf_dir)
+    return L.distinct_edge_endpoints(kg)
+
+
+def _q_max_ids(spark, sf_dir):  # A5 M3
+    kg = _graph(spark, sf_dir)
+    return L.max_ids(kg)
+
+
+def _q_callers_of(spark, sf_dir):  # G4
+    kg = _graph(spark, sf_dir)
+    name = kg.imports.orderBy("id").limit(1).collect()[0]["name"]
+    return L.callers_of(kg, name)
+
+
+def _q_callees_of(spark, sf_dir):  # G4
+    kg = _graph(spark, sf_dir)
+    fqn = kg.definitions.orderBy("id").limit(1).collect()[0]["fqn"]
+    return L.callees_of(kg, fqn)
+
+
+def _q_calls_to_imported_symbol(spark, sf_dir):  # G5
+    kg = _graph(spark, sf_dir)
+    row = kg.imports.orderBy("id").limit(1).collect()[0]
+    return L.calls_to_imported_symbol(kg, row["import_path"], row["name"])
+
+
+def _q_repo_map(spark, sf_dir):  # A7 P9
+    kg = _graph(spark, sf_dir)
+    return L.repo_map(kg, path_prefix="orders/o1")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "file_definitions": _q_file_definitions,
+        "file_imports": _q_file_imports,
+        "import_usage": _q_import_usage,
+        "get_references": _q_get_references,
+        "get_references_page2": _q_get_references_page2,
+        "definition_at": _q_definition_at,
+        "list_matches": _q_list_matches,
+        "search_definitions": _q_search_definitions,
+        "search_nodes": _q_search_nodes,
+        "neighbors_dir": _q_neighbors_dir,
+        "neighbors_file": _q_neighbors_file,
+        "initial_graph": _q_initial_graph,
+        "graph_stats": _q_graph_stats,
+        "distinct_edge_endpoints": _q_distinct_edge_endpoints,
+        "max_ids": _q_max_ids,
+        "callers_of": _q_callers_of,
+        "callees_of": _q_callees_of,
+        "calls_to_imported_symbol": _q_calls_to_imported_symbol,
+        "repo_map": _q_repo_map,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL — DuckDB equivalents over the same graph CTEs
+# ---------------------------------------------------------------------------
+
+_FIRST_FILE = "(SELECT path FROM file_nodes ORDER BY id LIMIT 1)"
+_FIRST_IMP_NAME = "(SELECT name FROM imported_symbol_nodes ORDER BY id LIMIT 1)"
+_FIRST_IMP_PATH = "(SELECT import_path FROM imported_symbol_nodes ORDER BY id LIMIT 1)"
+_FIRST_DEF_FQN = "(SELECT fqn FROM definition_nodes ORDER BY id LIMIT 1)"
+
+_REF_PARAMS_CTE = """ref_params AS (
+  SELECT d.primary_file_path AS fp, r.source_start_line AS ln, r.source_start_col AS cl
+  FROM definition_relationships r
+  JOIN definition_nodes d ON d.id = r.source_id
+  WHERE r.type IN ('CALLS','AMBIGUOUSLY_CALLS','PROPERTY_REFERENCE')
+  ORDER BY r.source_id, r.target_id, r.type LIMIT 1
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o = tpch.oracle
+    return {
+        "file_definitions": o(L.FILE_DEFINITIONS_SQL.format(file_path=_FIRST_FILE, limit=100)),
+        "file_imports": o(L.FILE_IMPORTS_SQL.format(file_path=_FIRST_FILE, limit=50)),
+        "import_usage": o(
+            L.IMPORT_USAGE_SQL.format(
+                paths="SELECT lower(import_path) FROM (SELECT DISTINCT import_path FROM imported_symbol_nodes ORDER BY import_path LIMIT 2) p",
+                limit=500,
+            )
+        ),
+        "get_references": o(
+            L.GET_REFERENCES_SQL.format(name=_FIRST_IMP_NAME, limit=50, offset=0)
+        ),
+        "get_references_page2": o(
+            L.GET_REFERENCES_SQL.format(name=_FIRST_IMP_NAME, limit=50, offset=50)
+        ),
+        "definition_at": o(
+            L.DEFINITION_AT_SQL.format(
+                file_path="(SELECT fp FROM ref_params)",
+                line="(SELECT ln FROM ref_params)",
+                col="(SELECT cl FROM ref_params)",
+            ),
+            extra_ctes=_REF_PARAMS_CTE,
+        ),
+        "list_matches": o(L.LIST_MATCHES_SQL.format(term=_sq("Bol"), limit=100)),
+        "search_definitions": o(
+            L.SEARCH_DEFINITIONS_SQL.format(
+                any_pred="(contains(lower(name), 'red') OR contains(lower(name), 'gizmo'))",
+                limit=50,
+                offset=50,
+            )
+        ),
+        "search_nodes": o(L.SEARCH_NODES_SQL.format(term=_sq("ro"), limit=100)),
+        "neighbors_dir": o(L.neighbors_sql("directory_nodes", 11, limit=100)),
+        "neighbors_file": o(
+            L.neighbors_sql("file_nodes", "(SELECT min(id) FROM file_nodes)", limit=100)
+        ),
+        "initial_graph": o(
+            L.INITIAL_GRAPH_SQL.format(dir_limit=50, file_limit=100, def_limit=200, imp_limit=50)
+        ),
+        "graph_stats": o(L.GRAPH_STATS_SQL),
+        "distinct_edge_endpoints": o(L.DISTINCT_EDGE_ENDPOINTS_SQL),
+        "max_ids": o(L.MAX_IDS_SQL),
+        "callers_of": o(L.CALLERS_OF_SQL.format(name=_FIRST_IMP_NAME, limit=100)),
+        "callees_of": o(L.CALLEES_OF_SQL.format(fqn=_FIRST_DEF_FQN, limit=100)),
+        "calls_to_imported_symbol": o(
+            L.CALLS_TO_IMPORTED_SYMBOL_SQL.format(
+                import_path=_FIRST_IMP_PATH, name=_FIRST_IMP_NAME, limit=100
+            )
+        ),
+        "repo_map": o(L.REPO_MAP_SQL.format(prefix_like=_sq("orders/o1%"), limit=200)),
+    }

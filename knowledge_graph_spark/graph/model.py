@@ -1,0 +1,103 @@
+"""The KnowledgeGraph container — node/edge DataFrames + SQL passthrough.
+
+Reference mapping:
+- Kuzu property graph (one DB per project, schema/init.rs) → a set of
+  DataFrames with fixed StructTypes, one per node/edge table.
+- ``gkg devtools query '<cypher>'`` raw passthrough
+  (crates/gkg/src/commands/query.rs:13-66) → ``KnowledgeGraph.sql(...)``
+  over registered temp views: users get full Spark SQL instead of Cypher.
+
+The container is intentionally thin: queries live in
+``knowledge_graph_spark.queries.library`` as pure functions over this object,
+mirroring how the reference keeps all Cypher in querying/library.rs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knowledge_graph_spark import schema as S
+
+NODE_KEYS = ("directory_nodes", "file_nodes", "definition_nodes", "imported_symbol_nodes")
+EDGE_KEYS = (
+    "directory_relationships",
+    "file_relationships",
+    "definition_relationships",
+    "imported_symbol_relationships",
+)
+
+
+@dataclass
+class KnowledgeGraph:
+    spark: SparkSession
+    nodes: dict[str, DataFrame]
+    edges: dict[str, DataFrame]
+    repository_name: str = "repo"
+    _views_registered: bool = field(default=False, repr=False)
+
+    # -- accessors ---------------------------------------------------------
+    @property
+    def directories(self) -> DataFrame:
+        return self.nodes["directory_nodes"]
+
+    @property
+    def files(self) -> DataFrame:
+        return self.nodes["file_nodes"]
+
+    @property
+    def definitions(self) -> DataFrame:
+        return self.nodes["definition_nodes"]
+
+    @property
+    def imports(self) -> DataFrame:
+        return self.nodes["imported_symbol_nodes"]
+
+    def edge(self, key: str, types: tuple[str, ...] | None = None) -> DataFrame:
+        df = self.edges[key]
+        if types:
+            df = df.filter(F.col("type").isin(list(types)))
+        return df
+
+    def all_edges(self) -> DataFrame:
+        """Union of the 4 physical edge tables with a table discriminator."""
+        out = None
+        for k in EDGE_KEYS:
+            d = self.edges[k].withColumn("edge_table", F.lit(k))
+            out = d if out is None else out.unionByName(d)
+        return out
+
+    # -- SQL passthrough (§2.11a) -----------------------------------------
+    def register_views(self, prefix: str = "") -> None:
+        for k in NODE_KEYS + EDGE_KEYS:
+            df = self.nodes.get(k) if k in NODE_KEYS else self.edges.get(k)
+            if df is not None:
+                df.createOrReplaceTempView(prefix + k)
+        self._views_registered = True
+
+    def sql(self, query: str) -> DataFrame:
+        if not self._views_registered:
+            self.register_views()
+        return self.spark.sql(query)
+
+    # -- persistence (S3/S4: parquet at rest, directly queryable) ----------
+    def write(self, base_dir: str) -> None:
+        from knowledge_graph_spark.io import write_parquet
+
+        for k, df in self.nodes.items():
+            write_parquet(df, f"{base_dir}/{k}")
+        for k, df in self.edges.items():
+            write_parquet(df, f"{base_dir}/{k}")
+
+    @classmethod
+    def read(cls, spark: SparkSession, base_dir: str, repository_name: str = "repo") -> "KnowledgeGraph":
+        nodes = {k: spark.read.parquet(f"{base_dir}/{k}") for k in NODE_KEYS}
+        edges = {k: spark.read.parquet(f"{base_dir}/{k}") for k in EDGE_KEYS}
+        return cls(spark, nodes, edges, repository_name)
+
+    def cache(self) -> "KnowledgeGraph":
+        for df in (*self.nodes.values(), *self.edges.values()):
+            df.cache()
+        return self

@@ -1,0 +1,119 @@
+"""IO kernel: parquet read/write + deterministic dense ID assignment.
+
+Reference behaviors re-expressed:
+- Parquet/SNAPPY columnar at rest (crates/indexer/src/writer.rs:96-98). Spark
+  writes parquet natively; there is no separate "COPY ... FROM parquet" bulk
+  load step (connection.rs:114-200) — the parquet IS the queryable table.
+- Dense sequential ids per node table, keyed by path (dirs/files) or
+  (file_path, start_byte, end_byte) (defs/imports)
+  (crates/indexer/src/mutation/utils.rs:23-163), with resume-from-max(id)
+  on incremental runs (mutation/changes.rs:150-192).
+
+Scale note: ``row_number`` over a single unpartitioned window is a
+single-reducer bottleneck at 100 TB. ``assign_dense_ids`` therefore uses
+``zipWithIndex``-equivalent two-phase numbering: per-partition counts are
+collected (tiny — one long per partition), then each partition adds its
+exclusive prefix-sum offset. Ordering stays deterministic because rows are
+first repartitioned by range on the key (stable total order).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TPCH_TABLES) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """writer.rs:96-98 analog — snappy parquet, overwrite semantics (M4)."""
+    w = df.write.mode("overwrite").option("compression", "snappy")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str = "id",
+    start: int = 1,
+) -> DataFrame:
+    """Assign dense sequential ids ordered by ``key_cols``.
+
+    Mirrors NodeIdGenerator (mutation/utils.rs:23-163): dense, deterministic,
+    resumable via ``start`` = max(id)+1 of the previous snapshot (M3).
+
+    Implementation is two-phase (no global single-reducer sort):
+    1. range-repartition by key → partitions hold contiguous key ranges;
+    2. row_number within each partition (parallel) + exclusive prefix sum of
+       partition counts (driver-side, one long per partition).
+    """
+    # Range partition gives a deterministic global order across partitions.
+    parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    ranged = df.repartitionByRange(parts, *[F.col(c) for c in key_cols])
+    ranged = ranged.sortWithinPartitions(*key_cols)
+
+    spark = df.sparkSession
+
+    def number_partition(idx: int, it):
+        n = 0
+        for row in it:
+            n += 1
+        yield (idx, n)
+
+    counts = dict(
+        ranged.rdd.mapPartitionsWithIndex(
+            lambda idx, it: [(idx, sum(1 for _ in it))]
+        ).collect()
+    )
+    offsets = {}
+    acc = start
+    for idx in sorted(counts):
+        offsets[idx] = acc
+        acc += counts[idx]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    schema = ranged.schema.add(id_col, "long", False)
+
+    def add_ids(idx: int, it):
+        base = b_offsets.value.get(idx, 0)
+        for i, row in enumerate(it):
+            yield (*row, base + i)
+
+    out = spark.createDataFrame(
+        ranged.rdd.mapPartitionsWithIndex(add_ids, preservesPartitioning=True), schema
+    )
+    return out.select(id_col, *[c for c in df.columns])
+
+
+def assign_dense_ids_window(
+    df: DataFrame, key_cols: list[str], id_col: str = "id", start: int = 1
+) -> DataFrame:
+    """Single-window variant (fine below ~10M rows; used by unit tests as the
+    semantics oracle for ``assign_dense_ids``)."""
+    w = Window.orderBy(*[F.col(c) for c in key_cols])
+    return df.withColumn(id_col, F.row_number().over(w) + F.lit(start - 1)).select(
+        id_col, *df.columns
+    )

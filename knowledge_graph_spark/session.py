@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32); the same
+configuration names are what you would set on a 1000-executor cluster —
+nothing here is local-mode-specific except the master URL.
+
+Scale rationale (100 TB target):
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  replaces hand-tuned partition counts when data volume varies 1000x.
+- ``autoBroadcastJoinThreshold`` left at default (10 MB) — the graph's
+  dimension-like tables (directories, small node sets) broadcast; the
+  query library additionally broadcasts explicitly where the reference
+  keys a hash-map build side (SURVEY J7).
+- Arrow execution on: every pandas_udf / mapInPandas interchange is
+  Arrow-batched (SURVEY §2.11 extractors, beyond-parity ops).
+- UTC session timezone: deterministic timestamp semantics vs the DuckDB
+  correctness oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "knowledge-graph-spark", master: str | None = None) -> SparkSession:
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # 128 MB input splits: at 100 TB this yields ~800k tasks, the right
+        # granularity for a 1000-executor cluster; harmless locally.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
