@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from knowledge_graph_spark.adapters import tpch
+from knowledge_graph_spark.io import read_table
+from knowledge_graph_spark.queries import analytics as A
 from knowledge_graph_spark.queries import library as L
 
 # ---------------------------------------------------------------------------
@@ -178,6 +180,58 @@ def _q_repo_map(spark, sf_dir):  # A7 P9
     return L.repo_map(kg, path_prefix="orders/o1")
 
 
+# -- relational analytics (agg/join inventory at TPC-H shapes) --------------
+
+
+def _q_pricing_summary(spark, sf_dir):  # A6 full-scan partial agg
+    return A.pricing_summary(read_table(spark, sf_dir, "lineitem"))
+
+
+def _q_top_revenue_orders(spark, sf_dir):  # J1 J7 O2 broadcast + topk
+    return A.top_revenue_orders(
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_regional_revenue(spark, sf_dir):  # J1 multi-way join
+    return A.regional_revenue(
+        read_table(spark, sf_dir, "region"),
+        read_table(spark, sf_dir, "nation"),
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "supplier"),
+    )
+
+
+def _q_customer_order_distribution(spark, sf_dir):  # J4 two-level agg
+    return A.customer_order_distribution(
+        read_table(spark, sf_dir, "customer"), read_table(spark, sf_dir, "orders")
+    )
+
+
+def _q_parts_not_recently_shipped(spark, sf_dir):  # J10 left-anti
+    return A.parts_not_recently_shipped(
+        read_table(spark, sf_dir, "part"), read_table(spark, sf_dir, "lineitem")
+    )
+
+
+def _q_supplier_nation_rollup(spark, sf_dir):  # A6 broadcast dim rollup
+    return A.supplier_nation_rollup(
+        read_table(spark, sf_dir, "supplier"), read_table(spark, sf_dir, "nation")
+    )
+
+
+def _q_event_hourly_rollup(spark, sf_dir):  # ST1 batch twin, A3
+    return A.event_hourly_rollup(read_table(spark, sf_dir, "events"))
+
+
+def _q_event_type_stats(spark, sf_dir):  # P10 JSON extraction, A6
+    return A.event_type_stats(read_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "file_definitions": _q_file_definitions,
@@ -199,6 +253,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "callees_of": _q_callees_of,
         "calls_to_imported_symbol": _q_calls_to_imported_symbol,
         "repo_map": _q_repo_map,
+        "pricing_summary": _q_pricing_summary,
+        "top_revenue_orders": _q_top_revenue_orders,
+        "regional_revenue": _q_regional_revenue,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "parts_not_recently_shipped": _q_parts_not_recently_shipped,
+        "supplier_nation_rollup": _q_supplier_nation_rollup,
+        "event_hourly_rollup": _q_event_hourly_rollup,
+        "event_type_stats": _q_event_type_stats,
     }
 
 
@@ -272,4 +334,12 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "repo_map": o(L.REPO_MAP_SQL.format(prefix_like=_sq("orders/o1%"), limit=200)),
+        "pricing_summary": A.PRICING_SUMMARY_SQL.format(cutoff="2000-01-01"),
+        "top_revenue_orders": A.TOP_REVENUE_ORDERS_SQL.format(segment="BUILDING", k=20),
+        "regional_revenue": A.REGIONAL_REVENUE_SQL.format(region_name="ASIA"),
+        "customer_order_distribution": A.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+        "parts_not_recently_shipped": A.PARTS_NOT_RECENTLY_SHIPPED_SQL.format(since="2001-01-01"),
+        "supplier_nation_rollup": A.SUPPLIER_NATION_ROLLUP_SQL,
+        "event_hourly_rollup": A.EVENT_HOURLY_ROLLUP_SQL,
+        "event_type_stats": A.EVENT_TYPE_STATS_SQL,
     }

@@ -1,0 +1,63 @@
+"""Bench harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Protocol mirrors BASELINE.md: the reference's benchmark is end-to-end index
+(bulk build) + per-query latency of the fixed library. Here: graph_build =
+derive + materialize all 8 graph tables (the "index" analog); each query then
+runs against the materialized graph (cached, as a deployment would read the
+parquet at rest).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from knowledge_graph_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("kg-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    kg = entrymod._graph(spark, SF_DIR)
+    kg.cache()
+    for df in (*kg.nodes.values(), *kg.edges.values()):
+        df.count()
+    timings["graph_build"] = round(time.time() - t0, 3)
+
+    qs = entrymod.queries()
+    for name, fn in qs.items():
+        t0 = time.time()
+        fn(spark, SF_DIR).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "graph_build+query_library_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

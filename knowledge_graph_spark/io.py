@@ -39,7 +39,14 @@ TPCH_TABLES = (
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # TIMESTAMP(NANOS) columns arrive as epoch-nanos longs (see session.py);
+    # convert back to timestamps with integer division — a double division
+    # would lose precision above 2^53 ns (~1970+104 days).
+    for field in df.schema:
+        if field.name == "ts" and field.dataType.typeName() == "long":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def read_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TPCH_TABLES) -> dict[str, DataFrame]:
