@@ -20,9 +20,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from knowledge_graph_spark.adapters import tpch
+from knowledge_graph_spark.beyond import dedup as D
+from knowledge_graph_spark.beyond import similarity as SIM
+from knowledge_graph_spark.beyond import text as T
 from knowledge_graph_spark.io import read_table
 from knowledge_graph_spark.queries import analytics as A
 from knowledge_graph_spark.queries import library as L
+
+#: queries with no SQL-expressible oracle (probabilistic LSH/banding) — the
+#: driver records a weaker rows-only check for these; their exact twins
+#: (ngram_jaccard_pairs, cosine_topk) ARE oracle-checked, and pytest verifies
+#: candidate-recall of the probabilistic variants against the exact ones.
+ROWS_ONLY = {"minhash_lsh_pairs", "simhash_buckets", "hyperplane_lsh_ann"}
 
 # ---------------------------------------------------------------------------
 # graph construction (cached per (session, sf_dir))
@@ -232,6 +241,58 @@ def _q_event_type_stats(spark, sf_dir):  # P10 JSON extraction, A6
     return A.event_type_stats(read_table(spark, sf_dir, "events"))
 
 
+# -- beyond-parity: text analysis, dedup, similarity ------------------------
+
+
+def _q_doc_stats(spark, sf_dir):
+    return T.doc_stats(read_table(spark, sf_dir, "documents"))
+
+
+def _q_quality_score(spark, sf_dir):
+    return T.quality_score(read_table(spark, sf_dir, "documents"))
+
+
+def _q_lang_id(spark, sf_dir):
+    return T.lang_id(read_table(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return T.fingerprint(read_table(spark, sf_dir, "documents"), prefix_tokens=5)
+
+
+def _q_exact_duplicates(spark, sf_dir):
+    return D.exact_duplicates(read_table(spark, sf_dir, "documents"), prefix_tokens=5)
+
+
+def _q_ngram_jaccard_pairs(spark, sf_dir):
+    return D.ngram_jaccard_pairs(read_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+def _query_vec(spark, sf_dir):
+    row = (
+        read_table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(1).collect()[0]
+    )
+    return [float(v) for v in row["embedding"]]
+
+
+def _q_cosine_topk(spark, sf_dir):
+    return SIM.cosine_topk(read_table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
+
+
+def _q_minhash_lsh_pairs(spark, sf_dir):  # rows-only (probabilistic)
+    return D.minhash_lsh_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def _q_simhash_buckets(spark, sf_dir):  # rows-only (hash-dependent)
+    return D.simhash_buckets(read_table(spark, sf_dir, "documents"))
+
+
+def _q_hyperplane_lsh_ann(spark, sf_dir):  # rows-only (probabilistic)
+    return SIM.hyperplane_lsh_ann(
+        read_table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "file_definitions": _q_file_definitions,
@@ -261,6 +322,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_nation_rollup": _q_supplier_nation_rollup,
         "event_hourly_rollup": _q_event_hourly_rollup,
         "event_type_stats": _q_event_type_stats,
+        "doc_stats": _q_doc_stats,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "exact_duplicates": _q_exact_duplicates,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "cosine_topk": _q_cosine_topk,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "simhash_buckets": _q_simhash_buckets,
+        "hyperplane_lsh_ann": _q_hyperplane_lsh_ann,
     }
 
 
@@ -342,4 +413,13 @@ def oracle_sql() -> dict[str, str]:
         "supplier_nation_rollup": A.SUPPLIER_NATION_ROLLUP_SQL,
         "event_hourly_rollup": A.EVENT_HOURLY_ROLLUP_SQL,
         "event_type_stats": A.EVENT_TYPE_STATS_SQL,
+        "doc_stats": T.DOC_STATS_SQL,
+        "quality_score": T.QUALITY_SCORE_SQL.format(min_tokens=20, max_tokens=80),
+        "lang_id": T.LANG_ID_SQL,
+        "fingerprint": T.FINGERPRINT_SQL.format(
+            key=T.FINGERPRINT_KEY_PREFIX.format(n=5)
+        ),
+        "exact_duplicates": D.EXACT_DUPLICATES_SQL.format(n=5),
+        "ngram_jaccard_pairs": D.NGRAM_JACCARD_PAIRS_SQL.format(nm1=2, threshold=0.5),
+        "cosine_topk": SIM.COSINE_TOPK_SQL.format(k=10),
     }

@@ -1,0 +1,220 @@
+"""Deduplication operators for training-data pipelines (north-star component):
+
+- exact duplicate grouping (hash groupBy; full text or prefix fingerprint)
+- exact n-gram-shingle Jaccard near-dup pairs (inverted-index self-join —
+  the scalable *exact* algorithm; no O(n²) pairing)
+- MinHash + LSH banding near-dup candidates (probabilistic scale path)
+- SimHash bucketing (Hamming-space near-dup blocking)
+
+Scale notes (100 TB): every stage is shuffle-on-key with map-side combine.
+The inverted-index join's hot keys are frequent shingles — ``max_doc_freq``
+drops shingles present in more than that many documents (standard stop-shingle
+cutoff; cost drops from Σf² to bounded). MinHash/SimHash use xxhash64 —
+JVM-side, no Python. LSH gives candidates; exact Jaccard re-verification runs
+only on candidates (two-phase, like the reference's resolve-then-verify joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _shingles(n: int):
+    """Distinct n-gram shingles of the space-tokenized text, as array<string>."""
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def exact_duplicates(docs: DataFrame, prefix_tokens: int = 5) -> DataFrame:
+    """Exact duplicate groups by md5 fingerprint of the first N tokens.
+
+    Hash-groupBy dedup: one shuffle on the 16-byte digest; at 100 TB this is
+    the cheapest dedup and the digest shuffle is a fraction of input size.
+    """
+    key = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, prefix_tokens)))
+    return (
+        docs.select(key.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+EXACT_DUPLICATES_SQL = """
+SELECT md5(array_to_string(string_split(text, ' ')[1:{n}], ' ')) AS fingerprint,
+       count(*) AS n_docs,
+       min(doc_id) AS keeper_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+ORDER BY fingerprint
+"""
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, max_doc_freq: int | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via inverted-index self-join.
+
+    shingle→docs index, join within shingle (doc_a < doc_b), count common
+    shingles per pair, then |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. This finds
+    every qualifying pair exactly — MinHash/LSH below is the probabilistic
+    shortcut whose candidates this operator re-verifies.
+    """
+    sh = docs.select("doc_id", F.explode(_shingles(n)).alias("shingle"))
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_JACCARD_PAIRS_SQL = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+{nm1}], ' ')
+                 for i in range(1, greatest(len(toks) - {nm1}, 1) + 1)])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       round(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 64) -> DataFrame:
+    """MinHash signatures: per permutation i, min over shingles of
+    xxhash64(shingle, seed=i). JVM-side hashing, one explode + groupBy."""
+    sh = docs.select("doc_id", F.explode(_shingles(n)).alias("shingle"))
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band the signature (rows = hashes/bands),
+    bucket-join on (band, band-hash), then estimate Jaccard as the fraction
+    of agreeing signature components.
+
+    With 64 hashes and 16 bands (r=4), the S-curve crosses ~(1/16)^(1/4)≈0.5 —
+    tuned to the same threshold as the exact operator. Probabilistic: the
+    candidate set can miss borderline pairs; the exact re-verify joins back
+    ``ngram_jaccard_pairs`` on candidates only at 100 TB.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, n, num_hashes)
+    hcols = [F.col(f"h{i}") for i in range(num_hashes)]
+    sig = sig.withColumn("sig", F.array(*hcols)).select("doc_id", "sig")
+    band_cols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)]).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("bb")
+    banded = sig.select("doc_id", "sig", band_cols).select(
+        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        .cast("double")
+        / F.lit(num_hashes)
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_buckets(docs: DataFrame, n: int = 3, bits: int = 64) -> DataFrame:
+    """SimHash per document: sign-sum of per-shingle xxhash64 bits → 64-bit
+    fingerprint; documents sharing a fingerprint (or a band of it) are
+    near-dup candidates in Hamming space."""
+    sh = docs.select("doc_id", F.explode(_shingles(n)).alias("shingle")).withColumn(
+        "h", F.xxhash64("shingle")
+    )
+    def _bitlit(i: int):
+        # bit 63 of a signed 64-bit long is the sign bit — 1<<63 overflows
+        # Java long as a positive literal, so use its two's-complement value
+        v = 1 << i if i < 63 else -(1 << 63)
+        return F.lit(v).cast("long")
+
+    bit_sums = [
+        F.sum(F.when(F.col("h").bitwiseAND(_bitlit(i)) != 0, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = sh.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, _bitlit(i)).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return agg.select("doc_id", fp.alias("simhash")).orderBy("doc_id")

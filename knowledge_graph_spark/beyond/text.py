@@ -1,0 +1,139 @@
+"""Text analysis for training-data pipelines — language ID, quality scoring,
+token counting, document fingerprinting. Beyond reference parity (BASELINE.json
+north star); operates on the ``documents`` table (doc_id, text, lang, source,
+n_chars).
+
+All operators are pure Catalyst expressions (no UDFs): at 100 TB these run
+inside whole-stage codegen on the scan, shuffle only for the final rollups.
+Counting idiom: ``(length(x) - length(replace(x, t, ''))) / length(t)``
+occurrences — identical semantics in Spark SQL and DuckDB, used instead of
+regexp_count whose regex dialects differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _n_occurrences(col, token: str):
+    return (F.length(col) - F.length(F.replace(col, F.lit(token), F.lit("")))) / len(token)
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-document structural stats: chars, tokens, distinct tokens,
+    type-token ratio, mean token length."""
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    n_chars = F.length("text")
+    n_spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_chars.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n_toks, 6).alias("type_token_ratio"),
+        F.round((n_chars - n_spaces).cast("double") / n_toks, 6).alias("mean_token_len"),
+    ).orderBy("doc_id")
+
+
+DOC_STATS_SQL = """
+SELECT doc_id, lang, source,
+  length(text) AS n_chars,
+  len(string_split(text, ' ')) AS n_tokens,
+  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS type_token_ratio,
+  round(CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS mean_token_len
+FROM documents ORDER BY doc_id
+"""
+
+
+def quality_score(docs: DataFrame, min_tokens: int = 20, max_tokens: int = 80) -> DataFrame:
+    """Heuristic quality score in [0,1]: length window + lexical diversity +
+    stopword presence (the C4/Gopher-style rule family, deterministic form)."""
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_toks
+    stop_hits = _n_occurrences(F.concat(F.lit(" "), F.col("text"), F.lit(" ")), " the ") + \
+        _n_occurrences(F.concat(F.lit(" "), F.col("text"), F.lit(" ")), " a ")
+    len_ok = (n_toks >= min_tokens) & (n_toks <= max_tokens)
+    score = (
+        F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.least(ttr, F.lit(0.5)) * 0.6
+        + F.when(stop_hits > 0, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        F.round(F.least(score, F.lit(1.0)), 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+QUALITY_SCORE_SQL = """
+SELECT doc_id,
+  len(string_split(text, ' ')) AS n_tokens,
+  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS type_token_ratio,
+  CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+     + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT) AS stopword_hits,
+  round(least(
+    (CASE WHEN len(string_split(text, ' ')) BETWEEN {min_tokens} AND {max_tokens} THEN 0.4 ELSE 0.0 END)
+    + least(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 0.5) * 0.6
+    + (CASE WHEN (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+          + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 > 0
+       THEN 0.3 ELSE 0.0 END), 1.0), 6) AS quality_score
+FROM documents ORDER BY doc_id
+"""
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram-heuristic language ID (marker-token frequency) with agreement
+    check against the labeled ``lang`` column, rolled up per language."""
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    en_markers = (
+        _n_occurrences(padded, " the ") + _n_occurrences(padded, " a ")
+    )
+    n_toks = F.size(F.split(F.col("text"), " "))
+    pred = F.when(en_markers * 20 >= n_toks, F.lit("en")).otherwise(F.lit("other"))
+    scored = docs.select("doc_id", "lang", pred.alias("pred_lang"))
+    return (
+        scored.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+LANG_ID_SQL = """
+SELECT lang, pred_lang, count(*) AS n_docs FROM (
+  SELECT doc_id, lang,
+    CASE WHEN ((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3) * 20
+             >= len(string_split(text, ' '))
+         THEN 'en' ELSE 'other' END AS pred_lang
+  FROM documents
+) s GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+"""
+
+
+def fingerprint(docs: DataFrame, prefix_tokens: int = 0) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (or of the first N tokens when ``prefix_tokens`` > 0 — the prefix
+    fingerprint used by exact near-dup grouping)."""
+    if prefix_tokens:
+        key = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, prefix_tokens))
+    else:
+        key = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id", F.md5(key).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id, md5({key}) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+FINGERPRINT_KEY_FULL = "lower(text)"
+FINGERPRINT_KEY_PREFIX = "array_to_string(string_split(text, ' ')[1:{n}], ' ')"
