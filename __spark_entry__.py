@@ -31,7 +31,16 @@ from knowledge_graph_spark.queries import library as L
 #: driver records a weaker rows-only check for these; their exact twins
 #: (ngram_jaccard_pairs, cosine_topk) ARE oracle-checked, and pytest verifies
 #: candidate-recall of the probabilistic variants against the exact ones.
-ROWS_ONLY = {"minhash_lsh_pairs", "simhash_buckets", "hyperplane_lsh_ann"}
+ROWS_ONLY = {
+    "minhash_lsh_pairs",
+    "simhash_buckets",
+    "hyperplane_lsh_ann",
+    "pagerank_top20",
+    "connected_components_sizes",
+    "import_chain_resolution",
+    "media_decode_stats",
+    "media_frame_sample",
+}
 
 # ---------------------------------------------------------------------------
 # graph construction (cached per (session, sf_dir))
@@ -293,6 +302,93 @@ def _q_hyperplane_lsh_ann(spark, sf_dir):  # rows-only (probabilistic)
     )
 
 
+# -- multi-hop graph analytics (Phase 4) ------------------------------------
+
+
+def _q_dir_tree_closure(spark, sf_dir):  # G4 multi-hop, J8-style BFS
+    from knowledge_graph_spark.graph.algorithms import reachable_from
+
+    kg = _graph(spark, sf_dir)
+    return reachable_from(
+        kg, "directory_nodes", 1, ("DIR_CONTAINS_DIR", "DIR_CONTAINS_FILE")
+    ).select(
+        F.col("t").alias("node_table"), F.col("id").alias("node_id"), "hops"
+    )
+
+
+DIR_TREE_CLOSURE_CTE = """walk AS (
+  SELECT 'directory_nodes' AS node_table, CAST(1 AS BIGINT) AS node_id, 0 AS hops
+  UNION ALL
+  SELECT e.target_table, e.target_id, w.hops + 1
+  FROM walk w
+  JOIN directory_relationships e
+    ON e.source_table = w.node_table AND e.source_id = w.node_id
+  WHERE e.type IN ('DIR_CONTAINS_DIR', 'DIR_CONTAINS_FILE') AND w.hops < 20
+)"""
+
+DIR_TREE_CLOSURE_SQL = """
+SELECT node_table, node_id, CAST(min(hops) AS INT) AS hops
+FROM walk GROUP BY node_table, node_id
+ORDER BY hops, node_table, node_id
+"""
+
+
+def _q_pagerank_top20(spark, sf_dir):  # rows-only (iterative float)
+    from knowledge_graph_spark.graph.algorithms import pagerank
+
+    return pagerank(_graph(spark, sf_dir), iterations=5).limit(20)
+
+
+def _q_connected_components_sizes(spark, sf_dir):  # rows-only (hash labels)
+    from knowledge_graph_spark.graph.algorithms import connected_components
+
+    cc = connected_components(_graph(spark, sf_dir))
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), "component")
+        .limit(50)
+    )
+
+
+def _q_import_chain_resolution(spark, sf_dir):  # J8 fixpoint, rows-only
+    from knowledge_graph_spark.graph.algorithms import resolve_import_chains
+
+    return resolve_import_chains(_graph(spark, sf_dir))
+
+
+# -- multimodal plumbing (stub decode, real plan shapes) --------------------
+
+
+def _media(spark, sf_dir):
+    from knowledge_graph_spark.beyond.multimodal import synthesize_media
+
+    return synthesize_media(read_table(spark, sf_dir, "documents"))
+
+
+def _q_media_decode_stats(spark, sf_dir):  # rows-only (mapInPandas stub)
+    from knowledge_graph_spark.beyond.multimodal import decode_metadata
+
+    return (
+        decode_metadata(_media(spark, sf_dir))
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("width").alias("max_width"),
+            F.sum("payload_bytes").alias("total_payload"),
+        )
+        .orderBy("kind")
+    )
+
+
+def _q_media_frame_sample(spark, sf_dir):  # rows-only
+    from knowledge_graph_spark.beyond.multimodal import frame_sample
+
+    return frame_sample(_media(spark, sf_dir), every_n=10).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "file_definitions": _q_file_definitions,
@@ -332,6 +428,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_buckets": _q_simhash_buckets,
         "hyperplane_lsh_ann": _q_hyperplane_lsh_ann,
+        "dir_tree_closure": _q_dir_tree_closure,
+        "pagerank_top20": _q_pagerank_top20,
+        "connected_components_sizes": _q_connected_components_sizes,
+        "import_chain_resolution": _q_import_chain_resolution,
+        "media_decode_stats": _q_media_decode_stats,
+        "media_frame_sample": _q_media_frame_sample,
     }
 
 
@@ -422,4 +524,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_duplicates": D.EXACT_DUPLICATES_SQL.format(n=5),
         "ngram_jaccard_pairs": D.NGRAM_JACCARD_PAIRS_SQL.format(nm1=2, threshold=0.5),
         "cosine_topk": SIM.COSINE_TOPK_SQL.format(k=10),
+        "dir_tree_closure": o(
+            DIR_TREE_CLOSURE_SQL, extra_ctes=DIR_TREE_CLOSURE_CTE, recursive=True
+        ),
     }

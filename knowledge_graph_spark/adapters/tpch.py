@@ -158,16 +158,19 @@ _NULL_LOC = """CAST(NULL AS BIGINT) AS source_start_byte, CAST(NULL AS BIGINT) A
 _SQL_DIR_EDGES = f"""
 SELECT CAST(n_regionkey + 1 AS BIGINT) AS source_id,
        CAST(n_nationkey + 11 AS BIGINT) AS target_id,
+       'directory_nodes' AS source_table, 'directory_nodes' AS target_table,
        'DIR_CONTAINS_DIR' AS type, {_NULL_LOC}
 FROM nation
 UNION ALL
 SELECT CAST(c_nationkey + 11 AS BIGINT) AS source_id,
        CAST(c_custkey + 1000 AS BIGINT) AS target_id,
+       'directory_nodes' AS source_table, 'directory_nodes' AS target_table,
        'DIR_CONTAINS_DIR' AS type, {_NULL_LOC}
 FROM customer
 UNION ALL
 SELECT CAST(o_custkey + 1000 AS BIGINT) AS source_id,
        CAST(o_orderkey AS BIGINT) AS target_id,
+       'directory_nodes' AS source_table, 'file_nodes' AS target_table,
        'DIR_CONTAINS_FILE' AS type, {_NULL_LOC}
 FROM orders
 """
@@ -175,11 +178,13 @@ FROM orders
 _SQL_FILE_EDGES = f"""
 SELECT CAST(l_orderkey AS BIGINT) AS source_id,
        CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS target_id,
+       'file_nodes' AS source_table, 'definition_nodes' AS target_table,
        'FILE_DEFINES' AS type, {_NULL_LOC}
 FROM lineitem
 UNION ALL
 SELECT CAST(l_orderkey AS BIGINT) AS source_id,
        CAST(l_partkey AS BIGINT) AS target_id,
+       'file_nodes' AS source_table, 'imported_symbol_nodes' AS target_table,
        'FILE_IMPORTS' AS type, {_NULL_LOC}
 FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) fi
 """
@@ -187,11 +192,13 @@ FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) fi
 _SQL_DEF_EDGES = f"""
 SELECT CAST(l_orderkey * 10 + 1 AS BIGINT) AS source_id,
        CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS target_id,
+       'definition_nodes' AS source_table, 'definition_nodes' AS target_table,
        'CLASS_TO_' || upper({_DEF_TYPE_CASE_SQL}) AS type, {_NULL_LOC}
 FROM lineitem WHERE l_linenumber > 1
 UNION ALL
 SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS source_id,
        CAST(l_partkey AS BIGINT) AS target_id,
+       'definition_nodes' AS source_table, 'imported_symbol_nodes' AS target_table,
        {_REF_TYPE_CASE_SQL} AS type,
        CAST(l_orderkey * 1000 + l_linenumber * 100 AS BIGINT) AS source_start_byte,
        CAST(l_orderkey * 1000 + l_linenumber * 100 + CAST(l_quantity AS BIGINT) * 10 AS BIGINT) AS source_end_byte,
@@ -205,16 +212,19 @@ FROM lineitem
 _SQL_IMP_EDGES = f"""
 SELECT CAST(l_partkey AS BIGINT) AS source_id,
        CAST(min(l_orderkey * 10 + l_linenumber) AS BIGINT) AS target_id,
+       'imported_symbol_nodes' AS source_table, 'definition_nodes' AS target_table,
        'IMPORTED_SYMBOL_TO_DEFINITION' AS type, {_NULL_LOC}
 FROM lineitem GROUP BY l_partkey
 UNION ALL
 SELECT CAST(l_partkey AS BIGINT) AS source_id,
        CAST(min(l_orderkey) AS BIGINT) AS target_id,
+       'imported_symbol_nodes' AS source_table, 'file_nodes' AS target_table,
        'IMPORTED_SYMBOL_TO_FILE' AS type, {_NULL_LOC}
 FROM lineitem GROUP BY l_partkey
 UNION ALL
 SELECT CAST(a.p_partkey AS BIGINT) AS source_id,
        CAST(b.p_partkey AS BIGINT) AS target_id,
+       'imported_symbol_nodes' AS source_table, 'imported_symbol_nodes' AS target_table,
        'IMPORTED_SYMBOL_TO_IMPORTED_SYMBOL' AS type, {_NULL_LOC}
 FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
 WHERE a.p_partkey % 4 IN (1, 2)
@@ -235,10 +245,14 @@ _TABLE_SQL: dict[str, str] = {
 GRAPH_CTES = ",\n".join(f"{name} AS ({sql})" for name, sql in _TABLE_SQL.items())
 
 
-def oracle(select_sql: str, extra_ctes: str = "") -> str:
-    """Wrap a graph-query SELECT with the derivation CTEs for DuckDB."""
+def oracle(select_sql: str, extra_ctes: str = "", recursive: bool = False) -> str:
+    """Wrap a graph-query SELECT with the derivation CTEs for DuckDB.
+
+    ``recursive=True`` emits WITH RECURSIVE so an extra CTE may
+    self-reference (DuckDB allows mixing plain CTEs under it)."""
     extra = f", {extra_ctes}" if extra_ctes else ""
-    return f"WITH {GRAPH_CTES}{extra}\n{select_sql}"
+    kw = "WITH RECURSIVE" if recursive else "WITH"
+    return f"{kw} {GRAPH_CTES}{extra}\n{select_sql}"
 
 
 _BASE_TABLES = ("region", "nation", "customer", "orders", "lineitem", "part")

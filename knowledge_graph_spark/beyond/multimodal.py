@@ -1,0 +1,159 @@
+"""Multimodal columns — image/audio/video as opaque ``binary`` columns with
+typed metadata (north-star component).
+
+The Spark-side plumbing is real: schema, partition-friendly batch shapes,
+Arrow-batched ``mapInPandas`` UDF signatures identical to what a production
+decode would use. The actual codec step is STUBBED — this container ships no
+image/audio libraries — behind ``decoder=`` hooks: the default deterministic
+fake parses our synthetic header; passing ``decoder="pillow"`` (etc.) raises
+``NotImplementedError`` with the swap instructions.
+
+At 100 TB: binary payloads dominate row size — media tables are stored one
+row per asset with metadata in columns so pruning (`select` without `data`)
+never touches the bytes; ``spark.sql.files.maxPartitionBytes`` bounds task
+input; feature extraction shuffles nothing (narrow mapInPandas).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("mime", StringType(), True),
+        StructField("data", BinaryType(), True),
+        StructField("source_doc_id", LongType(), True),
+    ]
+)
+
+_MAGIC = b"KGMM"  # synthetic header: KGMM | kind(1B) | width u16 | height u16 | n_frames u16
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media derived from the documents table — gives the
+    pipeline real binary payloads with parseable headers for tests/benches."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    header = F.concat(
+        F.lit(_MAGIC),
+        F.encode(F.substring(kind, 1, 1), "utf-8"),
+        # width/height/frames encoded as zero-padded ascii (simple + portable)
+        F.encode(F.lpad((F.col("doc_id") % 640 + 16).cast("string"), 5, "0"), "utf-8"),
+        F.encode(F.lpad((F.col("doc_id") % 480 + 16).cast("string"), 5, "0"), "utf-8"),
+        F.encode(F.lpad((F.col("doc_id") % 120 + 1).cast("string"), 5, "0"), "utf-8"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.concat(F.lit("x-kg/"), kind).alias("mime"),
+        F.concat(header, F.encode(F.col("text"), "utf-8")).alias("data"),
+        F.col("doc_id").alias("source_doc_id"),
+    )
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("payload_bytes", LongType(), True),
+    ]
+)
+
+
+def decode_metadata(media: DataFrame, decoder: str = "synthetic") -> DataFrame:
+    """Decode step (STUB): parse typed metadata out of the binary column.
+
+    ``decoder='synthetic'`` parses the KGMM header (deterministic fake).
+    Any real codec name raises NotImplementedError — swap in a Pillow/ffmpeg
+    batch decode with the identical mapInPandas signature; the Spark plan,
+    batch shape, and output schema do not change.
+    """
+    if decoder != "synthetic":
+        raise NotImplementedError(
+            f"decoder '{decoder}' needs an image/audio library not present in "
+            "this environment; implement it inside `run` below with the same "
+            "(Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame] contract"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
+                b = bytes(data)
+                if not b.startswith(_MAGIC):
+                    out.append((mid, kind, None, None, None, len(b)))
+                    continue
+                w = int(b[5:10])
+                h = int(b[10:15])
+                nf = int(b[15:20])
+                out.append((mid, kind, w, h, nf, len(b) - 20))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in DECODED_SCHEMA]
+            )
+
+    return media.select("media_id", "kind", "data").mapInPandas(run, DECODED_SCHEMA)
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("feature", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature extraction (STUB model): deterministic hash-derived embedding
+    per asset — the real model swap point; plumbing (Arrow batches, array
+    column output, joinable by media_id with beyond.similarity) is real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                digest = hashlib.sha256(bytes(data)).digest()
+                vec = [
+                    struct.unpack("<h", digest[2 * i : 2 * i + 2])[0] / 32768.0
+                    for i in range(dim)
+                ]
+                rows.append((mid, vec))
+            yield pd.DataFrame(rows, columns=["media_id", "feature"])
+
+    return media.select("media_id", "data").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling plan (STUB decode): one output row per sampled
+    frame index — the explode shape a real ffmpeg sampler would produce."""
+    decoded = decode_metadata(media)
+    frames = decoded.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_idx"),
+    )
+    return frames

@@ -1,0 +1,213 @@
+"""Incremental graph maintenance — diff-based re-index.
+
+Reference mapping:
+- ST4 git-status diff → FileChanges {changed, deleted} (parsing/changes.rs).
+- J10 deleted-definition detection: old defs with no (fqn, file_path) match in
+  the new graph (mutation/changes.rs:223-288) — a left-anti join.
+- M1 DETACH DELETE by key list (query_builder.rs:95-112) — anti-join rewrite:
+  nodes of changed/deleted files removed, incident edges removed by endpoint.
+- M2/M5 single-transaction delete+reimport (mutation/changes.rs:53-148) —
+  staging directory + atomic swap of the parquet at-rest graph.
+- M3 ID-head resume: new nodes numbered from max(id)+1 per table
+  (mutation/changes.rs:150-192).
+
+Scale: the diff touches only partitions owning changed files' rows; the
+anti-joins broadcast the (small) changed-path set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knowledge_graph_spark.graph.model import EDGE_KEYS, NODE_KEYS, KnowledgeGraph
+from knowledge_graph_spark.io import assign_dense_ids
+
+_FILE_KEY = {
+    "directory_nodes": None,  # directories are re-derived, not file-keyed
+    "file_nodes": "path",
+    "definition_nodes": "primary_file_path",
+    "imported_symbol_nodes": "file_path",
+}
+
+
+def diff_definitions(old: KnowledgeGraph, new: KnowledgeGraph) -> dict[str, DataFrame]:
+    """J10: added / deleted / retained definitions by (fqn, primary_file_path)."""
+    key = ["fqn", "primary_file_path"]
+    o, n = old.definitions, new.definitions
+    return {
+        "deleted": o.join(n.select(*key), key, "left_anti"),
+        "added": n.join(o.select(*key), key, "left_anti"),
+        "retained": o.join(n.select(*key), key, "left_semi"),
+    }
+
+
+def apply_file_changes(
+    spark: SparkSession,
+    base: KnowledgeGraph,
+    fresh: KnowledgeGraph,
+    changed_paths: list[str],
+    deleted_paths: list[str],
+) -> KnowledgeGraph:
+    """Apply a FileChanges set: drop all nodes/edges belonging to
+    changed+deleted files from ``base``, then splice in ``fresh`` rows (the
+    re-index of changed files only) with ids resumed from max(id)+1.
+
+    Returns the merged graph (lazy); persist with ``KnowledgeGraph.write``.
+    """
+    touched = list(set(changed_paths) | set(deleted_paths))
+    touched_df = spark.createDataFrame([(p,) for p in touched], "path string")
+
+    nodes: dict[str, DataFrame] = {}
+    dropped_ids: dict[str, DataFrame] = {}
+    for key in NODE_KEYS:
+        df = base.nodes[key]
+        path_col = _FILE_KEY[key]
+        if path_col is None:
+            nodes[key] = df
+            dropped_ids[key] = df.limit(0).select("id")
+            continue
+        doomed = df.join(
+            F.broadcast(touched_df), df[path_col] == touched_df.path, "left_semi"
+        )
+        dropped_ids[key] = doomed.select("id")
+        kept = df.join(
+            F.broadcast(touched_df), df[path_col] == touched_df.path, "left_anti"
+        )
+        # fresh rows for changed files, renumbered after the current head (M3)
+        head = df.agg(F.max("id")).collect()[0][0] or 0
+        fresh_rows = fresh.nodes[key].join(
+            F.broadcast(touched_df),
+            fresh.nodes[key][path_col] == touched_df.path,
+            "left_semi",
+        )
+        sort_keys = {
+            "file_nodes": ["path"],
+            "definition_nodes": ["primary_file_path", "primary_start_byte", "primary_end_byte"],
+            "imported_symbol_nodes": ["file_path", "start_byte", "end_byte", "name"],
+        }[key]
+        renumbered = assign_dense_ids(
+            fresh_rows.drop("id"), sort_keys, start=head + 1
+        )
+        nodes[key] = kept.unionByName(renumbered.select(*df.columns))
+
+    # old-id → none (deleted), fresh edges must be re-keyed: simplest sound
+    # strategy (matches reference: edges for changed files are re-derived) —
+    # drop edges touching dropped ids, then rebuild edges for fresh rows by
+    # joining fresh edge endpoints through their natural keys to new ids.
+    edges: dict[str, DataFrame] = {}
+    for ekey in EDGE_KEYS:
+        df = base.edges[ekey]
+        src_tab, dst_tabs = _edge_endpoint_tables(ekey)
+        # source table is fixed per physical edge table; targets vary by row —
+        # scope each anti-join with the pair discriminator (ids are dense
+        # per node table, a bare id match would delete across tables)
+        df = df.join(
+            dropped_ids[src_tab].withColumnRenamed("id", "source_id"),
+            "source_id",
+            "left_anti",
+        )
+        for dst_tab in set(dst_tabs):
+            doomed_edges = df.filter(F.col("target_table") == dst_tab).join(
+                dropped_ids[dst_tab].withColumnRenamed("id", "target_id"),
+                "target_id",
+                "left_semi",
+            )
+            df = df.exceptAll(doomed_edges)
+        edges[ekey] = df
+    merged = KnowledgeGraph(spark, nodes, edges, base.repository_name)
+    return _splice_fresh_edges(spark, merged, fresh, touched_df)
+
+
+def _edge_endpoint_tables(edge_key: str) -> tuple[str, list[str]]:
+    from knowledge_graph_spark import schema as S
+
+    pairs = S.EDGE_TABLES[edge_key]
+    return pairs[0][0], [p[1] for p in pairs]
+
+
+def _splice_fresh_edges(
+    spark: SparkSession, merged: KnowledgeGraph, fresh: KnowledgeGraph, touched_df
+) -> KnowledgeGraph:
+    """Re-key the fresh sub-graph's edges to the merged graph's new ids via
+    natural keys (path for files, (file, byte-range) for defs/imports) and
+    union them in. Directory edges are recomputed only when new files appear
+    under new directories — here we keep base directory edges and add
+    DIR_CONTAINS_FILE for renumbered files."""
+    f_nodes = fresh.nodes
+
+    def keymap(kind: str, df: DataFrame, id_alias: str):
+        if kind == "file_nodes":
+            return df.select(F.col("id").alias(id_alias), F.col("path").alias(f"{id_alias}_k1"))
+        if kind == "definition_nodes":
+            return df.select(
+                F.col("id").alias(id_alias),
+                F.col("primary_file_path").alias(f"{id_alias}_k1"),
+                F.col("primary_start_byte").alias(f"{id_alias}_k2"),
+                F.col("primary_end_byte").alias(f"{id_alias}_k3"),
+            )
+        if kind == "imported_symbol_nodes":
+            return df.select(
+                F.col("id").alias(id_alias),
+                F.col("file_path").alias(f"{id_alias}_k1"),
+                F.col("start_byte").alias(f"{id_alias}_k2"),
+                F.col("end_byte").alias(f"{id_alias}_k3"),
+                F.col("name").alias(f"{id_alias}_k4"),
+            )
+        return df.select(F.col("id").alias(id_alias), F.col("path").alias(f"{id_alias}_k1"))
+
+    from knowledge_graph_spark import schema as S
+
+    out_edges = dict(merged.edges)
+    for ekey, pairs in S.EDGE_TABLES.items():
+        add = None
+        for from_tab, to_tab in pairs:
+            # the (source_table, target_table) discriminator scopes each row
+            # to its pair — ids are only dense per node table
+            fe = fresh.edges[ekey].filter(
+                (F.col("source_table") == from_tab) & (F.col("target_table") == to_tab)
+            )
+            old_src = keymap(from_tab, f_nodes[from_tab], "source_id")
+            old_dst = keymap(to_tab, f_nodes[to_tab], "target_id")
+            new_src = keymap(from_tab, merged.nodes[from_tab], "new_source_id")
+            new_dst = keymap(to_tab, merged.nodes[to_tab], "new_target_id")
+            src_keys = [c for c in old_src.columns if c != "source_id"]
+            dst_keys = [c for c in old_dst.columns if c != "target_id"]
+            joined = (
+                fe.join(old_src, "source_id")
+                .join(old_dst, "target_id")
+                .join(
+                    new_src,
+                    [
+                        new_src[f"new_source_id_k{i}"] == F.col(f"source_id_k{i}")
+                        for i in range(1, len(src_keys) + 1)
+                    ],
+                )
+                .join(
+                    new_dst,
+                    [
+                        new_dst[f"new_target_id_k{i}"] == F.col(f"target_id_k{i}")
+                        for i in range(1, len(dst_keys) + 1)
+                    ],
+                )
+                .select(
+                    F.col("new_source_id").alias("source_id"),
+                    F.col("new_target_id").alias("target_id"),
+                    "source_table",
+                    "target_table",
+                    "type",
+                    "source_start_byte",
+                    "source_end_byte",
+                    "source_start_line",
+                    "source_end_line",
+                    "source_start_col",
+                    "source_end_col",
+                )
+            )
+            add = joined if add is None else add.unionByName(joined)
+        if add is not None:
+            existing = out_edges[ekey]
+            out_edges[ekey] = existing.unionByName(add).dropDuplicates(
+                ["source_id", "target_id", "type", "source_start_byte"]
+            )
+    return KnowledgeGraph(spark, merged.nodes, out_edges, merged.repository_name)

@@ -1,0 +1,241 @@
+"""Indexing pipeline stage 1: file enumeration + per-file entity extraction.
+
+Reference mapping (SURVEY §2.9):
+- D1 two-stage async pipeline (tokio IO → rayon parse, indexer.rs:218-371) →
+  Spark's own partition parallelism: ``binaryFile`` scan partitions are the IO
+  stage, ``mapInPandas`` batches are the CPU stage. No manual semaphores —
+  backpressure is the scheduler's.
+- S1 repo enumeration w/ ignore rules (project/source.rs:28-60) →
+  ``recursiveFileLookup`` + path filters.
+- S2 bounded read, 5 MB max (project/io.rs:15-40, indexer.rs:64-71) →
+  ``length < max_file_size`` predicate pushed into the binaryFile source.
+- D2 per-file parse → definitions/imports/call-sites
+  (parsing/processor.rs:179-250). The reference uses tree-sitter; this
+  container has no parser libs, so extraction is a regex/indentation
+  analyzer for Python/Ruby/TypeScript — same output contract
+  (kind, name, parent chain, line/col/byte ranges), swappable for
+  py-tree-sitter behind the same mapInPandas signature.
+
+The extractor emits one long-format DataFrame (entity kind discriminator);
+stage 2 (build.py) splits and joins it into the graph tables.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+LANGUAGE_BY_EXTENSION = {
+    "py": "Python",
+    "rb": "Ruby",
+    "ts": "TypeScript",
+    "tsx": "TypeScript",
+    "js": "TypeScript",
+    "java": "Java",
+    "kt": "Kotlin",
+    "cs": "CSharp",
+    "rs": "Rust",
+}
+
+DEFAULT_MAX_FILE_SIZE = 5_000_000  # indexer.rs:64-71
+_IGNORED_SEGMENTS = (".git", "node_modules", "__pycache__", "target", ".venv", "vendor")
+
+# One row per extracted entity; ``kind`` ∈ {definition, import, call}
+ENTITY_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("language", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("name", StringType(), True),
+        StructField("parent_chain", StringType(), True),  # dotted enclosing defs
+        StructField("definition_type", StringType(), True),
+        StructField("import_path", StringType(), True),
+        StructField("alias", StringType(), True),
+        StructField("start_line", IntegerType(), True),
+        StructField("end_line", IntegerType(), True),
+        StructField("start_col", IntegerType(), True),
+        StructField("end_col", IntegerType(), True),
+        StructField("start_byte", LongType(), True),
+        StructField("end_byte", LongType(), True),
+    ]
+)
+
+_PY_DEF = re.compile(r"^(\s*)(def|class)\s+([A-Za-z_][A-Za-z0-9_]*)")
+_PY_IMPORT = re.compile(
+    r"^\s*(?:from\s+([A-Za-z_][\w.]*)\s+import\s+([A-Za-z_*][\w]*(?:\s*,\s*[\w]+)*)(?:\s+as\s+(\w+))?"
+    r"|import\s+([A-Za-z_][\w.]*)(?:\s+as\s+(\w+))?)"
+)
+_RB_DEF = re.compile(r"^(\s*)(def|class|module)\s+(?:self\.)?([A-Za-z_][A-Za-z0-9_?!]*)")
+_RB_IMPORT = re.compile(r"^\s*require(?:_relative)?\s+['\"]([^'\"]+)['\"]")
+_TS_DEF = re.compile(
+    r"^(\s*)(?:export\s+)?(?:default\s+)?(function|class|interface)\s+([A-Za-z_$][\w$]*)"
+)
+_TS_IMPORT = re.compile(
+    r"^\s*import\s+(?:([\w$]+)\s*,?\s*)?(?:\{([^}]*)\}\s*)?from\s+['\"]([^'\"]+)['\"]"
+)
+_CALL = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)\s*\(")
+_KEYWORDS = {
+    "if", "for", "while", "return", "def", "class", "function", "switch", "catch",
+    "print", "super", "new", "import", "require", "elif", "unless", "until", "puts",
+}
+
+
+def _kind_name(language: str, keyword: str, name: str) -> str:
+    if keyword == "class":
+        return "Class"
+    if keyword == "module":
+        return "Module"
+    if keyword == "interface":
+        return "Interface"
+    if language == "Python" or language == "Ruby":
+        return "Method"
+    return "Function"
+
+
+def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
+    """Indentation-tracked extraction for one file."""
+    def_re, imp_re = {
+        "Python": (_PY_DEF, _PY_IMPORT),
+        "Ruby": (_RB_DEF, _RB_IMPORT),
+        "TypeScript": (_TS_DEF, _TS_IMPORT),
+    }.get(language, (None, None))
+    if def_re is None:
+        return
+    stack: list[tuple[int, str]] = []  # (indent, name)
+    byte_off = 0
+    for ln, line in enumerate(text.split("\n")):
+        line_bytes = len(line.encode("utf-8", "replace")) + 1
+        m = def_re.match(line)
+        if m:
+            indent = len(m.group(1))
+            kw, name = m.group(2), m.group(3)
+            while stack and stack[-1][0] >= indent:
+                stack.pop()
+            parent = ".".join(n for _, n in stack) or None
+            col = m.start(3)
+            yield (
+                path, language, "definition", name, parent,
+                _kind_name(language, kw, name), None, None,
+                ln, ln, col, col + len(name),
+                byte_off + col, byte_off + col + len(name),
+            )
+            stack.append((indent, name))
+        else:
+            im = imp_re.match(line)
+            if im:
+                if language == "Python":
+                    if im.group(1):  # from X import a, b
+                        base = im.group(1)
+                        for nm in (im.group(2) or "").split(","):
+                            nm = nm.strip()
+                            if nm:
+                                yield (
+                                    path, language, "import", nm, None, None,
+                                    base, im.group(3), ln, ln, 0, len(line),
+                                    byte_off, byte_off + len(line), )
+                    else:
+                        yield (
+                            path, language, "import", im.group(4).split(".")[-1], None,
+                            None, im.group(4), im.group(5), ln, ln, 0, len(line),
+                            byte_off, byte_off + len(line), )
+                elif language == "Ruby":
+                    base = im.group(1)
+                    yield (
+                        path, language, "import", base.split("/")[-1], None, None,
+                        base, None, ln, ln, 0, len(line), byte_off, byte_off + len(line),
+                    )
+                else:  # TypeScript
+                    default_imp, named, base = im.group(1), im.group(2), im.group(3)
+                    if default_imp:
+                        yield (
+                            path, language, "import", default_imp, None, None, base,
+                            None, ln, ln, 0, len(line), byte_off, byte_off + len(line),
+                        )
+                    for nm in (named or "").split(","):
+                        nm = nm.strip()
+                        if nm:
+                            parts = nm.split(" as ")
+                            yield (
+                                path, language, "import", parts[0].strip(), None, None,
+                                base, parts[1].strip() if len(parts) > 1 else None,
+                                ln, ln, 0, len(line), byte_off, byte_off + len(line),
+                            )
+            else:
+                enclosing = ".".join(n for _, n in stack) or None
+                for cm in _CALL.finditer(line):
+                    callee = cm.group(1)
+                    if callee in _KEYWORDS:
+                        continue
+                    yield (
+                        path, language, "call", callee, enclosing, None, None, None,
+                        ln, ln, cm.start(1), cm.start(1) + len(callee),
+                        byte_off + cm.start(1), byte_off + cm.start(1) + len(callee),
+                    )
+        byte_off += line_bytes
+
+
+def list_files(
+    spark: SparkSession, root: str, max_file_size: int = DEFAULT_MAX_FILE_SIZE
+) -> DataFrame:
+    """S1+S2: enumerate source files under ``root`` with size cap and ignore
+    rules; returns (path, relative_path, extension, language, length, content).
+
+    The ``length`` predicate is evaluated against binaryFile's file metadata —
+    oversized files are skipped without reading content (reference skips at
+    5 MB, indexer.rs:64-71)."""
+    exts = list(LANGUAGE_BY_EXTENSION)
+    df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.{" + ",".join(exts) + "}")
+        .load(root)
+    )
+    df = df.filter(F.col("length") <= max_file_size)
+    for seg in _IGNORED_SEGMENTS:
+        df = df.filter(~F.col("path").contains(f"/{seg}/"))
+    rel = F.regexp_replace(F.col("path"), "^file:" + root.rstrip("/") + "/", "")
+    ext = F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1)
+    lang_map = F.create_map(
+        *[F.lit(x) for kv in LANGUAGE_BY_EXTENSION.items() for x in kv]
+    )
+    return df.select(
+        rel.alias("relative_path"),
+        ext.alias("extension"),
+        lang_map[ext].alias("language"),
+        F.col("length"),
+        F.col("content"),
+    ).filter(F.col("language").isNotNull())
+
+
+def extract_entities(files: DataFrame) -> DataFrame:
+    """D2: Arrow-batched per-file extraction via mapInPandas (the only Python
+    hot path in the engine; everything downstream is Catalyst joins)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, lang, content in zip(
+                pdf["relative_path"], pdf["language"], pdf["content"]
+            ):
+                try:
+                    text = bytes(content).decode("utf-8", "replace")
+                except Exception:
+                    continue
+                rows.extend(_extract_one(path, lang, text))
+            yield pd.DataFrame(rows, columns=[f.name for f in ENTITY_SCHEMA])
+
+    return files.select("relative_path", "language", "content").mapInPandas(
+        run, ENTITY_SCHEMA
+    )

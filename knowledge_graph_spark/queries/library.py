@@ -107,7 +107,11 @@ def import_usage(kg: KnowledgeGraph, import_paths: list[str], limit: int = 500) 
     """
     paths_lc = [p.lower() for p in import_paths]
     imps = kg.imports.filter(F.lower(F.col("import_path")).isin(paths_lc))
-    refs = kg.edge("definition_relationships", S.REFERENCE_EDGE_TYPES).alias("r")
+    refs = (
+        kg.edge("definition_relationships", S.REFERENCE_EDGE_TYPES)
+        .filter(F.col("target_table") == "imported_symbol_nodes")
+        .alias("r")
+    )
     defs = kg.definitions.alias("src")
     joined = (
         imps.alias("imp")
@@ -135,7 +139,8 @@ SELECT i.import_path,
        COALESCE(r.source_start_line, src.start_line) AS ref_line
 FROM imported_symbol_nodes i
 LEFT JOIN definition_relationships r
-  ON r.target_id = i.id AND r.type IN ('CALLS','AMBIGUOUSLY_CALLS','PROPERTY_REFERENCE')
+  ON r.target_id = i.id AND r.target_table = 'imported_symbol_nodes'
+ AND r.type IN ('CALLS','AMBIGUOUSLY_CALLS','PROPERTY_REFERENCE')
 LEFT JOIN definition_nodes src ON src.id = r.source_id
 WHERE lower(i.import_path) IN ({paths})
 ORDER BY i.import_path, import_name, ref_fqn NULLS FIRST, ref_line LIMIT {limit}
@@ -160,7 +165,9 @@ def get_references(
     targets = kg.imports.filter(F.col("name") == symbol_name).select(
         F.col("id").alias("_tid"), F.col("name").alias("symbol_name")
     )
-    refs = kg.edge("definition_relationships", S.REFERENCE_EDGE_TYPES)
+    refs = kg.edge("definition_relationships", S.REFERENCE_EDGE_TYPES).filter(
+        F.col("target_table") == "imported_symbol_nodes"
+    )
     out = (
         targets.join(refs, targets._tid == refs.target_id)
         .join(kg.definitions, refs.source_id == kg.definitions.id)
@@ -186,7 +193,8 @@ SELECT t.name AS symbol_name,
        r.source_start_col AS call_col
 FROM imported_symbol_nodes t
 JOIN definition_relationships r
-  ON r.target_id = t.id AND r.type IN ('CALLS','AMBIGUOUSLY_CALLS','PROPERTY_REFERENCE')
+  ON r.target_id = t.id AND r.target_table = 'imported_symbol_nodes'
+ AND r.type IN ('CALLS','AMBIGUOUSLY_CALLS','PROPERTY_REFERENCE')
 JOIN definition_nodes d ON d.id = r.source_id
 WHERE t.name = {name}
 ORDER BY ref_fqn, call_line, call_col
@@ -221,7 +229,8 @@ def definition_at(kg: KnowledgeGraph, file_path: str, line: int, col: int) -> Da
     base = src.join(refs, src._sid == refs.source_id)
 
     to_def = (
-        base.join(kg.definitions, F.col("target_id") == kg.definitions.id)
+        base.filter(F.col("target_table") == "definition_nodes")
+        .join(kg.definitions, F.col("target_id") == kg.definitions.id)
         .select(
             "src_fqn",
             F.lit("definition").alias("target_kind"),
@@ -231,7 +240,8 @@ def definition_at(kg: KnowledgeGraph, file_path: str, line: int, col: int) -> Da
         )
     )
     to_imp = (
-        base.join(kg.imports, F.col("target_id") == kg.imports.id)
+        base.filter(F.col("target_table") == "imported_symbol_nodes")
+        .join(kg.imports, F.col("target_id") == kg.imports.id)
         .select(
             "src_fqn",
             F.lit("imported_symbol").alias("target_kind"),
@@ -253,7 +263,7 @@ SELECT * FROM (
          t.primary_file_path AS target_file,
          CAST(t.start_line AS BIGINT) AS target_line
   FROM definition_nodes s
-  JOIN definition_relationships r ON r.source_id = s.id
+  JOIN definition_relationships r ON r.source_id = s.id AND r.target_table = 'definition_nodes'
   JOIN definition_nodes t ON t.id = r.target_id
   WHERE s.primary_file_path = {file_path}
     AND r.source_start_line = {line}
@@ -265,7 +275,7 @@ SELECT * FROM (
          t.file_path AS target_file,
          CAST(t.start_line AS BIGINT) AS target_line
   FROM definition_nodes s
-  JOIN definition_relationships r ON r.source_id = s.id
+  JOIN definition_relationships r ON r.source_id = s.id AND r.target_table = 'imported_symbol_nodes'
   JOIN imported_symbol_nodes t ON t.id = r.target_id
   WHERE s.primary_file_path = {file_path}
     AND r.source_start_line = {line}
@@ -440,7 +450,10 @@ def neighbors(kg: KnowledgeGraph, node_table: str, node_id: int, limit: int = 10
         for from_table, to_table in pairs:
             if node_table not in (from_table, to_table):
                 continue
-            e = kg.edges[edge_table]
+            e = kg.edges[edge_table].filter(
+                (F.col("source_table") == from_table)
+                & (F.col("target_table") == to_table)
+            )
             tgt_nodes = _node_label_df(kg, to_table)
             src_nodes = _node_label_df(kg, from_table)
             if from_table == node_table:
@@ -490,14 +503,16 @@ def neighbors_sql(node_table: str, node_id: int, limit: int = 100) -> str:
                     f"SELECT 'out' AS direction, e.type AS rel_type, '{to_table}' AS neighbor_type, "
                     f"n.id AS neighbor_id, n.{label_col[to_table]} AS neighbor_label "
                     f"FROM {edge_table} e JOIN {to_table} n ON n.id = e.target_id "
-                    f"WHERE e.source_id = {node_id}"
+                    f"WHERE e.source_id = {node_id} "
+                    f"AND e.source_table = '{from_table}' AND e.target_table = '{to_table}'"
                 )
             if node_table == to_table:
                 branches.append(
                     f"SELECT 'in' AS direction, e.type AS rel_type, '{from_table}' AS neighbor_type, "
                     f"n.id AS neighbor_id, n.{label_col[from_table]} AS neighbor_label "
                     f"FROM {edge_table} e JOIN {from_table} n ON n.id = e.source_id "
-                    f"WHERE e.target_id = {node_id}"
+                    f"WHERE e.target_id = {node_id} "
+                    f"AND e.source_table = '{from_table}' AND e.target_table = '{to_table}'"
                 )
     union = " UNION ALL ".join(branches)
     return (
@@ -646,7 +661,9 @@ def callers_of(kg: KnowledgeGraph, symbol_name: str, limit: int = 100) -> DataFr
     Reference: kuzu/service.rs:292-321 (callers-of by name over CALLS edges).
     """
     targets = kg.imports.filter(F.col("name") == symbol_name).select(F.col("id").alias("_tid"))
-    calls = kg.edge("definition_relationships", (S.CALLS,))
+    calls = kg.edge("definition_relationships", (S.CALLS,)).filter(
+        F.col("target_table") == "imported_symbol_nodes"
+    )
     return (
         targets.join(calls, targets._tid == calls.target_id)
         .join(kg.definitions, calls.source_id == kg.definitions.id)
@@ -664,6 +681,7 @@ CALLERS_OF_SQL = """
 SELECT d.fqn AS caller_fqn, d.primary_file_path AS caller_file, r.source_start_line AS call_line
 FROM imported_symbol_nodes t
 JOIN definition_relationships r ON r.target_id = t.id AND r.type = 'CALLS'
+ AND r.target_table = 'imported_symbol_nodes'
 JOIN definition_nodes d ON d.id = r.source_id
 WHERE t.name = {name}
 ORDER BY caller_fqn, call_line LIMIT {limit}
@@ -673,7 +691,9 @@ ORDER BY caller_fqn, call_line LIMIT {limit}
 def callees_of(kg: KnowledgeGraph, def_fqn: str, limit: int = 100) -> DataFrame:
     """Symbols called by the definition with this fqn — kuzu/service.rs:324-344."""
     src = kg.definitions.filter(F.col("fqn") == def_fqn).select(F.col("id").alias("_sid"))
-    calls = kg.edge("definition_relationships", S.REFERENCE_EDGE_TYPES)
+    calls = kg.edge("definition_relationships", S.REFERENCE_EDGE_TYPES).filter(
+        F.col("target_table") == "imported_symbol_nodes"
+    )
     return (
         src.join(calls, src._sid == calls.source_id)
         .join(kg.imports, calls.target_id == kg.imports.id)
@@ -691,6 +711,7 @@ CALLEES_OF_SQL = """
 SELECT r.type AS rel_type, i.name AS callee_name, i.import_path AS callee_path
 FROM definition_nodes d
 JOIN definition_relationships r ON r.source_id = d.id
+  AND r.target_table = 'imported_symbol_nodes'
   AND r.type IN ('CALLS','AMBIGUOUSLY_CALLS','PROPERTY_REFERENCE')
 JOIN imported_symbol_nodes i ON i.id = r.target_id
 WHERE d.fqn = {fqn}
@@ -706,7 +727,9 @@ def calls_to_imported_symbol(
     targets = kg.imports.filter(
         (F.col("import_path") == import_path) & (F.col("name") == name)
     ).select(F.col("id").alias("_tid"))
-    calls = kg.edge("definition_relationships", (S.CALLS, S.AMBIGUOUSLY_CALLS))
+    calls = kg.edge("definition_relationships", (S.CALLS, S.AMBIGUOUSLY_CALLS)).filter(
+        F.col("target_table") == "imported_symbol_nodes"
+    )
     return (
         targets.join(calls, targets._tid == calls.target_id)
         .join(kg.definitions, calls.source_id == kg.definitions.id)
@@ -724,6 +747,7 @@ CALLS_TO_IMPORTED_SYMBOL_SQL = """
 SELECT d.fqn AS caller_fqn, r.type AS call_type, r.source_start_line AS call_line
 FROM imported_symbol_nodes t
 JOIN definition_relationships r ON r.target_id = t.id AND r.type IN ('CALLS','AMBIGUOUSLY_CALLS')
+ AND r.target_table = 'imported_symbol_nodes'
 JOIN definition_nodes d ON d.id = r.source_id
 WHERE t.import_path = {import_path} AND t.name = {name}
 ORDER BY caller_fqn, call_type, call_line LIMIT {limit}

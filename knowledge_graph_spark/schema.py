@@ -86,10 +86,16 @@ IMPORTED_SYMBOL_NODE = StructType(
 # implicit endpoint ids of schema/types.rs:272-286 prepended)
 # ---------------------------------------------------------------------------
 
+# ``source_table``/``target_table`` make the (from, to) pair explicit per row:
+# the reference stores one parquet file per pair (schema/types.rs:249-255) and
+# Kuzu rel tables are pair-aware; ids are dense PER node table, so without the
+# discriminator a def→imp edge could join a definition with the same id.
 RELATIONSHIP = StructType(
     [
         StructField("source_id", LongType(), False),
         StructField("target_id", LongType(), False),
+        StructField("source_table", StringType(), False),
+        StructField("target_table", StringType(), False),
         StructField("type", StringType(), False),
         StructField("source_start_byte", LongType(), True),
         StructField("source_end_byte", LongType(), True),

@@ -1,0 +1,134 @@
+"""Multi-hop graph analytics over the TPC-H-derived graph (known topology:
+region→nation→customer→order→lineitem-defs→part-imports)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    from knowledge_graph_spark.adapters import tpch
+
+    return tpch.build_graph(spark, SF_SMALL).cache()
+
+
+def test_k_hop_neighbors(spark, kg):
+    from knowledge_graph_spark.graph.algorithms import k_hop_neighbors
+
+    # region dir (id 1) → 1 hop: its nations; 2 hops: their customers + back
+    res = k_hop_neighbors(kg, "directory_nodes", 1, k=2).collect()
+    by_hop = {}
+    for r in res:
+        by_hop.setdefault(r.hops, set()).add((r.t, r.id))
+    nations_of_r0 = {
+        ("directory_nodes", r.n_nationkey + 11)
+        for r in spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+        .filter(F.col("n_regionkey") == 0)
+        .collect()
+    }
+    assert by_hop[1] == nations_of_r0
+    assert all(t == "directory_nodes" for t, _ in by_hop[2])  # customers
+
+
+def test_reachability_closure(spark, kg):
+    from knowledge_graph_spark.graph.algorithms import reachable_from
+
+    # from a region dir, everything below it is reachable via DIR_CONTAINS_*
+    res = reachable_from(
+        kg, "directory_nodes", 1, edge_types=("DIR_CONTAINS_DIR", "DIR_CONTAINS_FILE")
+    )
+    kinds = {r.t for r in res.collect()}
+    assert kinds == {"directory_nodes", "file_nodes"}
+    assert res.count() > 10
+
+
+def test_connected_components_regions_disconnected(spark, kg):
+    from knowledge_graph_spark.graph.algorithms import connected_components
+
+    # restrict to the directory forest: 5 region trees → 5 components
+    from knowledge_graph_spark.graph.model import KnowledgeGraph
+
+    dirs_only = KnowledgeGraph(
+        kg.spark,
+        nodes=kg.nodes,
+        edges={
+            "directory_relationships": kg.edges["directory_relationships"].filter(
+                F.col("type") == "DIR_CONTAINS_DIR"
+            ),
+            "file_relationships": kg.edges["file_relationships"].limit(0),
+            "definition_relationships": kg.edges["definition_relationships"].limit(0),
+            "imported_symbol_relationships": kg.edges["imported_symbol_relationships"].limit(0),
+        },
+    )
+    cc = connected_components(dirs_only)
+    n_components = cc.select("component").distinct().count()
+    assert n_components == 5
+
+
+def test_pagerank_orders_by_centrality(kg):
+    from knowledge_graph_spark.graph.algorithms import pagerank
+
+    pr = pagerank(kg, iterations=5)
+    top = pr.limit(20).collect()
+    assert abs(sum(r.rank for r in pr.collect()) - 1.0) < 1e-6
+    # imported parts receive edges from many defs → parts should rank high
+    assert any(r.node_table == "imported_symbol_nodes" for r in top)
+
+
+def test_resolve_import_chains(spark, kg):
+    from knowledge_graph_spark.graph.algorithms import resolve_import_chains
+
+    res = resolve_import_chains(kg)
+    rows = {r.import_id: (r.resolved_table, r.depth) for r in res.collect()}
+    # every import resolves (all parts have terminal edges at depth 0)
+    assert len(rows) == kg.imports.count()
+    assert all(t == "definition_nodes" for t, _ in rows.values())
+    assert all(d == 0 for _, d in rows.values())
+
+
+def test_resolve_import_chains_follows_links(spark):
+    """Synthetic chain imp1→imp2→imp3→def: origins resolve at their depth."""
+    from knowledge_graph_spark.graph.algorithms import resolve_import_chains
+    from knowledge_graph_spark.graph.model import KnowledgeGraph
+    from knowledge_graph_spark import schema as S
+
+    imps = spark.createDataFrame(
+        [(i, "import", f"m{i}", f"n{i}", None, "f.py", 0, 1, 0, 0, 0, 1) for i in (1, 2, 3)],
+        S.IMPORTED_SYMBOL_NODE,
+    )
+    defs = spark.createDataFrame(
+        [(7, "m.f", "f", "Function", "m.py", 0, 9, 0, 0, 0, 1, 1)], S.DEFINITION_NODE
+    )
+    def edge(src, dst, st, tt, ty):
+        return (src, dst, st, tt, ty, None, None, None, None, None, None)
+
+    ir = spark.createDataFrame(
+        [
+            edge(1, 2, "imported_symbol_nodes", "imported_symbol_nodes", "IMPORTED_SYMBOL_TO_IMPORTED_SYMBOL"),
+            edge(2, 3, "imported_symbol_nodes", "imported_symbol_nodes", "IMPORTED_SYMBOL_TO_IMPORTED_SYMBOL"),
+            edge(3, 7, "imported_symbol_nodes", "definition_nodes", "IMPORTED_SYMBOL_TO_DEFINITION"),
+        ],
+        S.RELATIONSHIP,
+    )
+    empty_rel = spark.createDataFrame([], S.RELATIONSHIP)
+    kg2 = KnowledgeGraph(
+        spark,
+        nodes={
+            "directory_nodes": spark.createDataFrame([], S.DIRECTORY_NODE),
+            "file_nodes": spark.createDataFrame([], S.FILE_NODE),
+            "definition_nodes": defs,
+            "imported_symbol_nodes": imps,
+        },
+        edges={
+            "directory_relationships": empty_rel,
+            "file_relationships": empty_rel,
+            "definition_relationships": empty_rel,
+            "imported_symbol_relationships": ir,
+        },
+    )
+    res = {r.import_id: r.depth for r in resolve_import_chains(kg2).collect()}
+    assert res == {1: 2, 2: 1, 3: 0}

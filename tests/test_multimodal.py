@@ -1,0 +1,68 @@
+"""Multimodal column plumbing: schema, Arrow-batched decode/feature UDF
+shapes, frame-sampling explode, and the stub gate for real codecs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    from knowledge_graph_spark.beyond.multimodal import synthesize_media
+    from knowledge_graph_spark.io import read_table
+
+    return synthesize_media(read_table(spark, SF_SMALL, "documents")).cache()
+
+
+def test_media_schema_and_pruning(media):
+    assert dict(media.dtypes)["data"] == "binary"
+    kinds = {r.kind for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+    # metadata-only projection never deserializes payloads
+    assert media.select("media_id", "kind", "mime").count() == media.count()
+
+
+def test_decode_metadata(media):
+    from knowledge_graph_spark.beyond.multimodal import decode_metadata
+
+    dec = decode_metadata(media)
+    rows = dec.collect()
+    assert len(rows) == media.count()
+    r0 = next(r for r in rows if r.media_id == 0)
+    assert (r0.width, r0.height, r0.n_frames) == (16, 16, 1)
+    assert all(r.payload_bytes > 0 for r in rows)
+
+
+def test_real_decoder_is_gated(media):
+    from knowledge_graph_spark.beyond.multimodal import decode_metadata
+
+    with pytest.raises(NotImplementedError, match="pillow"):
+        decode_metadata(media, decoder="pillow")
+
+
+def test_extract_features_joinable_with_similarity(media, spark):
+    from knowledge_graph_spark.beyond.multimodal import extract_features
+    from knowledge_graph_spark.beyond.similarity import cosine_topk
+
+    feats = extract_features(media, dim=16)
+    assert dict(feats.dtypes)["feature"] == "array<float>"
+    qv = [float(v) for v in feats.orderBy("media_id").limit(1).collect()[0]["feature"]]
+    emb_like = feats.select(
+        F.col("media_id").alias("vec_id"),
+        F.col("feature").alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    top = cosine_topk(emb_like, qv, k=3).collect()
+    assert top[0].vec_id == 0 and abs(top[0].cosine - 1.0) < 1e-9
+
+
+def test_frame_sample_explode(media):
+    from knowledge_graph_spark.beyond.multimodal import frame_sample
+
+    frames = frame_sample(media, every_n=10)
+    assert frames.filter(F.col("frame_idx") % 10 != 0).count() == 0
+    per = frames.groupBy("media_id").count().collect()
+    assert per and all(r["count"] >= 1 for r in per)

@@ -1,0 +1,77 @@
+"""Streaming layer: debounce-window job coalescing (ST1/ST4/ST5) and
+batch-equivalence of the streaming event rollup (exactly-once windowed agg)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_debounced_jobs_coalesce_and_split_changes(spark, tmp_path):
+    from knowledge_graph_spark.streaming import watcher as W
+
+    watch = tmp_path / "events"
+    watch.mkdir()
+    rows = [
+        {"project": "alpha", "path": "a.py", "change_type": "modified",
+         "event_time": "2024-01-01T00:00:00.500"},
+        {"project": "alpha", "path": "b.py", "change_type": "created",
+         "event_time": "2024-01-01T00:00:01.200"},
+        {"project": "alpha", "path": "a.py", "change_type": "modified",
+         "event_time": "2024-01-01T00:00:02.000"},
+        {"project": "alpha", "path": "gone.py", "change_type": "deleted",
+         "event_time": "2024-01-01T00:00:02.500"},
+        {"project": "beta", "path": "x.ts", "change_type": "modified",
+         "event_time": "2024-01-01T00:00:01.000"},
+        # next debounce window
+        {"project": "alpha", "path": "late.py", "change_type": "modified",
+         "event_time": "2024-01-01T00:00:05.000"},
+    ]
+    (watch / "batch1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    jobs: list = []
+    q = W.run_debounced_reindex(
+        spark,
+        str(watch),
+        on_job=lambda project, changed, deleted: jobs.append((project, changed, deleted)),
+        query_name="test-watcher",
+        available_now=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(60)
+    got = sorted(jobs)
+    assert ("alpha", ["a.py", "b.py"], ["gone.py"]) in got  # window 0-3s, dedup'd
+    assert ("alpha", ["late.py"], []) in got  # window 3-6s
+    assert ("beta", ["x.ts"], []) in got
+
+
+def test_streaming_rollup_equals_batch(spark):
+    from knowledge_graph_spark.queries import analytics as A
+    from knowledge_graph_spark.io import read_table
+    from knowledge_graph_spark.streaming.watcher import streaming_event_rollup
+
+    agg = streaming_event_rollup(spark, SF_SMALL)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_rollup")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("stream_rollup").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in A.event_hourly_rollup(read_table(spark, SF_SMALL, "events"))
+        .drop("n_users")
+        .collect()
+    }
+    assert streamed == batch
