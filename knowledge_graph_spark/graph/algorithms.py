@@ -155,6 +155,8 @@ def connected_components(kg: KnowledgeGraph, max_iter: int = 20) -> DataFrame:
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
+        # carry a changed flag through the update so convergence is a cheap
+        # scan of the checkpointed result, not a second full join
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left_outer")
             .select(
@@ -162,18 +164,16 @@ def connected_components(kg: KnowledgeGraph, max_iter: int = 20) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
+                    "_changed"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .isEmpty()
-        )
+        converged = new_labels.filter(F.col("_changed")).isEmpty()
         labels.unpersist()
-        labels = new_labels.cache()
-        if changed:
+        labels = new_labels.drop("_changed").cache()
+        if converged:
             break
     return labels.select(
         F.split("node", "#")[0].alias("node_table"),
@@ -207,12 +207,16 @@ def pagerank(
     )
     n = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
+    # dangling nodes (no out-edges) leak rank mass — redistribute uniformly,
+    # else Σrank decays below 1 each round. The node SET is static: compute
+    # it once; only its rank mass changes per iteration.
+    dangling_nodes = nodes.join(
+        out_deg, nodes.node == out_deg.src, "left_anti"
+    ).cache()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
-        # dangling nodes (no out-edges) leak rank mass — redistribute it
-        # uniformly, else Σrank decays below 1 each round
         dangling = (
-            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+            ranks.join(dangling_nodes, "node", "left_semi")
             .agg(F.sum("rank"))
             .collect()[0][0]
             or 0.0

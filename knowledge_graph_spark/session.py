@@ -30,8 +30,15 @@ def default_parallelism() -> int:
 
 def get_spark(app_name: str = "knowledge-graph-spark", master: str | None = None) -> SparkSession:
     cpus = default_parallelism()
+    # local mode runs driver+executors in one JVM; the 1g default heap evicts
+    # localCheckpoint blocks under load ("Block rdd_N does not exist") and
+    # thrashes GC. Sized for the 128 GiB test box; harmless on a cluster
+    # where spark-submit overrides it.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.default.parallelism", str(cpus))
