@@ -250,6 +250,32 @@ def _q_event_type_stats(spark, sf_dir):  # P10 JSON extraction, A6
     return A.event_type_stats(read_table(spark, sf_dir, "events"))
 
 
+def _q_sessionize(spark, sf_dir):  # gap sessionization (window fns)
+    return A.sessionize(read_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def _q_top_events_per_type(spark, sf_dir):  # top-k per group
+    return A.top_events_per_type(read_table(spark, sf_dir, "events"), k=5)
+
+
+def _q_user_value_running_total(spark, sf_dir):  # frame-bounded analytic
+    return A.user_value_running_total(read_table(spark, sf_dir, "events"))
+
+
+def _q_sql_passthrough(spark, sf_dir):  # §2.11a raw-SQL + P10 named params
+    kg = _graph(spark, sf_dir)
+    kg.register_views()
+    return spark.sql(
+        """SELECT d.definition_type, count(*) AS n,
+                  min(d.start_line) AS min_line
+           FROM definition_nodes d
+           WHERE d.start_line >= :min_line
+           GROUP BY d.definition_type
+           ORDER BY d.definition_type""",
+        args={"min_line": 2},
+    )
+
+
 # -- beyond-parity: text analysis, dedup, similarity ------------------------
 
 
@@ -418,6 +444,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_nation_rollup": _q_supplier_nation_rollup,
         "event_hourly_rollup": _q_event_hourly_rollup,
         "event_type_stats": _q_event_type_stats,
+        "sessionize": _q_sessionize,
+        "top_events_per_type": _q_top_events_per_type,
+        "user_value_running_total": _q_user_value_running_total,
+        "sql_passthrough": _q_sql_passthrough,
         "doc_stats": _q_doc_stats,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -515,6 +545,14 @@ def oracle_sql() -> dict[str, str]:
         "supplier_nation_rollup": A.SUPPLIER_NATION_ROLLUP_SQL,
         "event_hourly_rollup": A.EVENT_HOURLY_ROLLUP_SQL,
         "event_type_stats": A.EVENT_TYPE_STATS_SQL,
+        "sessionize": A.SESSIONIZE_SQL.format(gap_minutes=30),
+        "top_events_per_type": A.TOP_EVENTS_PER_TYPE_SQL.format(k=5),
+        "user_value_running_total": A.USER_VALUE_RUNNING_TOTAL_SQL.format(limit_users=20),
+        "sql_passthrough": tpch.oracle(
+            """SELECT definition_type, count(*) AS n, min(start_line) AS min_line
+               FROM definition_nodes WHERE start_line >= 2
+               GROUP BY definition_type ORDER BY definition_type"""
+        ),
         "doc_stats": T.DOC_STATS_SQL,
         "quality_score": T.QUALITY_SCORE_SQL.format(min_tokens=20, max_tokens=80),
         "lang_id": T.LANG_ID_SQL,

@@ -303,3 +303,118 @@ SELECT event_type, COUNT(*) AS n,
 FROM events
 GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Window-function operators (beyond reference parity — SURVEY §2.12 notes the
+# reference has none; Spark gives them natively and a 100 TB training-data
+# pipeline needs them for sessionization and per-group sampling)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: per-user sessions split at inactivity gaps.
+
+    lag + cumulative-sum-of-boundaries — two window passes over one shuffle
+    on user_id. The streaming twin (streaming/sessions.py) holds the same
+    semantics as a custom stateful operator; this batch form is its oracle.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.lag("ts").over(w)
+    new_session = (
+        F.col("ts").cast("long") - F.coalesce(gap.cast("long"), F.lit(0))
+        > gap_minutes * 60
+    ) | gap.isNull()
+    with_ids = events.withColumn(
+        "session_seq", F.sum(new_session.cast("int")).over(w)
+    )
+    return (
+        with_ids.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("string").cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > {gap_minutes} * 60
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+ids AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+  min(ts) AS session_start,
+  max(ts) AS session_end,
+  count(*) AS n_events,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+FROM ids GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+def top_events_per_type(events: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k rows per group via ranking window — per-group sampling for
+    training-data curation (dedup keeps `keeper`, this keeps `top-k`)."""
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("event_type", "rk", "event_id", "user_id", F.col("value").alias("value"))
+        .orderBy("event_type", "rk")
+    )
+
+
+TOP_EVENTS_PER_TYPE_SQL = """
+SELECT event_type, rk, event_id, user_id, value FROM (
+  SELECT event_type, event_id, user_id, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+  FROM events
+) t WHERE rk <= {k}
+ORDER BY event_type, rk
+"""
+
+
+def user_value_running_total(events: DataFrame, limit_users: int = 20) -> DataFrame:
+    """Per-user running total over event time (frame-bounded analytic
+    window); decimal-exact cumulative sums so both engines agree."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        events.filter(F.col("user_id") < limit_users)
+        .withColumn(
+            "running_value",
+            F.sum(_dec("value")).over(w).cast("string").cast("double"),
+        )
+        .select("user_id", "event_id", "ts", "running_value")
+        .orderBy("user_id", "ts", "event_id")
+    )
+    return out
+
+
+USER_VALUE_RUNNING_TOTAL_SQL = """
+SELECT user_id, event_id, ts,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+    AS running_value
+FROM events
+WHERE user_id < {limit_users}
+ORDER BY user_id, ts, event_id
+"""
