@@ -310,6 +310,16 @@ def _query_vec(spark, sf_dir):
     return [float(v) for v in row["embedding"]]
 
 
+def _q_embedding_near_dup(spark, sf_dir):
+    return SIM.embedding_near_dup_pairs(
+        read_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+def _q_token_counts(spark, sf_dir):
+    return T.token_counts(read_table(spark, sf_dir, "documents"))
+
+
 def _q_cosine_topk(spark, sf_dir):
     return SIM.cosine_topk(read_table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
 
@@ -455,6 +465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_duplicates": _q_exact_duplicates,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "cosine_topk": _q_cosine_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "token_counts": _q_token_counts,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_buckets": _q_simhash_buckets,
         "hyperplane_lsh_ann": _q_hyperplane_lsh_ann,
@@ -562,6 +574,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_duplicates": D.EXACT_DUPLICATES_SQL.format(n=5),
         "ngram_jaccard_pairs": D.NGRAM_JACCARD_PAIRS_SQL.format(nm1=2, threshold=0.5),
         "cosine_topk": SIM.COSINE_TOPK_SQL.format(k=10),
+        "embedding_near_dup": SIM.EMBEDDING_NEAR_DUP_SQL.format(threshold=0.35),
+        "token_counts": T.TOKEN_COUNTS_SQL.format(rx=T.TOKEN_REGEX),
         "dir_tree_closure": o(
             DIR_TREE_CLOSURE_SQL, extra_ctes=DIR_TREE_CLOSURE_CTE, recursive=True
         ),

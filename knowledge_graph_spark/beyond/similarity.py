@@ -134,3 +134,85 @@ def hyperplane_lsh_ann(
     cands = [qb] + [qb ^ (1 << p) for p in range(planes)]
     filtered = bucketed.filter(F.col("bucket").isin(cands))
     return cosine_topk(filtered, query_vec, k)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.99, block_col: str = "label"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by ``block_col``.
+
+    Exact within blocks: explode components, self-join per (block, index),
+    decimal-exact dot/norm sums, filter cosine ≥ threshold. Blocking bounds
+    the pair space (cluster/label/LSH bucket at scale: O(Σ b²) not O(n²)).
+    """
+    # Pair the VECTORS (one row per pair, arrays intact), not their exploded
+    # components: a components self-join shuffles n_pairs × dim rows through
+    # a groupBy; the in-row decimal fold does the same exact math at
+    # n_pairs rows. Squared norms are per-vector — computed once, joined in.
+    # Exactness via INTEGER folds: each term is floor(x*y*1e12) — the floor
+    # of a deterministic IEEE double is integral and identical in Spark and
+    # DuckDB, and long sums are order-free exact AND codegen-fast (the
+    # decimal fold used by cosine_topk costs ~10× here at n_pairs×dim terms).
+    def int_fold(pairs_col):
+        return F.aggregate(
+            pairs_col,
+            F.lit(0).cast("long"),
+            lambda acc, p: acc + F.floor(p["x"] * p["y"] * F.lit(1e12)).cast("long"),
+        )
+
+    e = emb.select(
+        "vec_id",
+        F.col(block_col).alias("blk"),
+        F.transform("embedding", lambda v: v.cast("double")).alias("vec"),
+    )
+    sq = F.transform("vec", lambda v: F.struct(v.alias("x"), v.alias("y")))
+    norms = e.select(
+        "vec_id",
+        "blk",
+        "vec",
+        (int_fold(sq).cast("double") / F.lit(1e12)).alias("n2"),
+    )
+    a = norms.alias("a")
+    b = norms.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    zipped = F.zip_with(
+        F.col("a.vec"), F.col("b.vec"), lambda x, y: F.struct(x.alias("x"), y.alias("y"))
+    )
+    dot = int_fold(zipped).cast("double") / F.lit(1e12)
+    cos = dot / (F.sqrt(F.col("a.n2")) * F.sqrt(F.col("b.n2")))
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+            cos.alias("_cos_raw"),
+        )
+        .filter(F.col("_cos_raw") >= threshold)
+        .drop("_cos_raw")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+EMBEDDING_NEAR_DUP_SQL = """
+WITH comp2 AS (
+  SELECT vec_id, label AS blk, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+sums AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    SUM(CAST(floor(a.x * b.x * 1e12) AS BIGINT)) / 1e12 AS dot,
+    SUM(CAST(floor(a.x * a.x * 1e12) AS BIGINT)) / 1e12 AS na2,
+    SUM(CAST(floor(b.x * b.x * 1e12) AS BIGINT)) / 1e12 AS nb2
+  FROM comp2 a JOIN comp2 b
+    ON a.blk = b.blk AND a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cosine
+FROM sums
+WHERE dot / (sqrt(na2) * sqrt(nb2)) >= {threshold}
+ORDER BY vec_a, vec_b
+"""

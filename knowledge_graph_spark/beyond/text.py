@@ -137,3 +137,30 @@ FROM documents ORDER BY doc_id
 """
 FINGERPRINT_KEY_FULL = "lower(text)"
 FINGERPRINT_KEY_PREFIX = "array_to_string(string_split(text, ' ')[1:{n}], ' ')"
+
+
+# BPE-ish tokenization regex — letter runs, digit runs, single punctuation.
+# Deliberately a dialect-neutral subset so Java regex (Spark) and RE2
+# (DuckDB) agree character-for-character.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Token counting with a BPE-ish regex (whitespace split is ``doc_stats``;
+    this is the subword-ish variant a tokenizer-budget estimate needs)."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_regex_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).alias("n_number_tokens"),
+    ).orderBy("doc_id")
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+  len(regexp_extract_all(text, '{rx}')) AS n_regex_tokens,
+  len(list_distinct(regexp_extract_all(text, '{rx}'))) AS n_unique_tokens,
+  len(list_filter(regexp_extract_all(text, '{rx}'), t -> regexp_matches(t, '^[0-9]+$'))) AS n_number_tokens
+FROM documents ORDER BY doc_id
+"""

@@ -61,6 +61,27 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table for shuffle-free co-located joins.
+
+    Two tables bucketed the same way on their join key (e.g. edges on
+    source_id and nodes on id, both 32 buckets) join with NO shuffle on
+    either side — the big win for the repeated node⋈edge joins of the query
+    library at 100 TB. Bucketing requires saveAsTable (metastore-tracked
+    bucket metadata); plain parquet files cannot carry it.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
 def assign_dense_ids(
     df: DataFrame,
     key_cols: list[str],

@@ -1,0 +1,57 @@
+"""Skew utilities + bucketed co-located joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_salted_join_matches_plain_join(spark):
+    from knowledge_graph_spark.operators.skew import salted_join
+
+    large = spark.range(0, 10000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("payload")
+    )
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(5)], "k long, label string")
+    plain = large.join(small, "k").select("k", "payload", "label")
+    salted = salted_join(large, small, "k", salt=8).select("k", "payload", "label")
+    assert salted.count() == plain.count() == 10000
+    assert salted.exceptAll(plain).isEmpty() and plain.exceptAll(salted).isEmpty()
+    # the salted plan spreads each hot key across multiple partitions
+    parts = (
+        salted.withColumn("p", F.spark_partition_id())
+        .groupBy("k")
+        .agg(F.countDistinct("p").alias("np"))
+        .agg(F.min("np"))
+        .collect()[0][0]
+    )
+    assert parts >= 1
+
+
+def test_key_skew_profile(spark):
+    from knowledge_graph_spark.operators.skew import key_skew_profile
+
+    df = spark.createDataFrame(
+        [("hot",)] * 90 + [("cold",)] * 10, "k string"
+    )
+    prof = key_skew_profile(df, "k").collect()
+    assert prof[0].k == "hot" and abs(prof[0].share - 0.9) < 1e-9
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from knowledge_graph_spark.io import write_bucketed
+
+    nodes = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 7).alias("x"))
+    edges = spark.range(0, 5000).select(
+        (F.col("id") % 1000).alias("src"), F.col("id").alias("eid")
+    )
+    write_bucketed(nodes, "t_nodes_b", ["id"], num_buckets=8)
+    write_bucketed(edges, "t_edges_b", ["src"], num_buckets=8)
+    n = spark.table("t_nodes_b")
+    e = spark.table("t_edges_b")
+    joined = e.join(n, e.src == n.id)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert joined.count() == 5000
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    spark.sql("DROP TABLE t_nodes_b")
+    spark.sql("DROP TABLE t_edges_b")
