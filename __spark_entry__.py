@@ -320,6 +320,17 @@ def _q_token_counts(spark, sf_dir):
     return T.token_counts(read_table(spark, sf_dir, "documents"))
 
 
+_QUERY_TERMS = ["spark", "join", "stream"]
+
+
+def _q_tf_idf(spark, sf_dir):
+    return T.tf_idf(read_table(spark, sf_dir, "documents"), _QUERY_TERMS)
+
+
+def _q_bm25(spark, sf_dir):
+    return T.bm25(read_table(spark, sf_dir, "documents"), _QUERY_TERMS)
+
+
 def _q_cosine_topk(spark, sf_dir):
     return SIM.cosine_topk(read_table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
 
@@ -467,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "token_counts": _q_token_counts,
+        "tf_idf": _q_tf_idf,
+        "bm25": _q_bm25,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_buckets": _q_simhash_buckets,
         "hyperplane_lsh_ann": _q_hyperplane_lsh_ann,
@@ -576,6 +589,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": SIM.COSINE_TOPK_SQL.format(k=10),
         "embedding_near_dup": SIM.EMBEDDING_NEAR_DUP_SQL.format(threshold=0.35),
         "token_counts": T.TOKEN_COUNTS_SQL.format(rx=T.TOKEN_REGEX),
+        "tf_idf": T.TF_IDF_SQL.format(terms="'spark', 'join', 'stream'"),
+        "bm25": T.BM25_SQL.format(terms="'spark', 'join', 'stream'", k1=1.2, b=0.75),
         "dir_tree_closure": o(
             DIR_TREE_CLOSURE_SQL, extra_ctes=DIR_TREE_CLOSURE_CTE, recursive=True
         ),

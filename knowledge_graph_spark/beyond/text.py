@@ -164,3 +164,109 @@ SELECT doc_id,
   len(list_filter(regexp_extract_all(text, '{rx}'), t -> regexp_matches(t, '^[0-9]+$'))) AS n_number_tokens
 FROM documents ORDER BY doc_id
 """
+
+
+def tf_idf(docs: DataFrame, terms: list[str]) -> DataFrame:
+    """TF-IDF scores for the given terms across the corpus.
+
+    Explode→aggregate inverted-index shape (term df's are the tiny side);
+    idf = ln((N+1)/(df+1)) + 1 (smoothed). Scores rounded to 6dp — log/exp
+    come from each engine's libm, identical to well past 6 significant
+    decimals for these magnitudes.
+    """
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(df_.withColumn("idf", idf).select("term", "idf"), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.col("idf"), 6).alias("tf_idf"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+TF_IDF_SQL = """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+  WHERE term IN ({terms})
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, count(*) AS df,
+         ln(((SELECT count(*) FROM documents) + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+  FROM tf GROUP BY term
+)
+SELECT tf.doc_id, tf.term, tf.tf, round(tf.tf * dfreq.idf, 6) AS tf_idf
+FROM tf JOIN dfreq ON tf.term = dfreq.term
+ORDER BY tf.doc_id, tf.term
+"""
+
+
+def bm25(docs: DataFrame, terms: list[str], k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 relevance of every matching document for a bag-of-words query —
+    the retrieval scorer a training-data curation pipeline uses for
+    quality-targeted sampling."""
+    n_docs = docs.count()
+    with_len = docs.withColumn("dl", F.size(F.split("text", " ")))
+    avgdl = with_len.agg(F.avg("dl")).collect()[0][0]
+    toks = with_len.select(
+        "doc_id", "dl", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = F.col("idf") * (
+        F.col("tf") * (k1 + 1)
+    ) / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
+    return (
+        tf.join(df_.withColumn("idf", idf).select("term", "idf"), "term")
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+        .orderBy("doc_id")
+    )
+
+
+BM25_SQL = """
+WITH dl AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM dl) t
+  WHERE term IN ({terms})
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id,
+  round(SUM(
+    ln(((SELECT n FROM stats) - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+    * (tf.tf * ({k1} + 1))
+    / (tf.tf + {k1} * (1 - {b} + {b} * tf.dl / (SELECT avgdl FROM stats)))
+  ), 6) AS bm25
+FROM tf JOIN dfreq ON tf.term = dfreq.term
+GROUP BY tf.doc_id
+ORDER BY tf.doc_id
+"""

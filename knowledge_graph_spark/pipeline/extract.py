@@ -85,6 +85,32 @@ _TS_DEF = re.compile(
 _TS_IMPORT = re.compile(
     r"^\s*import\s+(?:([\w$]+)\s*,?\s*)?(?:\{([^}]*)\}\s*)?from\s+['\"]([^'\"]+)['\"]"
 )
+# Brace-language analyzers (Java/Kotlin/C#/Rust): type + member declarations.
+# Same contract as the tree-sitter analyzers they stand in for
+# (parsing/processor.rs:195-204 lists the 7 supported languages).
+_JAVA_TYPE = re.compile(
+    r"^(\s*)(?:public\s+|private\s+|protected\s+|static\s+|final\s+|abstract\s+|sealed\s+)*"
+    r"(class|interface|enum|record)\s+([A-Za-z_$][\w$]*)"
+)
+_JAVA_METHOD = re.compile(
+    r"^(\s*)(?:public\s+|private\s+|protected\s+|static\s+|final\s+|abstract\s+|synchronized\s+)+"
+    r"[\w<>\[\],\s]+\s+([a-z][\w$]*)\s*\("
+)
+_JAVA_IMPORT = re.compile(r"^\s*import\s+(?:static\s+)?([\w.]+?)(?:\.\*)?\s*;")
+_KT_DEF = re.compile(
+    r"^(\s*)(?:data\s+|open\s+|sealed\s+|abstract\s+|final\s+|private\s+|public\s+|internal\s+|suspend\s+)*"
+    r"(class|interface|object|fun)\s+([A-Za-z_][\w]*)"
+)
+_KT_IMPORT = re.compile(r"^\s*import\s+([\w.]+)")
+_CS_TYPE = re.compile(
+    r"^(\s*)(?:public\s+|private\s+|protected\s+|internal\s+|static\s+|sealed\s+|abstract\s+|partial\s+)*"
+    r"(class|interface|struct|enum|record)\s+([A-Za-z_][\w]*)"
+)
+_CS_IMPORT = re.compile(r"^\s*using\s+(?:static\s+)?([\w.]+)\s*;")
+_RS_DEF = re.compile(
+    r"^(\s*)(?:pub(?:\([\w:]+\))?\s+)?(?:async\s+)?(?:unsafe\s+)?(fn|struct|enum|trait|mod)\s+([A-Za-z_][\w]*)"
+)
+_RS_IMPORT = re.compile(r"^\s*(?:pub\s+)?use\s+([\w:]+)")
 _CALL = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)\s*\(")
 _KEYWORDS = {
     "if", "for", "while", "return", "def", "class", "function", "switch", "catch",
@@ -92,16 +118,57 @@ _KEYWORDS = {
 }
 
 
+_KIND_BY_KEYWORD = {
+    "method": "Method",
+    "class": "Class",
+    "record": "Class",
+    "struct": "Class",
+    "enum": "Class",
+    "module": "Module",
+    "object": "Module",
+    "mod": "Module",
+    "interface": "Interface",
+    "trait": "Interface",
+}
+
+
 def _kind_name(language: str, keyword: str, name: str) -> str:
-    if keyword == "class":
-        return "Class"
-    if keyword == "module":
-        return "Module"
-    if keyword == "interface":
-        return "Interface"
-    if language == "Python" or language == "Ruby":
+    mapped = _KIND_BY_KEYWORD.get(keyword)
+    if mapped:
+        return mapped
+    if language in ("Python", "Ruby"):
         return "Method"
     return "Function"
+
+
+def _match_def(language: str, line: str):
+    """(indent, keyword, name) of a definition on this line, else None."""
+    if language == "Java":
+        m = _JAVA_TYPE.match(line)
+        if m:
+            return len(m.group(1)), m.group(2), m.group(3)
+        m = _JAVA_METHOD.match(line)
+        if m:
+            return len(m.group(1)), "method", m.group(2)
+        return None
+    if language == "Kotlin":
+        m = _KT_DEF.match(line)
+        return (len(m.group(1)), m.group(2), m.group(3)) if m else None
+    if language == "CSharp":
+        m = _CS_TYPE.match(line)
+        return (len(m.group(1)), m.group(2), m.group(3)) if m else None
+    if language == "Rust":
+        m = _RS_DEF.match(line)
+        return (len(m.group(1)), m.group(2), m.group(3)) if m else None
+    return None
+
+
+_BRACE_IMPORTS = {
+    "Java": (_JAVA_IMPORT, "."),
+    "Kotlin": (_KT_IMPORT, "."),
+    "CSharp": (_CS_IMPORT, "."),
+    "Rust": (_RS_IMPORT, "::"),
+}
 
 
 def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
@@ -111,20 +178,25 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
         "Ruby": (_RB_DEF, _RB_IMPORT),
         "TypeScript": (_TS_DEF, _TS_IMPORT),
     }.get(language, (None, None))
-    if def_re is None:
+    brace = _BRACE_IMPORTS.get(language)
+    if def_re is None and brace is None:
         return
     stack: list[tuple[int, str]] = []  # (indent, name)
     byte_off = 0
     for ln, line in enumerate(text.split("\n")):
         line_bytes = len(line.encode("utf-8", "replace")) + 1
-        m = def_re.match(line)
-        if m:
-            indent = len(m.group(1))
-            kw, name = m.group(2), m.group(3)
+        if def_re is not None:
+            m = def_re.match(line)
+            hit = (len(m.group(1)), m.group(2), m.group(3)) if m else None
+        else:
+            hit = _match_def(language, line)
+            m = hit
+        if hit:
+            indent, kw, name = hit
             while stack and stack[-1][0] >= indent:
                 stack.pop()
             parent = ".".join(n for _, n in stack) or None
-            col = m.start(3)
+            col = m.start(3) if hasattr(m, "start") else max(line.find(name), 0)
             yield (
                 path, language, "definition", name, parent,
                 _kind_name(language, kw, name), None, None,
@@ -132,6 +204,25 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                 byte_off + col, byte_off + col + len(name),
             )
             stack.append((indent, name))
+        elif brace is not None:
+            bim = brace[0].match(line)
+            if bim:
+                base = bim.group(1)
+                yield (
+                    path, language, "import", base.split(brace[1])[-1], None, None,
+                    base, None, ln, ln, 0, len(line), byte_off, byte_off + len(line),
+                )
+            else:
+                enclosing = ".".join(n for _, n in stack) or None
+                for cm in _CALL.finditer(line):
+                    callee = cm.group(1)
+                    if callee in _KEYWORDS:
+                        continue
+                    yield (
+                        path, language, "call", callee, enclosing, None, None, None,
+                        ln, ln, cm.start(1), cm.start(1) + len(callee),
+                        byte_off + cm.start(1), byte_off + cm.start(1) + len(callee),
+                    )
         else:
             im = imp_re.match(line)
             if im:

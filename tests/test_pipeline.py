@@ -55,6 +55,50 @@ export function formatName(n) {
   return n
 }
 ''',
+    "jvm/Service.java": '''
+import java.util.List;
+
+public class Service {
+    private final List<String> names;
+
+    public void syncAll() {
+        helper();
+    }
+
+    public static int helper() {
+        return 1;
+    }
+}
+''',
+    "jvm/Model.kt": '''
+import kotlin.collections.Map
+
+data class Model(val id: Int)
+
+object Registry {
+    fun register() {
+    }
+}
+''',
+    "dotnet/Handler.cs": '''
+using System.Text;
+
+public sealed class Handler {
+    public interface IRunner {
+    }
+}
+''',
+    "native/lib.rs": '''
+use std::collections::HashMap;
+
+pub struct Engine;
+
+pub trait Runner {
+}
+
+pub fn run_engine() {
+}
+''',
 }
 
 
@@ -79,9 +123,9 @@ def indexed(spark, repo_dir, tmp_path_factory):
 
 def test_file_and_directory_counts(indexed):
     kg, stats = indexed
-    assert stats.total_files == 5
+    assert stats.total_files == 9
     dirs = {r.path for r in kg.directories.collect()}
-    assert dirs == {"app", "app/models", "app/utils", "app/services", "web"}
+    assert dirs == {"app", "app/models", "app/utils", "app/services", "web", "jvm", "dotnet", "native"}
 
 
 def test_definitions_and_fqns(indexed):
@@ -93,6 +137,11 @@ def test_definitions_and_fqns(indexed):
     assert "app.models.user.validate" in fqns  # top-level shadow
     assert "app.services.user_service.UserService.Syncer.sync_users" in fqns
     assert "web.main.main" in fqns
+    assert "jvm.Service.Service.syncAll" in fqns
+    assert "jvm.Service.Service.helper" in fqns
+    assert "jvm.Model.Registry.register" in fqns
+    assert "dotnet.Handler.Handler.IRunner" in fqns
+    assert "native.lib.Engine" in fqns and "native.lib.run_engine" in fqns
     types = dict(
         kg.definitions.groupBy("definition_type").count().collect()
     )
@@ -169,4 +218,4 @@ def test_stats(indexed):
     _, stats = indexed
     assert stats.total_definitions >= 9
     assert stats.files_per_second > 0
-    assert set(stats.per_language) == {"Python", "Ruby", "TypeScript"}
+    assert set(stats.per_language) == {"Python", "Ruby", "TypeScript", "Java", "Kotlin", "CSharp", "Rust"}
