@@ -216,3 +216,80 @@ FROM sums
 WHERE dot / (sqrt(na2) * sqrt(nb2)) >= {threshold}
 ORDER BY vec_a, vec_b
 """
+
+
+def ivf_ann(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means-lite centroids partition the corpus;
+    a query scores only the ``n_probe`` nearest cells, re-ranked exactly.
+
+    Centroid seeding is deterministic (the first ``n_centroids`` vectors by
+    vec_id) followed by ``lloyd_iters`` Lloyd rounds computed as DataFrame
+    aggregations (component-wise means via posexplode + groupBy). At 100 TB
+    the cell assignment is a write-time partition column; queries touch
+    n_probe/n_centroids of the data.
+    """
+    spark = emb.sparkSession
+    dim = len(query_vec)
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("vec")
+    )
+
+    cents = [
+        (i, [float(x) for x in r["vec"]])
+        for i, r in enumerate(e.orderBy("vec_id").limit(n_centroids).collect())
+    ]
+
+    def assign(df, cent_rows):
+        carr = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("cid"),
+                    F.array(*[F.lit(x) for x in vec]).alias("cv"),
+                )
+                for cid, vec in cent_rows
+            ]
+        )
+        dist = lambda cv: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("vec"), cv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        scored = df.withColumn(
+            "cid",
+            F.array_min(
+                F.transform(
+                    carr, lambda c: F.struct(dist(c["cv"]).alias("d"), c["cid"].alias("cid"))
+                )
+            )["cid"],
+        )
+        return scored
+
+    for _ in range(lloyd_iters):
+        assigned = assign(e, cents)
+        means = (
+            assigned.select("cid", F.posexplode("vec").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms"))
+            .select("cid", F.transform("ms", lambda s: s["m"]).alias("cv"))
+            .collect()
+        )
+        cents = [(r["cid"], [float(x) for x in r["cv"]]) for r in means]
+
+    # nearest n_probe centroids to the query (driver-side: n_centroids tiny)
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe_ids = [cid for cid, cv in sorted(cents, key=lambda c: d2(c[1], query_vec))[:n_probe]]
+    assigned = assign(e, cents)
+    cand_ids = assigned.filter(F.col("cid").isin(probe_ids)).select("vec_id")
+    cands = emb.join(cand_ids, "vec_id", "left_semi")
+    return cosine_topk(cands, query_vec, k)
