@@ -148,6 +148,9 @@ def connected_components(kg: KnowledgeGraph, max_iter: int = 20) -> DataFrame:
         .unionByName(edges.select(F.col("b").alias("node")))
         .distinct()
     )
+    # label = xxhash64(own key) initially, so every label VALUE is some
+    # node's hash — that makes pointer jumping (label := label(label))
+    # expressible as a join against the nodes' own hashes
     labels = nodes.withColumn("label", F.xxhash64("node")).cache()
     for _ in range(max_iter):
         neighbor_min = (
@@ -155,19 +158,29 @@ def connected_components(kg: KnowledgeGraph, max_iter: int = 20) -> DataFrame:
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
-        # carry a changed flag through the update so convergence is a cheap
-        # scan of the checkpointed result, not a second full join
+        cand = labels.join(neighbor_min, labels.node == neighbor_min.a, "left_outer").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                "label"
+            ),
+            F.col("label").alias("_old"),
+        )
+        # pointer jumping: adopt the label of the node whose hash we hold —
+        # collapses chains in O(log diameter) rounds instead of O(diameter)
+        by_hash = labels.select(
+            F.xxhash64("node").alias("nh"), F.col("label").alias("hop_label")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left_outer")
+            cand.join(by_hash, cand.label == by_hash.nh, "left_outer")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("hop_label"), F.col("label"))
                 ).alias("label"),
-                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
-                    "_changed"
-                ),
+                "_old",
             )
+            .withColumn("_changed", F.col("label") < F.col("_old"))
+            .drop("_old")
             .localCheckpoint(eager=True)
         )
         converged = new_labels.filter(F.col("_changed")).isEmpty()
