@@ -51,6 +51,9 @@ _GRAPH_CACHE: dict = {}
 
 
 def _graph(spark: SparkSession, sf_dir: str):
+    from knowledge_graph_spark.io import ensure_session_confs
+
+    ensure_session_confs(spark)
     key = (id(spark), sf_dir)
     if key not in _GRAPH_CACHE:
         # cache(): the driver runs ~40 graph queries back-to-back in one

@@ -38,7 +38,27 @@ TPCH_TABLES = (
 )
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs the engine depends on, applied defensively — the driver
+    may hand us a vanilla session (no session.py builder): TIMESTAMP(NANOS)
+    parquet reads need nanosAsLong, and timestamp window semantics must be
+    UTC to agree with the (timezone-naive) DuckDB oracle."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # a vanilla session defaults to 200 shuffle partitions — severe
+        # overhead at test scale; AQE coalescing makes 32 safe at any scale
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        from knowledge_graph_spark.session import default_parallelism
+
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    except Exception:
+        pass  # static-conf rejection: session.py already set them at build
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # TIMESTAMP(NANOS) columns arrive as epoch-nanos longs (see session.py);
     # convert back to timestamps with integer division — a double division
