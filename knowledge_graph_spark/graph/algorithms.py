@@ -131,67 +131,105 @@ def reachable_from(
     return seen.orderBy("hops", "t", "id")
 
 
-def connected_components(kg: KnowledgeGraph, max_iter: int = 20) -> DataFrame:
-    """Undirected connected components by min-label propagation to fixpoint.
+def connected_components(kg: KnowledgeGraph, max_iter: int = 30) -> DataFrame:
+    """Undirected connected components by randomized contraction.
 
-    Labels are (table, id) keys hashed to a stable long; each round every
-    node adopts the min label in its closed neighborhood; stop when no label
-    changes. O(diameter) rounds — the small/large-star optimization drops in
-    here if diameters grow at scale.
+    Each round, every node merges into ``least(self, min(neighbors))`` and the
+    edge list is REWRITTEN onto the merged labels — so the graph shrinks
+    geometrically and only round 1 touches the full edge set (min-label
+    propagation, by contrast, re-joins the full edge list every round).
+    Node keys are xxhash64 longs, which (a) keeps shuffles narrow and
+    (b) randomizes the key order relative to the topology, so min-merge
+    behaves like random-mate contraction: O(log n) rounds w.h.p. even on
+    paths, where an ordered-id min-merge degenerates to O(n).
+
+    The per-round merge maps are retained (they shrink with the graph) and
+    composed at the end in a single plan — one shuffled join for the round-1
+    map, broadcast joins for the tail.
     """
-    edges = _edges_both_directions(kg).select(
-        F.concat_ws("#", "src_t", "src").alias("a"),
-        F.concat_ws("#", "dst_t", "dst").alias("b"),
-    ).cache()
-    nodes = (
-        edges.select(F.col("a").alias("node"))
-        .unionByName(edges.select(F.col("b").alias("node")))
-        .distinct()
-    )
-    # label = xxhash64(own key) initially, so every label VALUE is some
-    # node's hash — that makes pointer jumping (label := label(label))
-    # expressible as a join against the nodes' own hashes
-    labels = nodes.withColumn("label", F.xxhash64("node")).cache()
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("label").alias("nmin"))
-        )
-        cand = labels.join(neighbor_min, labels.node == neighbor_min.a, "left_outer").select(
-            "node",
-            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                "label"
-            ),
-            F.col("label").alias("_old"),
-        )
-        # pointer jumping: adopt the label of the node whose hash we hold —
-        # collapses chains in O(log diameter) rounds instead of O(diameter)
-        by_hash = labels.select(
-            F.xxhash64("node").alias("nh"), F.col("label").alias("hop_label")
-        )
-        new_labels = (
-            cand.join(by_hash, cand.label == by_hash.nh, "left_outer")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("hop_label"), F.col("label"))
-                ).alias("label"),
-                "_old",
+    parts = []
+    for df in kg.edges.values():
+        ha = F.xxhash64(F.concat_ws("#", "source_table", "source_id"))
+        hb = F.xxhash64(F.concat_ws("#", "target_table", "target_id"))
+        parts.append(
+            df.select(
+                F.col("source_table").alias("t"),
+                F.col("source_id").alias("id"),
+                ha.alias("a"),
+                hb.alias("b"),
             )
-            .withColumn("_changed", F.col("label") < F.col("_old"))
-            .drop("_old")
+        )
+        parts.append(
+            df.select(
+                F.col("target_table").alias("t"),
+                F.col("target_id").alias("id"),
+                hb.alias("a"),
+                ha.alias("b"),
+            )
+        )
+    und = parts[0]
+    for p in parts[1:]:
+        und = und.unionByName(p)
+    # one pass of string hashing, cached; everything round 0 needs is a
+    # projection of this (no distinct — groupBy-min ignores duplicates, and a
+    # distinct is a full extra shuffle of the widest dataset here)
+    und = und.cache()
+
+    # round 0 fused with the node dictionary: ONE shuffle of the full edge
+    # list yields both (t, id, key) per node AND its round-0 merge target
+    # (every endpoint appears as `a` because both directions were emitted)
+    out0 = (
+        und.groupBy("t", "id", "a")
+        .agg(F.min("b").alias("mb"))
+        .select("t", "id", F.col("a").alias("u"), F.least("a", "mb").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+
+    # a merge map of ≤ ~50M rows (two longs ≈ 16B/row) broadcasts fine; past
+    # that, fall back to shuffle joins (the 100 TB path)
+    broadcast_rows = 50_000_000
+
+    edges = und.filter(F.col("a") != F.col("b")).select("a", "b")
+    m = out0.select("u", "lab")
+    m_small = m.count() <= broadcast_rows  # free: out0 is checkpointed
+    merge_maps: list = []
+    for _ in range(max_iter):
+        la = m.select(F.col("u").alias("a"), F.col("lab").alias("la"))
+        lb = m.select(F.col("u").alias("b"), F.col("lab").alias("lb"))
+        if m_small:
+            la, lb = F.broadcast(la), F.broadcast(lb)
+        nxt = (
+            edges.join(la, "a")
+            .join(lb, "b")
+            .filter(F.col("la") != F.col("lb"))
+            .select(F.col("la").alias("a"), F.col("lb").alias("b"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        converged = new_labels.filter(F.col("_changed")).isEmpty()
-        labels.unpersist()
-        labels = new_labels.drop("_changed").cache()
-        if converged:
+        edges = nxt
+        if edges.isEmpty():
             break
-    return labels.select(
-        F.split("node", "#")[0].alias("node_table"),
-        F.split("node", "#")[1].cast("long").alias("node_id"),
-        F.col("label").alias("component"),
+        # merge target = min over the CLOSED neighborhood (self via least)
+        m = (
+            edges.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select(F.col("a").alias("u"), F.least("a", "mb").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        m_small = m.count() <= broadcast_rows
+        merge_maps.append((m, m_small))
+
+    und.unpersist()
+    out = out0.select("t", "id", F.col("lab").alias("component"))
+    for m, small in merge_maps:
+        mm = m.withColumnsRenamed({"u": "component", "lab": "_nl"})
+        if small:
+            mm = F.broadcast(mm)
+        out = out.join(mm, "component", "left_outer").select(
+            "t", "id", F.coalesce(F.col("_nl"), F.col("component")).alias("component")
+        )
+    return out.select(
+        F.col("t").alias("node_table"), F.col("id").alias("node_id"), "component"
     )
 
 
@@ -199,65 +237,97 @@ def pagerank(
     kg: KnowledgeGraph, iterations: int = 10, damping: float = 0.85
 ) -> DataFrame:
     """PageRank over the directed graph — importance ranking for repo maps
-    (files/definitions that everything references float to the top)."""
-    parts = []
+    (files/definitions that everything references float to the top).
+
+    Node keys are xxhash64 longs (narrow shuffles); the adjacency is
+    pre-weighted with 1/out-degree and cached ONCE, so each iteration is a
+    single job: when the rank vector is small enough it is broadcast against
+    the cached adjacency (no edge shuffle at all — only the groupBy(dst)),
+    and the dangling-mass scalar is folded into the same plan via a 1-row
+    crossJoin instead of a per-iteration driver collect. Past ~50M nodes the
+    joins fall back to shuffles (the 100 TB path)."""
+    e = None
     for df in kg.edges.values():
-        parts.append(
-            df.select(
-                F.concat_ws("#", "source_table", "source_id").alias("src"),
-                F.concat_ws("#", "target_table", "target_id").alias("dst"),
-            )
+        p = df.select(
+            F.col("source_table").alias("st"),
+            F.col("source_id").alias("si"),
+            F.col("target_table").alias("dt"),
+            F.col("target_id").alias("di"),
         )
-    edges = parts[0]
-    for p in parts[1:]:
-        edges = edges.unionByName(p)
-    edges = edges.distinct().cache()
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
+        e = p if e is None else e.unionByName(p)
+    e = e.select(
+        F.xxhash64(F.concat_ws("#", "st", "si")).alias("src"),
+        F.xxhash64(F.concat_ws("#", "dt", "di")).alias("dst"),
+    )
+    # node inventory straight from the node tables — a narrow union scan, not
+    # a distinct over the (much larger) edge-endpoint multiset
+    nodes = None
+    for t, df in kg.nodes.items():
+        p = df.select(
+            F.lit(t).alias("t"),
+            F.col("id"),
+            F.xxhash64(F.concat_ws("#", F.lit(t), "id")).alias("key"),
+        )
+        nodes = p if nodes is None else nodes.unionByName(p)
+    # the synthetic corpus can carry duplicate (table, id) rows; a duplicated
+    # key would double-count its contribution through every broadcast join
+    nodes = nodes.dropDuplicates(["key"]).localCheckpoint(eager=True)
+    n = nodes.count()
+    small = n <= 50_000_000
+
+    adj = e.distinct()
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if small:
+        deg = F.broadcast(deg)
+    # pre-partition by dst: each iteration's broadcast-join(src) preserves
+    # this, so the groupBy(dst) below needs NO exchange — iterations are
+    # shuffle-free (adj cache scan + broadcasts + checkpoint write)
+    adj = (
+        adj.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .repartition(F.col("dst"))
         .cache()
     )
-    n = nodes.count()
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
-    # dangling nodes (no out-edges) leak rank mass — redistribute uniformly,
-    # else Σrank decays below 1 each round. The node SET is static: compute
-    # it once; only its rank mass changes per iteration.
-    dangling_nodes = nodes.join(
-        out_deg, nodes.node == out_deg.src, "left_anti"
-    ).cache()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    adj.count()
+
+    keys = nodes.select("key")
+    dangling = keys.join(adj.select("src"), keys.key == adj.src, "left_anti").localCheckpoint(
+        eager=True
+    )
+    if small:
+        dangling = F.broadcast(dangling)
+    ranks = keys.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for _ in range(iterations):
-        dangling = (
-            ranks.join(dangling_nodes, "node", "left_semi")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
-        )
+        r = ranks.withColumnsRenamed({"key": "k", "rank": "rk"})
+        if small:
+            r = F.broadcast(r)
         contribs = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(out_deg, "src")
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("csum"))
+            adj.join(r, adj.src == r.k)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rk") * F.col("w")).alias("csum"))
         )
+        if small:
+            contribs = F.broadcast(contribs)
+        dmass = ranks.join(dangling, "key", "left_semi").agg(F.sum("rank").alias("dm"))
         ranks = (
-            nodes.join(contribs, "node", "left_outer")
+            keys.join(contribs, keys.key == contribs.dst, "left_outer")
+            .crossJoin(dmass)
             .select(
-                "node",
+                "key",
                 (
                     F.lit((1 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("csum"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("csum"), F.lit(0.0))
+                        + F.coalesce(F.col("dm"), F.lit(0.0)) / n
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
-    edges.unpersist()
-    return ranks.select(
-        F.split("node", "#")[0].alias("node_table"),
-        F.split("node", "#")[1].cast("long").alias("node_id"),
-        "rank",
+    adj.unpersist()
+    return nodes.join(ranks, "key").select(
+        F.col("t").alias("node_table"), F.col("id").alias("node_id"), "rank"
     ).orderBy(F.desc("rank"), "node_table", "node_id")
 
 
