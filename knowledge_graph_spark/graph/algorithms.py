@@ -24,6 +24,33 @@ from pyspark.sql import functions as F
 from knowledge_graph_spark.graph.model import KnowledgeGraph
 
 
+def _persistent_rdd_ids(spark) -> set:
+    """Ids of every RDD currently persisted in the JVM (caches + local
+    checkpoints). Iterative algorithms snapshot this before running and
+    release what they added — in a long-lived session (service daemon, bench
+    loop) leaked checkpoint blocks otherwise accumulate until the block
+    manager starts evicting, and repeat calls degrade 2×."""
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def _release_persisted_since(spark, before: set, keep: set) -> None:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in set(jmap.keySet().toArray()) - before - keep:
+        rdd = jmap.get(rid)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
+def _checkpoint_and_release(spark, before: set, result: DataFrame) -> DataFrame:
+    """Materialize `result` to its own checkpoint, then drop every block this
+    algorithm pinned along the way (the caller only ever needs the result)."""
+    pre_final = _persistent_rdd_ids(spark)
+    out = result.localCheckpoint(eager=True)
+    keep = _persistent_rdd_ids(spark) - pre_final
+    _release_persisted_since(spark, before, keep)
+    return out
+
+
 def _edges_both_directions(kg: KnowledgeGraph) -> DataFrame:
     """Undirected view over every edge table, nodes keyed (table, id)."""
     parts = []
@@ -54,6 +81,7 @@ def k_hop_neighbors(
 ) -> DataFrame:
     """All nodes within k undirected hops (G1 generalized). Returns
     (node_table, node_id, hops) with minimal hop count."""
+    before = _persistent_rdd_ids(kg.spark)
     edges = _edges_both_directions(kg).cache()
     frontier = kg.spark.createDataFrame(
         [(node_table, node_id, 0)], "t string, id long, hops int"
@@ -79,7 +107,7 @@ def k_hop_neighbors(
         seen = seen.unionByName(nxt).cache()
         frontier = nxt
     edges.unpersist()
-    return seen.orderBy("hops", "t", "id")
+    return _checkpoint_and_release(kg.spark, before, seen.orderBy("hops", "t", "id"))
 
 
 def reachable_from(
@@ -91,6 +119,7 @@ def reachable_from(
 ) -> DataFrame:
     """Directed transitive closure from one node (call-graph closure when
     edge_types = CALLS family — the multi-hop G4)."""
+    before = _persistent_rdd_ids(kg.spark)
     parts = []
     for df in kg.edges.values():
         e = df
@@ -128,7 +157,7 @@ def reachable_from(
         seen = seen.unionByName(nxt).cache()
         frontier = nxt
     edges.unpersist()
-    return seen.orderBy("hops", "t", "id")
+    return _checkpoint_and_release(kg.spark, before, seen.orderBy("hops", "t", "id"))
 
 
 def connected_components(kg: KnowledgeGraph, max_iter: int = 30) -> DataFrame:
@@ -147,6 +176,7 @@ def connected_components(kg: KnowledgeGraph, max_iter: int = 30) -> DataFrame:
     composed at the end in a single plan — one shuffled join for the round-1
     map, broadcast joins for the tail.
     """
+    before = _persistent_rdd_ids(kg.spark)
     parts = []
     for df in kg.edges.values():
         ha = F.xxhash64(F.concat_ws("#", "source_table", "source_id"))
@@ -172,8 +202,11 @@ def connected_components(kg: KnowledgeGraph, max_iter: int = 30) -> DataFrame:
         und = und.unionByName(p)
     # one pass of string hashing, cached; everything round 0 needs is a
     # projection of this (no distinct — groupBy-min ignores duplicates, and a
-    # distinct is a full extra shuffle of the widest dataset here)
-    und = und.cache()
+    # distinct is a full extra shuffle of the widest dataset here). Coalesced
+    # to the cluster's parallelism: the raw union inherits one partition per
+    # upstream cache block (hundreds of tiny tasks locally) while each
+    # downstream pass over it is a full scan anyway.
+    und = und.coalesce(kg.spark.sparkContext.defaultParallelism).cache()
 
     # round 0 fused with the node dictionary: ONE shuffle of the full edge
     # list yields both (t, id, key) per node AND its round-0 merge target
@@ -228,9 +261,10 @@ def connected_components(kg: KnowledgeGraph, max_iter: int = 30) -> DataFrame:
         out = out.join(mm, "component", "left_outer").select(
             "t", "id", F.coalesce(F.col("_nl"), F.col("component")).alias("component")
         )
-    return out.select(
+    out = out.select(
         F.col("t").alias("node_table"), F.col("id").alias("node_id"), "component"
     )
+    return _checkpoint_and_release(kg.spark, before, out)
 
 
 def pagerank(
@@ -240,12 +274,17 @@ def pagerank(
     (files/definitions that everything references float to the top).
 
     Node keys are xxhash64 longs (narrow shuffles); the adjacency is
-    pre-weighted with 1/out-degree and cached ONCE, so each iteration is a
-    single job: when the rank vector is small enough it is broadcast against
-    the cached adjacency (no edge shuffle at all — only the groupBy(dst)),
-    and the dangling-mass scalar is folded into the same plan via a 1-row
-    crossJoin instead of a per-iteration driver collect. Past ~50M nodes the
-    joins fall back to shuffles (the 100 TB path)."""
+    pre-weighted with 1/out-degree, hash-partitioned on src, and cached ONCE.
+    Each iteration shuffles only the rank vector (2 longs + a double per
+    node): rank⋈adj reuses adj's partitioning, then one groupBy(dst) and one
+    join back to the node keys — the same plan shape that runs at 100 TB,
+    where the rank vector is far past any broadcast threshold. The
+    dangling-mass scalar folds into the update via a 1-row crossJoin instead
+    of a per-iteration driver collect, and each iteration ends in an eager
+    checkpoint so lineage stays flat. Driver-side broadcast builds are
+    deliberately avoided: they re-execute the rank subplan per broadcast and
+    degrade in long-lived sessions."""
+    before = _persistent_rdd_ids(kg.spark)
     e = None
     for df in kg.edges.values():
         p = df.select(
@@ -258,7 +297,7 @@ def pagerank(
     e = e.select(
         F.xxhash64(F.concat_ws("#", "st", "si")).alias("src"),
         F.xxhash64(F.concat_ws("#", "dt", "di")).alias("dst"),
-    )
+    ).coalesce(kg.spark.sparkContext.defaultParallelism)
     # node inventory straight from the node tables — a narrow union scan, not
     # a distinct over the (much larger) edge-endpoint multiset
     nodes = None
@@ -273,41 +312,33 @@ def pagerank(
     # key would double-count its contribution through every broadcast join
     nodes = nodes.dropDuplicates(["key"]).localCheckpoint(eager=True)
     n = nodes.count()
-    small = n <= 50_000_000
 
     adj = e.distinct()
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    if small:
-        deg = F.broadcast(deg)
-    # pre-partition by dst: each iteration's broadcast-join(src) preserves
-    # this, so the groupBy(dst) below needs NO exchange — iterations are
-    # shuffle-free (adj cache scan + broadcasts + checkpoint write)
+    # deg is a projection of adj's own groupBy — co-keyed on src, so this
+    # join plus the repartition below is one exchange of the edge list total
     adj = (
         adj.join(deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
-        .repartition(F.col("dst"))
+        .repartition(F.col("src"))
         .cache()
     )
     adj.count()
 
     keys = nodes.select("key")
+    # dangling nodes (no out-edges) leak rank mass — their summed rank is
+    # redistributed uniformly each round; the SET is static, computed once
     dangling = keys.join(adj.select("src"), keys.key == adj.src, "left_anti").localCheckpoint(
         eager=True
     )
-    if small:
-        dangling = F.broadcast(dangling)
     ranks = keys.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for _ in range(iterations):
         r = ranks.withColumnsRenamed({"key": "k", "rank": "rk"})
-        if small:
-            r = F.broadcast(r)
         contribs = (
             adj.join(r, adj.src == r.k)
             .groupBy("dst")
             .agg(F.sum(F.col("rk") * F.col("w")).alias("csum"))
         )
-        if small:
-            contribs = F.broadcast(contribs)
         dmass = ranks.join(dangling, "key", "left_semi").agg(F.sum("rank").alias("dm"))
         ranks = (
             keys.join(contribs, keys.key == contribs.dst, "left_outer")
@@ -326,9 +357,10 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     adj.unpersist()
-    return nodes.join(ranks, "key").select(
+    out = nodes.join(ranks, "key").select(
         F.col("t").alias("node_table"), F.col("id").alias("node_id"), "rank"
     ).orderBy(F.desc("rank"), "node_table", "node_id")
+    return _checkpoint_and_release(kg.spark, before, out)
 
 
 def resolve_import_chains(kg: KnowledgeGraph, max_depth: int = 10) -> DataFrame:
@@ -337,6 +369,7 @@ def resolve_import_chains(kg: KnowledgeGraph, max_depth: int = 10) -> DataFrame:
     the reference's recursive resolver (python/analyzer.rs:643-735,787-850:
     recursion + `visited` set per chain; here the anti-join against settled
     rows is the visited set, max_depth the recursion cap)."""
+    before = _persistent_rdd_ids(kg.spark)
     ir = kg.edges["imported_symbol_relationships"]
     imp_imp = ir.filter(F.col("type") == "IMPORTED_SYMBOL_TO_IMPORTED_SYMBOL").select(
         F.col("source_id").alias("src"), F.col("target_id").alias("dst")
@@ -385,7 +418,7 @@ def resolve_import_chains(kg: KnowledgeGraph, max_depth: int = 10) -> DataFrame:
         if state.isEmpty():
             break
     imp_imp.unpersist()
-    out = resolved.dropDuplicates(["origin"])
-    return out.select(
+    out = resolved.dropDuplicates(["origin"]).select(
         F.col("origin").alias("import_id"), "resolved_table", "resolved_id", "depth"
     ).orderBy("import_id")
+    return _checkpoint_and_release(kg.spark, before, out)
