@@ -39,18 +39,18 @@ def main() -> None:
     # Long-session hygiene: every RDD persisted after the graph build is a
     # query-local leftover (result checkpoints, loop caches). Release them
     # between queries or the block manager degrades measurably by query ~40.
-    from knowledge_graph_spark.graph.algorithms import (
-        _persistent_rdd_ids,
-        _release_persisted_since,
+    from knowledge_graph_spark.persist import (
+        persistent_rdd_ids,
+        release_persisted_since,
     )
 
-    protected = _persistent_rdd_ids(spark)
+    protected = persistent_rdd_ids(spark)
     qs = entrymod.queries()
     for name, fn in qs.items():
         t0 = time.time()
         fn(spark, SF_DIR).collect()
         timings[name] = round(time.time() - t0, 3)
-        _release_persisted_since(spark, protected, set())
+        release_persisted_since(spark, protected, set())
 
     total = round(sum(timings.values()), 3)
     m = re.search(r"sf([0-9.]+)", SF_DIR)

@@ -69,8 +69,16 @@ def ngram_jaccard_pairs(
     shingles per pair, then |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. This finds
     every qualifying pair exactly — MinHash/LSH below is the probabilistic
     shortcut whose candidates this operator re-verifies.
+
+    The shingle index feeds three subplans (sizes + both join sides), so it
+    is cached for the run and released with the final checkpoint — the
+    explode-and-slice is the expensive pass, not the join.
     """
-    sh = docs.select("doc_id", F.explode(_shingles(n)).alias("shingle"))
+    from knowledge_graph_spark.persist import checkpoint_and_release, persistent_rdd_ids
+
+    spark = docs.sparkSession
+    before = persistent_rdd_ids(spark)
+    sh = docs.select("doc_id", F.explode(_shingles(n)).alias("shingle")).cache()
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle")
@@ -88,7 +96,7 @@ def ngram_jaccard_pairs(
     jac = F.col("n_common").cast("double") / (
         F.col("size_a") + F.col("size_b") - F.col("n_common")
     )
-    return (
+    out = (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", F.round(jac, 6))
@@ -96,6 +104,7 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", "n_common", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+    return checkpoint_and_release(spark, before, out)
 
 
 NGRAM_JACCARD_PAIRS_SQL = """
@@ -147,6 +156,10 @@ def minhash_lsh_pairs(
     candidate set can miss borderline pairs; the exact re-verify joins back
     ``ngram_jaccard_pairs`` on candidates only at 100 TB.
     """
+    from knowledge_graph_spark.persist import checkpoint_and_release, persistent_rdd_ids
+
+    spark = docs.sparkSession
+    before = persistent_rdd_ids(spark)
     rows = num_hashes // bands
     sig = minhash_signatures(docs, n, num_hashes)
     hcols = [F.col(f"h{i}") for i in range(num_hashes)]
@@ -162,9 +175,11 @@ def minhash_lsh_pairs(
             ]
         )
     ).alias("bb")
+    # the banded signature table feeds BOTH sides of the self-join — cached,
+    # else the whole shingle→64-hash→band pipeline runs twice
     banded = sig.select("doc_id", "sig", band_cols).select(
         "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    ).cache()
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -187,12 +202,13 @@ def minhash_lsh_pairs(
         .cast("double")
         / F.lit(num_hashes)
     )
-    return (
+    out = (
         cand.withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
         .orderBy("doc_a", "doc_b")
     )
+    return checkpoint_and_release(spark, before, out)
 
 
 def simhash_buckets(docs: DataFrame, n: int = 3, bits: int = 64) -> DataFrame:

@@ -141,23 +141,56 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by ``block_col``.
 
-    Exact within blocks: explode components, self-join per (block, index),
-    decimal-exact dot/norm sums, filter cosine ≥ threshold. Blocking bounds
-    the pair space (cluster/label/LSH bucket at scale: O(Σ b²) not O(n²)).
+    Exact within blocks, vectorized: one ``applyInPandas`` group per block
+    computes the block's pairwise dot products in numpy (Arrow batch in, BLAS
+    throughput inside), so the JVM never materializes the O(b²) pair rows —
+    only the ≥-threshold survivors come back. Blocking bounds the pair space
+    (cluster/label/LSH bucket at scale: O(Σ b²) not O(n²)); a block must fit
+    one executor's memory, which is the standard IVF/LSH-bucket contract.
+
+    Exactness contract with the DuckDB oracle: every per-element term is
+    floor(x·y·1e12) — the floor of a deterministic IEEE double is integral
+    and identical in numpy, Spark, and DuckDB — summed in int64 (order-free,
+    overflow-safe for unit-scale embeddings), divided by 1e12 at the end.
+    The final 6-digit rounding happens Spark-side (F.round), not in numpy,
+    so half-way cases round identically to the SQL oracle.
     """
-    # Pair the VECTORS (one row per pair, arrays intact), not their exploded
-    # components: a components self-join shuffles n_pairs × dim rows through
-    # a groupBy; the in-row decimal fold does the same exact math at
-    # n_pairs rows. Squared norms are per-vector — computed once, joined in.
-    # Exactness via INTEGER folds: each term is floor(x*y*1e12) — the floor
-    # of a deterministic IEEE double is integral and identical in Spark and
-    # DuckDB, and long sums are order-free exact AND codegen-fast (the
-    # decimal fold used by cosine_topk costs ~10× here at n_pairs×dim terms).
-    def int_fold(pairs_col):
-        return F.aggregate(
-            pairs_col,
-            F.lit(0).cast("long"),
-            lambda acc, p: acc + F.floor(p["x"] * p["y"] * F.lit(1e12)).cast("long"),
+    import pandas as pd
+
+    def per_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.asarray(pdf["vec"].tolist(), dtype=np.float64)[order]
+        m, _ = V.shape
+        if m < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        n2 = np.floor(V * V * 1e12).astype(np.int64).sum(axis=1) / 1e12
+        norm = np.sqrt(n2)
+        out_a, out_b, out_c = [], [], []
+        # row-chunked so the c×m×d product tensor stays ~tens of MB
+        chunk = max(1, int(8_000_000 // max(1, m * V.shape[1])))
+        for s in range(0, m, chunk):
+            A = V[s : s + chunk]
+            prod = A[:, None, :] * V[None, :, :]
+            dots = np.floor(prod * 1e12).astype(np.int64).sum(axis=2) / 1e12
+            # same IEEE op order as the SQL oracle: dot / (norm_a * norm_b)
+            cos = dots / (norm[s : s + chunk, None] * norm[None, :])
+            ii, jj = np.nonzero(cos >= threshold)
+            keep = (ii + s) < jj  # upper triangle: vec_a < vec_b
+            out_a.append(ids[ii[keep] + s])
+            out_b.append(ids[jj[keep]])
+            out_c.append(cos[ii[keep], jj[keep]])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
         )
 
     e = emb.select(
@@ -165,35 +198,12 @@ def embedding_near_dup_pairs(
         F.col(block_col).alias("blk"),
         F.transform("embedding", lambda v: v.cast("double")).alias("vec"),
     )
-    sq = F.transform("vec", lambda v: F.struct(v.alias("x"), v.alias("y")))
-    norms = e.select(
-        "vec_id",
-        "blk",
-        "vec",
-        (int_fold(sq).cast("double") / F.lit(1e12)).alias("n2"),
+    pairs = e.groupBy("blk").applyInPandas(
+        per_block, "vec_a long, vec_b long, cosine double"
     )
-    a = norms.alias("a")
-    b = norms.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    )
-    zipped = F.zip_with(
-        F.col("a.vec"), F.col("b.vec"), lambda x, y: F.struct(x.alias("x"), y.alias("y"))
-    )
-    dot = int_fold(zipped).cast("double") / F.lit(1e12)
-    cos = dot / (F.sqrt(F.col("a.n2")) * F.sqrt(F.col("b.n2")))
-    return (
-        pairs.select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
-            cos.alias("_cos_raw"),
-        )
-        .filter(F.col("_cos_raw") >= threshold)
-        .drop("_cos_raw")
-        .orderBy("vec_a", "vec_b")
-    )
+    return pairs.select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("vec_a", "vec_b")
 
 
 EMBEDDING_NEAR_DUP_SQL = """

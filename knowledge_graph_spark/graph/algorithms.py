@@ -24,31 +24,13 @@ from pyspark.sql import functions as F
 from knowledge_graph_spark.graph.model import KnowledgeGraph
 
 
-def _persistent_rdd_ids(spark) -> set:
-    """Ids of every RDD currently persisted in the JVM (caches + local
-    checkpoints). Iterative algorithms snapshot this before running and
-    release what they added — in a long-lived session (service daemon, bench
-    loop) leaked checkpoint blocks otherwise accumulate until the block
-    manager starts evicting, and repeat calls degrade 2×."""
-    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
-
-
-def _release_persisted_since(spark, before: set, keep: set) -> None:
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    for rid in set(jmap.keySet().toArray()) - before - keep:
-        rdd = jmap.get(rid)
-        if rdd is not None:
-            rdd.unpersist(False)
-
-
-def _checkpoint_and_release(spark, before: set, result: DataFrame) -> DataFrame:
-    """Materialize `result` to its own checkpoint, then drop every block this
-    algorithm pinned along the way (the caller only ever needs the result)."""
-    pre_final = _persistent_rdd_ids(spark)
-    out = result.localCheckpoint(eager=True)
-    keep = _persistent_rdd_ids(spark) - pre_final
-    _release_persisted_since(spark, before, keep)
-    return out
+# shared persisted-block hygiene (see knowledge_graph_spark.persist);
+# aliased here because every loop below uses them
+from knowledge_graph_spark.persist import (  # noqa: E402
+    checkpoint_and_release as _checkpoint_and_release,
+    persistent_rdd_ids as _persistent_rdd_ids,
+    release_persisted_since as _release_persisted_since,
+)
 
 
 def _edges_both_directions(kg: KnowledgeGraph) -> DataFrame:
