@@ -30,10 +30,15 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     t0 = time.time()
+    # base fact tables feed several of the 8 derivations — cache them for the
+    # build (released after; the graph's own caches serve every later query)
+    from knowledge_graph_spark.io import read_table
+
+    base = [read_table(spark, SF_DIR, t).cache() for t in ("lineitem", "orders", "part")]
     kg = entrymod._graph(spark, SF_DIR)
-    kg.cache()
-    for df in (*kg.nodes.values(), *kg.edges.values()):
-        df.count()
+    kg.materialize()
+    for b in base:
+        b.unpersist()
     timings["graph_build"] = round(time.time() - t0, 3)
 
     # Long-session hygiene: every RDD persisted after the graph build is a

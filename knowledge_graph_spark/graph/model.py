@@ -61,6 +61,20 @@ class KnowledgeGraph:
             df = df.filter(F.col("type").isin(list(types)))
         return df
 
+    def materialize(self, parallelism: int = 8) -> "KnowledgeGraph":
+        """Cache and force every node/edge table, submitting the 8 jobs
+        concurrently — the bulk-index analog. Spark's scheduler interleaves
+        independent jobs across idle cores (locally) or executors (cluster),
+        so wall-clock is the slowest table, not the sum; the reference
+        indexes with a worker pool the same way."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.cache()
+        dfs = list(self.nodes.values()) + list(self.edges.values())
+        with ThreadPoolExecutor(parallelism) as ex:
+            list(ex.map(lambda d: d.count(), dfs))
+        return self
+
     def all_edges(self) -> DataFrame:
         """Union of the 4 physical edge tables with a table discriminator."""
         out = None
