@@ -204,6 +204,11 @@ def _q_repo_map(spark, sf_dir):  # A7 P9
     return L.repo_map(kg, path_prefix="orders/o1")
 
 
+def _q_repo_map_walk(spark, sf_dir):  # G9 reference-shaped: depth walk + paging
+    kg = _graph(spark, sf_dir)
+    return L.repo_map_walk(kg, paths=("orders",), depth=1, page=2, page_size=50)
+
+
 # -- relational analytics (agg/join inventory at TPC-H shapes) --------------
 
 
@@ -469,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "callees_of": _q_callees_of,
         "calls_to_imported_symbol": _q_calls_to_imported_symbol,
         "repo_map": _q_repo_map,
+        "repo_map_walk": _q_repo_map_walk,
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
         "regional_revenue": _q_regional_revenue,
@@ -575,6 +581,13 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "repo_map": o(L.REPO_MAP_SQL.format(prefix_like=_sq("orders/o1%"), limit=200)),
+        "repo_map_walk": o(
+            L.REPO_MAP_WALK_SQL.format(
+                walk_cond=L.repo_map_walk_sql_cond(("orders",), 1),
+                page_size=50,
+                offset=50,
+            )
+        ),
         "pricing_summary": A.PRICING_SUMMARY_SQL.format(cutoff="2000-01-01"),
         "top_revenue_orders": A.TOP_REVENUE_ORDERS_SQL.format(segment="BUILDING", k=20),
         "regional_revenue": A.REGIONAL_REVENUE_SQL.format(region_name="ASIA"),

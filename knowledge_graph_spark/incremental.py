@@ -17,7 +17,7 @@ anti-joins broadcast the (small) changed-path set.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from knowledge_graph_spark.graph.model import EDGE_KEYS, NODE_KEYS, KnowledgeGraph
@@ -60,6 +60,7 @@ def apply_file_changes(
 
     nodes: dict[str, DataFrame] = {}
     dropped_ids: dict[str, DataFrame] = {}
+    renumbered_rows: dict[str, DataFrame] = {}
     for key in NODE_KEYS:
         df = base.nodes[key]
         path_col = _FILE_KEY[key]
@@ -89,12 +90,42 @@ def apply_file_changes(
         renumbered = assign_dense_ids(
             fresh_rows.drop("id"), sort_keys, start=head + 1
         )
+        renumbered_rows[key] = renumbered
         nodes[key] = kept.unionByName(renumbered.select(*df.columns))
 
-    # old-id → none (deleted), fresh edges must be re-keyed: simplest sound
-    # strategy (matches reference: edges for changed files are re-derived) —
-    # drop edges touching dropped ids, then rebuild edges for fresh rows by
-    # joining fresh edge endpoints through their natural keys to new ids.
+    # old-id → none (deleted), fresh edges must be re-keyed. Edges SOURCED in
+    # changed files are re-derived from ``fresh`` (matches the reference,
+    # which re-analyzes only changed files). Edges from UNCHANGED files INTO
+    # changed files — which the reference simply loses (indexer.rs:507-535
+    # re-analyzes only ChangesFileSource, so cascade-deleted cross-file
+    # relationships are never rebuilt) — are instead RE-KEYED here: if the
+    # target node still exists in the re-indexed file under the same natural
+    # key (same fqn / import name — byte offsets may shift), the edge follows
+    # it to the new id; only targets that truly disappeared drop their edges.
+    remap_keys = {
+        "file_nodes": ["path"],
+        "definition_nodes": ["fqn", "primary_file_path"],
+        "imported_symbol_nodes": ["file_path", "name", "import_path"],
+    }
+    remaps: dict[str, DataFrame] = {}
+    for tab, keys in remap_keys.items():
+        old_side = (
+            base.nodes[tab]
+            .join(dropped_ids[tab], "id", "left_semi")
+            .select(F.col("id").alias("old_id"), *keys)
+        )
+        new_side = renumbered_rows[tab].select(F.col("id").alias("new_id"), *keys)
+        # natural keys can repeat (e.g. overloaded names): make the map 1:1
+        # per old id so each surviving edge lands on exactly one target
+        remaps[tab] = (
+            old_side.join(new_side, keys)
+            .withColumn(
+                "rk",
+                F.row_number().over(Window.partitionBy("old_id").orderBy("new_id")),
+            )
+            .filter(F.col("rk") == 1)
+            .select("old_id", "new_id")
+        )
     edges: dict[str, DataFrame] = {}
     for ekey in EDGE_KEYS:
         df = base.edges[ekey]
@@ -107,13 +138,33 @@ def apply_file_changes(
             "source_id",
             "left_anti",
         )
+        rekeyed: list[DataFrame] = []
         for dst_tab in set(dst_tabs):
-            doomed_edges = df.filter(F.col("target_table") == dst_tab).join(
-                dropped_ids[dst_tab].withColumnRenamed("id", "target_id"),
-                "target_id",
-                "left_semi",
+            # exceptAll matches by POSITION, and a named join moves its key
+            # column to the front — realign to df's column order or the
+            # subtraction silently removes nothing
+            doomed_edges = (
+                df.filter(F.col("target_table") == dst_tab)
+                .join(
+                    dropped_ids[dst_tab].withColumnRenamed("id", "target_id"),
+                    "target_id",
+                    "left_semi",
+                )
+                .select(*df.columns)
             )
             df = df.exceptAll(doomed_edges)
+            remap = remaps.get(dst_tab)
+            if remap is not None:
+                rekeyed.append(
+                    doomed_edges.join(
+                        F.broadcast(remap), doomed_edges.target_id == remap.old_id
+                    )
+                    .drop("target_id", "old_id")
+                    .withColumnRenamed("new_id", "target_id")
+                    .select(*base.edges[ekey].columns)
+                )
+        for r in rekeyed:
+            df = df.unionByName(r)
         edges[ekey] = df
     merged = KnowledgeGraph(spark, nodes, edges, base.repository_name)
     return _splice_fresh_edges(spark, merged, fresh, touched_df)

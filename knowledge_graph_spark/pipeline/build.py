@@ -316,27 +316,72 @@ def build_graph_from_entities(
         .filter(F.col("rk") == 1)
         .cache()
     )
-    imp_file = resolved_file.select(
+    # imp → {definition | re-exporting import} in the resolved file: both
+    # same-effective-name bindings compete and the LATEST binding wins
+    # (Python shadowing — python/analyzer.rs:851-900 picks max start_byte,
+    # ties prefer the definition). A re-export win yields an
+    # IMPORTED_SYMBOL_TO_IMPORTED_SYMBOL edge, the link resolve_import_chains
+    # (J8) follows to the terminal definition/file.
+    def_cand = resolved_file.join(
+        definitions.select(
+            F.col("id").alias("target_id"),
+            F.col("name").alias("imp_name"),
+            F.col("primary_file_path").alias("path"),
+            F.col("primary_start_byte").alias("bound_at"),
+        ),
+        ["imp_name", "path"],
+    ).withColumn("target_table", F.lit("definition_nodes"))
+    reexp_cand = (
+        resolved_file.join(
+            imported.select(
+                F.col("id").alias("target_id"),
+                F.coalesce("alias", "name").alias("imp_name"),
+                F.col("file_path").alias("path"),
+                F.col("start_byte").alias("bound_at"),
+            ),
+            ["imp_name", "path"],
+        )
+        .filter(F.col("target_id") != F.col("imp_id"))
+        .withColumn("target_table", F.lit("imported_symbol_nodes"))
+    )
+    winners = (
+        def_cand.unionByName(reexp_cand)
+        .withColumn(
+            "rk2",
+            F.row_number().over(
+                Window.partitionBy("imp_id").orderBy(
+                    F.desc("bound_at"), "target_table", "target_id"
+                )
+            ),
+        )
+        .filter(F.col("rk2") == 1)
+    )
+    # a re-export win replaces the file link entirely (the reference's
+    # from-import branch emits imp→imp only, never imp→file — an imp→file
+    # terminal here would short-circuit chain resolution at depth 0)
+    reexport_won = winners.filter(
+        F.col("target_table") == "imported_symbol_nodes"
+    ).select("imp_id")
+    imp_file = resolved_file.join(reexport_won, "imp_id", "left_anti").select(
         F.col("imp_id").alias("source_id"),
         F.col("file_id").alias("target_id"),
         F.lit("imported_symbol_nodes").alias("source_table"),
         F.lit("file_nodes").alias("target_table"),
         F.lit(S.IMPORTED_SYMBOL_TO_FILE).alias("type"),
     )
-    # imp → definition: the resolved file's definition with the imported name
-    mod_defs = definitions.select(
-        F.col("id").alias("def_id"),
-        F.col("name").alias("imp_name"),
-        F.col("primary_file_path").alias("path"),
-    )
-    imp_def = resolved_file.join(mod_defs, ["imp_name", "path"]).select(
+    imp_resolved = winners.select(
         F.col("imp_id").alias("source_id"),
-        F.col("def_id").alias("target_id"),
+        "target_id",
         F.lit("imported_symbol_nodes").alias("source_table"),
-        F.lit("definition_nodes").alias("target_table"),
-        F.lit(S.IMPORTED_SYMBOL_TO_DEFINITION).alias("type"),
+        "target_table",
+        F.when(
+            F.col("target_table") == "definition_nodes",
+            F.lit(S.IMPORTED_SYMBOL_TO_DEFINITION),
+        )
+        .otherwise(F.lit(S.IMPORTED_SYMBOL_TO_IMPORTED_SYMBOL))
+        .alias("type"),
     )
-    imported_symbol_relationships = _null_loc(imp_file.unionByName(imp_def)).select(
+    imported_symbol_relationships = _null_loc(imp_file.unionByName(imp_resolved)).select(
         *_EDGE_COLS
     )
 

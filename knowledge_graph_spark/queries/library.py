@@ -786,3 +786,75 @@ WHERE primary_file_path LIKE {prefix_like}
 GROUP BY primary_file_path
 ORDER BY primary_file_path LIMIT {limit}
 """
+
+
+def repo_map_walk(
+    kg: KnowledgeGraph,
+    paths: tuple[str, ...] = ("",),
+    depth: int = 1,
+    page: int = 1,
+    page_size: int = 50,
+) -> DataFrame:
+    """Reference-shaped repo map: depth-capped walk + paged definition list.
+
+    Reference: repo_map/repository.rs:9-80 (WalkBuilder, max_depth = depth+1
+    so files one level below the deepest listed directory are included, depth
+    clamped to 3) feeding service.rs:36-101 (definitions for the collected
+    files, ORDER BY file/start_line, SKIP/LIMIT). The graph's file_nodes
+    already honor ignore rules at index time (S1), so the "walk" is a filter
+    over file paths — no filesystem access, fully distributed."""
+    depth = min(depth, 3)
+    cond = None
+    for p in paths:
+        p = p.rstrip("/")
+        if p in ("", "."):
+            c = F.size(F.split(F.col("path"), "/")) <= depth + 1
+        else:
+            rel = F.expr(f"substring(path, {len(p) + 2})")
+            c = F.col("path").startswith(p + "/") & (
+                F.size(F.split(rel, "/")) <= depth + 1
+            )
+        cond = c if cond is None else (cond | c)
+    sel = kg.files.filter(cond).select(F.col("path").alias("primary_file_path"))
+    return (
+        kg.definitions.join(F.broadcast(sel), "primary_file_path", "left_semi")
+        .select(
+            "fqn",
+            "definition_type",
+            F.col("primary_file_path").alias("file_path"),
+            "start_line",
+            "end_line",
+        )
+        .orderBy("file_path", "start_line", "fqn", "definition_type", "end_line")
+        .offset((page - 1) * page_size)
+        .limit(page_size)
+    )
+
+
+def repo_map_walk_sql_cond(paths: tuple[str, ...], depth: int) -> str:
+    """DuckDB twin of repo_map_walk's file filter (segment-count depth cap)."""
+    depth = min(depth, 3)
+    parts = []
+    for p in paths:
+        p = p.rstrip("/")
+        if p in ("", "."):
+            parts.append(
+                f"(length(path) - length(replace(path,'/','')) + 1 <= {depth + 1})"
+            )
+        else:
+            rel = f"substr(path, {len(p) + 2})"
+            parts.append(
+                f"(path LIKE '{p}/%' AND "
+                f"length({rel}) - length(replace({rel},'/','')) + 1 <= {depth + 1})"
+            )
+    return " OR ".join(parts)
+
+
+REPO_MAP_WALK_SQL = """
+SELECT d.fqn, d.definition_type, d.primary_file_path AS file_path,
+       d.start_line, d.end_line
+FROM definition_nodes d
+WHERE d.primary_file_path IN (SELECT path FROM file_nodes WHERE {walk_cond})
+ORDER BY file_path, start_line, fqn, definition_type, end_line
+LIMIT {page_size} OFFSET {offset}
+"""

@@ -112,3 +112,38 @@ def test_merged_edges_consistent(incremental_case):
         merged.files.select(F.col("id").alias("source_id")), "source_id", "left_anti"
     )
     assert dangling.count() == 0
+
+
+def test_cross_file_edges_rekeyed_to_surviving_targets(incremental_case):
+    """Beyond-reference: facade.py (unchanged) re-imports format_name through
+    user.py (changed). user.py's import node is renumbered by the re-index;
+    the imp→imp edge from the unchanged file must FOLLOW it via the natural
+    key instead of being cascade-dropped (the reference loses such edges —
+    indexer.rs:507-535 re-analyzes only changed files)."""
+    _, merged, _, _ = incremental_case
+
+    e = merged.edges["imported_symbol_relationships"].filter(
+        F.col("type") == "IMPORTED_SYMBOL_TO_IMPORTED_SYMBOL"
+    )
+    pairs = (
+        e.join(
+            merged.imports.select(
+                F.col("id").alias("source_id"), F.col("file_path").alias("src_file")
+            ),
+            "source_id",
+        )
+        .join(
+            merged.imports.select(
+                F.col("id").alias("target_id"), F.col("file_path").alias("dst_file")
+            ),
+            "target_id",
+        )
+    )
+    assert ("app/facade.py", "app/models/user.py") in {
+        (r.src_file, r.dst_file) for r in pairs.collect()
+    }
+    # every re-keyed target resolves — no dangling imp→imp endpoints
+    dangling = e.join(
+        merged.imports.select(F.col("id").alias("target_id")), "target_id", "left_anti"
+    )
+    assert dangling.count() == 0

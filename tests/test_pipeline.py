@@ -29,6 +29,12 @@ def validate():
 def format_name(name):
     return name.strip()
 ''',
+    "app/facade.py": '''
+from app.models.user import format_name
+
+def use_format():
+    format_name("x")
+''',
     "app/services/user_service.rb": '''
 require 'json'
 
@@ -123,7 +129,7 @@ def indexed(spark, repo_dir, tmp_path_factory):
 
 def test_file_and_directory_counts(indexed):
     kg, stats = indexed
-    assert stats.total_files == 9
+    assert stats.total_files == 10
     dirs = {r.path for r in kg.directories.collect()}
     assert dirs == {"app", "app/models", "app/utils", "app/services", "web", "jvm", "dotnet", "native"}
 
@@ -199,6 +205,60 @@ def test_import_resolution(indexed):
         F.col("type") == "IMPORTED_SYMBOL_TO_DEFINITION"
     )
     assert imp_def.count() >= 1  # format_name → def in helpers.py
+
+
+def test_reexport_chain_resolution(indexed, spark):
+    """facade.py re-imports format_name THROUGH user.py's import: the builder
+    must emit imp→imp (user.py has no def named format_name, only the import
+    binding), and resolve_import_chains must walk it to the helpers.py def."""
+    from knowledge_graph_spark.graph.algorithms import resolve_import_chains
+
+    kg, _ = indexed
+    imp_imp = kg.edges["imported_symbol_relationships"].filter(
+        F.col("type") == "IMPORTED_SYMBOL_TO_IMPORTED_SYMBOL"
+    )
+    pairs = (
+        imp_imp.join(
+            kg.imports.select(F.col("id").alias("source_id"), F.col("file_path").alias("src_file")),
+            "source_id",
+        )
+        .join(
+            kg.imports.select(F.col("id").alias("target_id"), F.col("file_path").alias("dst_file")),
+            "target_id",
+        )
+    )
+    assert ("app/facade.py", "app/models/user.py") in {
+        (r.src_file, r.dst_file) for r in pairs.collect()
+    }
+
+    chains = resolve_import_chains(kg).join(
+        kg.imports.select(F.col("id").alias("import_id"), "file_path"), "import_id"
+    )
+    facade = [r for r in chains.collect() if r.file_path == "app/facade.py"]
+    assert facade, "facade import did not resolve"
+    row = facade[0]
+    assert row.resolved_table == "definition_nodes" and row.depth == 1
+    helper_def = kg.definitions.filter(F.col("fqn") == "app.utils.helpers.format_name")
+    assert row.resolved_id == helper_def.collect()[0].id
+
+
+def test_repo_map_walk_depth(indexed):
+    """Depth semantics per repo_map/repository.rs: files are included up to
+    depth+1 levels below the listed path (depth=1 at root keeps web/main.ts
+    but excludes app/models/user.py at level 3)."""
+    from knowledge_graph_spark.queries.library import repo_map_walk
+
+    kg, _ = indexed
+    d1 = {r.file_path for r in repo_map_walk(kg, paths=("",), depth=1, page_size=200).collect()}
+    assert "web/main.ts" in d1 and "app/facade.py" in d1
+    assert not any(p.startswith("app/models/") for p in d1)
+    d2 = {r.file_path for r in repo_map_walk(kg, paths=("",), depth=2, page_size=200).collect()}
+    assert "app/models/user.py" in d2
+    scoped = {
+        r.file_path
+        for r in repo_map_walk(kg, paths=("app",), depth=1, page_size=200).collect()
+    }
+    assert scoped == {p for p in d2 if p.startswith("app/")}
 
 
 def test_dense_ids_and_referential_integrity(indexed):
