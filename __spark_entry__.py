@@ -21,9 +21,11 @@ from pyspark.sql import functions as F
 
 from knowledge_graph_spark.adapters import tpch
 from knowledge_graph_spark.beyond import dedup as D
+from knowledge_graph_spark.beyond import sampling as SAMP
 from knowledge_graph_spark.beyond import similarity as SIM
 from knowledge_graph_spark.beyond import text as T
 from knowledge_graph_spark.io import read_table
+from knowledge_graph_spark.operators.asof import ASOF_LAST_CLICK_SQL
 from knowledge_graph_spark.queries import analytics as A
 from knowledge_graph_spark.queries import library as L
 
@@ -327,6 +329,54 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters(spark, sf_dir):  # pairs → connected components → canonical
+    pairs = SIM.embedding_near_dup_pairs(
+        read_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+    return D.dedup_clusters(pairs)
+
+
+def _q_stratified_sample(spark, sf_dir):  # deterministic per-lang quota sample
+    return SAMP.stratified_sample(read_table(spark, sf_dir, "documents"), k=25)
+
+
+def _q_deterministic_sample(spark, sf_dir):  # deterministic global hash sample
+    return SAMP.deterministic_sample(read_table(spark, sf_dir, "documents"), k=100)
+
+
+def _q_asof_last_click(spark, sf_dir):  # as-of join: purchase ← latest prior click
+    from knowledge_graph_spark.operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("value", "event_id").alias("value"),
+        )
+    )
+    return (
+        asof_join(purchases, clicks)
+        .select(
+            "event_id", "ts", "user_id", "value",
+            "matched_event_id", "matched_ts", "matched_value",
+        )
+        .orderBy("event_id")
+    )
+
+
+def _q_chunk_documents(spark, sf_dir):  # overlapping token-window chunking
+    return T.chunk_documents(read_table(spark, sf_dir, "documents"), size=32, overlap=8)
+
+
+def _q_redact_pii(spark, sf_dir):  # PII/secret scrub + per-pattern counts
+    return T.redact_pii(read_table(spark, sf_dir, "documents"))
+
+
 def _q_token_counts(spark, sf_dir):
     return T.token_counts(read_table(spark, sf_dir, "documents"))
 
@@ -495,6 +545,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
+        "dedup_clusters": _q_dedup_clusters,
+        "stratified_sample": _q_stratified_sample,
+        "deterministic_sample": _q_deterministic_sample,
+        "asof_last_click": _q_asof_last_click,
+        "chunk_documents": _q_chunk_documents,
+        "redact_pii": _q_redact_pii,
         "token_counts": _q_token_counts,
         "tf_idf": _q_tf_idf,
         "bm25": _q_bm25,
@@ -614,6 +670,12 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": D.NGRAM_JACCARD_PAIRS_SQL.format(nm1=2, threshold=0.5),
         "cosine_topk": SIM.COSINE_TOPK_SQL.format(k=10),
         "embedding_near_dup": SIM.EMBEDDING_NEAR_DUP_SQL.format(threshold=0.35),
+        "dedup_clusters": D._clusters_sql().format(threshold=0.35),
+        "stratified_sample": SAMP.STRATIFIED_SAMPLE_SQL.format(k=25),
+        "deterministic_sample": SAMP.DETERMINISTIC_SAMPLE_SQL.format(k=100),
+        "asof_last_click": ASOF_LAST_CLICK_SQL,
+        "chunk_documents": T.CHUNK_DOCUMENTS_SQL.format(size=32, step=24),
+        "redact_pii": T._redact_sql(),
         "token_counts": T.TOKEN_COUNTS_SQL.format(rx=T.TOKEN_REGEX),
         "tf_idf": T.TF_IDF_SQL.format(terms="'spark', 'join', 'stream'"),
         "bm25": T.BM25_SQL.format(terms="'spark', 'join', 'stream'", k1=1.2, b=0.75),

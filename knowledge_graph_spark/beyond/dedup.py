@@ -234,3 +234,103 @@ def simhash_buckets(docs: DataFrame, n: int = 3, bits: int = 64) -> DataFrame:
         bit = F.when(F.col(f"b{i}") > 0, _bitlit(i)).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp.bitwiseOR(bit)
     return agg.select("doc_id", fp.alias("simhash")).orderBy("doc_id")
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "vec_a",
+    id_b: str = "vec_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Near-dup CLUSTERS from a pair list: connected components over the
+    pair graph, canonical member = min id per component (the row a dedup
+    pass would keep), plus cluster size.
+
+    This is the step after any pair generator (exact Jaccard, MinHash/LSH,
+    embedding cosine): near-duplication is transitive in practice (A~B, B~C
+    → keep one of {A,B,C}), so pairs alone under-delete. Min-label
+    propagation to fixpoint here (pair graphs are tiny relative to the
+    corpus — only near-dups appear); at 100 TB component scale, swap in the
+    randomized-contraction loop of graph.algorithms.connected_components,
+    which shrinks the edge list geometrically per round.
+
+    Output: (member id, canonical_id, cluster_size), one row per document
+    that appears in ≥1 pair.
+    """
+    from knowledge_graph_spark.persist import checkpoint_and_release, persistent_rdd_ids
+
+    spark = pairs.sparkSession
+    before = persistent_rdd_ids(spark)
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    lab = (
+        und.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select(F.col("a").alias("node"), F.least("a", "mb").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            und.join(
+                lab.select(F.col("node").alias("b"), F.col("lab").alias("nl")), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nbl"))
+            .select(F.col("a").alias("node"), "nbl")
+        )
+        new = (
+            lab.join(nbr, "node", "left_outer")
+            .select(
+                "node",
+                F.least("lab", F.coalesce("nbl", "lab")).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new.alias("n")
+            .join(lab.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .isEmpty()
+        )
+        lab = new
+        if converged:
+            break
+    w = Window.partitionBy("lab")
+    out = lab.select(
+        F.col("node").alias("member_id"),
+        F.col("lab").alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    ).orderBy("member_id")
+    return checkpoint_and_release(spark, before, out)
+
+
+def _clusters_sql() -> str:
+    """DuckDB oracle for dedup_clusters over embedding near-dup pairs:
+    transitive closure as a recursive CTE (exact at oracle scale; the Spark
+    side is the distributed fixpoint)."""
+    from knowledge_graph_spark.beyond.similarity import EMBEDDING_PAIR_CTES
+
+    return (
+        "WITH RECURSIVE "
+        + EMBEDDING_PAIR_CTES
+        + """,
+pairs AS (
+  SELECT vec_a, vec_b FROM sums
+  WHERE dot / (sqrt(na2) * sqrt(nb2)) >= {threshold}
+),
+und AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+        UNION SELECT vec_b, vec_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+lab AS (SELECT a AS member_id, least(a, min(b)) AS canonical_id
+        FROM reach GROUP BY a)
+SELECT member_id, canonical_id,
+       count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+FROM lab ORDER BY member_id
+"""
+    )

@@ -206,8 +206,8 @@ def embedding_near_dup_pairs(
     ).orderBy("vec_a", "vec_b")
 
 
-EMBEDDING_NEAR_DUP_SQL = """
-WITH comp2 AS (
+# shared by EMBEDDING_NEAR_DUP_SQL and dedup.DEDUP_CLUSTERS_SQL
+EMBEDDING_PAIR_CTES = """comp2 AS (
   SELECT vec_id, label AS blk, CAST(unnest(embedding) AS DOUBLE) AS x,
          generate_subscripts(embedding, 1) AS i
   FROM embeddings
@@ -220,12 +220,18 @@ sums AS (
   FROM comp2 a JOIN comp2 b
     ON a.blk = b.blk AND a.i = b.i AND a.vec_id < b.vec_id
   GROUP BY 1, 2
-)
+)"""
+
+EMBEDDING_NEAR_DUP_SQL = (
+    "WITH "
+    + EMBEDDING_PAIR_CTES
+    + """
 SELECT vec_a, vec_b, round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cosine
 FROM sums
 WHERE dot / (sqrt(na2) * sqrt(nb2)) >= {threshold}
 ORDER BY vec_a, vec_b
 """
+)
 
 
 def ivf_ann(

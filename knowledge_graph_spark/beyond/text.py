@@ -270,3 +270,114 @@ FROM tf JOIN dfreq ON tf.term = dfreq.term
 GROUP BY tf.doc_id
 ORDER BY tf.doc_id
 """
+
+
+def chunk_documents(docs: DataFrame, size: int = 32, overlap: int = 8) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    standard pre-embedding / pre-training segmentation. Chunk i covers
+    tokens [i·step+1, i·step+size] (step = size−overlap); every document
+    yields ≥1 chunk (short docs yield themselves).
+
+    Pure JVM: split → sequence → transform → posexplode; no UDF. At 100 TB
+    the explode multiplies rows ~len/step× but stays pipelined inside
+    whole-stage codegen — no shuffle until a downstream aggregation.
+    """
+    step = size - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than size")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.greatest(
+        (F.ceil((F.size(toks) - F.lit(size)) / F.lit(float(step)))).cast("long") + 1,
+        F.lit(1).cast("long"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice(toks, (i * step + 1).cast("int"), size)).alias(
+                "chunk_text"
+            ),
+            F.size(F.slice(toks, (i * step + 1).cast("int"), size)).alias(
+                "n_chunk_tokens"
+            ),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_index", "c"))
+        .select(
+            "doc_id",
+            "chunk_index",
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+        )
+        .orderBy("doc_id", "chunk_index")
+    )
+
+
+CHUNK_DOCUMENTS_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+n AS (
+  SELECT doc_id, toks,
+         greatest(CAST(ceil((len(toks) - {size}) / CAST({step} AS DOUBLE)) AS BIGINT) + 1,
+                  1) AS nch
+  FROM t
+)
+, idx AS (
+  SELECT doc_id, toks, unnest(range(0, nch)) AS i FROM n
+)
+SELECT doc_id, i AS chunk_index,
+       array_to_string(toks[(i * {step} + 1):(i * {step} + {size})], ' ') AS chunk_text,
+       len(toks[(i * {step} + 1):(i * {step} + {size})]) AS n_chunk_tokens
+FROM idx
+ORDER BY doc_id, chunk_index
+"""
+
+
+#: PII / secret patterns — identical RE2-compatible syntax in Spark (Java
+#: regex) and DuckDB (RE2): email addresses, 32+-hex-digit secrets,
+#: SSN/phone-shaped digit groups, and 13-19-digit card-shaped runs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "hex_secret": r"\b[0-9a-fA-F]{32,}\b",
+    "phone_ssn": r"\b[0-9]{3}[- ][0-9]{2,4}[- ][0-9]{4}\b",
+    "card_number": r"\b[0-9]{13,19}\b",
+}
+
+
+def redact_pii(docs: DataFrame, replacement: str = "[REDACTED]") -> DataFrame:
+    """Scrub PII/secret patterns from document text; emit per-pattern match
+    counts and the scrubbed text's char count (training-data hygiene pass).
+
+    All JVM-side regexp_extract_all/regexp_replace — counting and rewriting
+    happen in one projection, no UDF, no shuffle.
+    """
+    out = docs.select("doc_id", "text")
+    clean = F.col("text")
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+        )
+        clean = F.regexp_replace(clean, pat, replacement)
+    return (
+        out.withColumn("clean_chars", F.length(clean))
+        .select(
+            "doc_id",
+            *[f"n_{name}" for name in PII_PATTERNS],
+            "clean_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _redact_sql(replacement: str = "[REDACTED]") -> str:
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    clean = "text"
+    for pat in PII_PATTERNS.values():
+        clean = f"regexp_replace({clean}, '{pat}', '{replacement}', 'g')"
+    return (
+        f"SELECT doc_id,\n       {counts},\n"
+        f"       length({clean}) AS clean_chars\n"
+        "FROM documents ORDER BY doc_id"
+    )

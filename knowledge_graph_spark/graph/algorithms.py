@@ -102,9 +102,14 @@ def reachable_from(
     """Directed transitive closure from one node (call-graph closure when
     edge_types = CALLS family — the multi-hop G4)."""
     before = _persistent_rdd_ids(kg.spark)
+    from knowledge_graph_spark.schema import tables_for_edge_types
+
     parts = []
-    for df in kg.edges.values():
-        e = df
+    # static pruning: a typed walk (e.g. DIR_CONTAINS_*) touches only the
+    # tables whose closed type set intersects the request — at 100 TB that is
+    # the difference between scanning one edge table and all four
+    for key in tables_for_edge_types(edge_types):
+        e = kg.edges[key]
         if edge_types:
             e = e.filter(F.col("type").isin(list(edge_types)))
         parts.append(

@@ -154,6 +154,43 @@ IMPORTED_SYMBOL_TO_FILE = "IMPORTED_SYMBOL_TO_FILE"
 # (get_references/repository.rs:36-54 filters on this set).
 REFERENCE_EDGE_TYPES = (CALLS, AMBIGUOUSLY_CALLS, PROPERTY_REFERENCE)
 
+# Closed type sets per physical edge table (definition_relationships is an
+# OPEN set — hierarchy kinds are generated as {PARENT}_TO_{CHILD} — so it is
+# deliberately absent). Lets typed traversals prune whole tables instead of
+# scanning the full edge union.
+CLOSED_EDGE_TYPES_BY_TABLE: dict[str, frozenset[str]] = {
+    "directory_relationships": frozenset({DIR_CONTAINS_DIR, DIR_CONTAINS_FILE}),
+    "file_relationships": frozenset({FILE_DEFINES, FILE_IMPORTS}),
+    "imported_symbol_relationships": frozenset(
+        {
+            IMPORTED_SYMBOL_TO_IMPORTED_SYMBOL,
+            IMPORTED_SYMBOL_TO_DEFINITION,
+            IMPORTED_SYMBOL_TO_FILE,
+        }
+    ),
+}
+
+
+def tables_for_edge_types(edge_types) -> list[str]:
+    """Edge tables that can contain any of ``edge_types`` (all when None).
+
+    A table with a closed type set is included iff it intersects the request;
+    the open-set definition_relationships table is included unless every
+    requested type is claimed by some closed set."""
+    if not edge_types:
+        return list(EDGE_TABLES)
+    wanted = set(edge_types)
+    claimed = frozenset().union(*CLOSED_EDGE_TYPES_BY_TABLE.values())
+    out = []
+    for table in EDGE_TABLES:
+        closed = CLOSED_EDGE_TYPES_BY_TABLE.get(table)
+        if closed is None:
+            if not wanted <= claimed:
+                out.append(table)
+        elif closed & wanted:
+            out.append(table)
+    return out
+
 DEFINITION_KINDS = (
     "Module",
     "Class",

@@ -99,3 +99,86 @@ def test_exact_duplicates_groups_are_real(docs, spark):
     )
     assert members.count() == g.n_docs
     assert members.select("p").distinct().count() == 1
+
+
+def test_asof_join_semantics(spark):
+    """Nearest-earlier match per key; equal timestamps match (>= rule);
+    no prior right row → nulls — mirrors DuckDB ASOF LEFT JOIN."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 5, 50.0)],
+        "user_id long, ts long, value double",
+    ).withColumn("event_id", F.col("ts"))
+    right = spark.createDataFrame(
+        [(1, 10, 7, 1.0), (1, 15, 8, 2.0), (2, 9, 9, 3.0)],
+        "user_id long, ts long, event_id long, value double",
+    )
+    out = {
+        r.event_id: r.matched_event_id
+        for r in asof_join(left, right).collect()
+    }
+    assert out == {10: 7, 20: 8, 5: None}  # tie at ts=10 matches; ts=5 has no prior
+
+
+def test_dedup_clusters_transitive(spark):
+    """A~B and B~C collapse into ONE cluster with canonical=min id."""
+    from knowledge_graph_spark.beyond.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (7, 9)], "vec_a long, vec_b long"
+    )
+    rows = {(r.member_id, r.canonical_id, r.cluster_size) for r in dedup_clusters(pairs).collect()}
+    assert rows == {(2, 2, 3), (3, 2, 3), (4, 2, 3), (7, 7, 2), (9, 7, 2)}
+
+
+def test_stratified_sample_deterministic(docs):
+    from knowledge_graph_spark.beyond.sampling import stratified_sample
+
+    a = stratified_sample(docs, k=5).collect()
+    b = stratified_sample(docs, k=5).collect()
+    assert a == b
+    per = {}
+    for r in a:
+        per[r.lang] = per.get(r.lang, 0) + 1
+    assert all(v <= 5 for v in per.values()) and per
+
+
+def test_redact_pii_patterns(spark):
+    """The pattern set actually catches PII (the driver corpus is clean, so
+    the oracle comparison only proves engine parity — this proves recall)."""
+    from knowledge_graph_spark.beyond.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or 555-12-9876 today"),
+            (2, "key deadbeefdeadbeefdeadbeefdeadbeef1234 card 4111111111111111"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert rows[1].n_email == 1 and rows[1].n_phone_ssn == 1
+    assert rows[2].n_hex_secret == 1 and rows[2].n_card_number == 1
+    assert rows[3].n_email == rows[3].n_hex_secret == 0
+    # replacement applied: clean text shorter than raw for doc 2
+    assert rows[2].clean_chars < len("key deadbeefdeadbeefdeadbeefdeadbeef1234 card 4111111111111111")
+
+
+def test_chunk_documents_windows(spark):
+    from knowledge_graph_spark.beyond.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "only three words")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, size=4, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = [r.chunk_text for r in sorted(by_doc[1], key=lambda r: r.chunk_index)]
+    assert c1[0] == "w0 w1 w2 w3" and c1[1] == "w2 w3 w4 w5"
+    assert c1[-1].endswith("w9")
+    assert by_doc[2][0].chunk_text == "only three words" and len(by_doc[2]) == 1

@@ -58,3 +58,45 @@ def test_column_pruning_on_projection(parquet_kg):
     plan = _plan(parquet_kg.definitions.select("fqn", "name"))
     scan_lines = [l for l in plan.split("\n") if "FileScan parquet" in l]
     assert scan_lines and "primary_start_byte" not in scan_lines[0], scan_lines
+
+
+def _exchange_count(plan: str) -> int:
+    # physical shuffle boundaries only (not broadcast exchanges)
+    return sum(1 for line in plan.split("\n") if "Exchange hashpartitioning" in line or "Exchange rangepartitioning" in line)
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of composition must cost ONE hash shuffle (the window) — if a
+    join sneaks in, the plan regresses to range-join territory."""
+    from knowledge_graph_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 1.0)], "user_id long, ts long, value double")
+    right = spark.createDataFrame(
+        [(1, 5, 2, 2.0)], "user_id long, ts long, event_id long, value double"
+    )
+    plan = _plan(asof_join(left, right))
+    assert _exchange_count(plan) == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_stratified_sample_single_shuffle(spark):
+    from knowledge_graph_spark.beyond.sampling import stratified_sample
+    from knowledge_graph_spark.io import read_table
+
+    df = stratified_sample(read_table(spark, SF_SMALL, "documents"), k=5)
+    plan = _plan(df)
+    # one shuffle for the per-stratum window; the final orderBy is a range
+    # exchange over the ≤ k·|strata| survivors — no join, no extra hash pass
+    assert _exchange_count(plan) <= 2, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_deterministic_sample_is_take_ordered(spark):
+    """Global hash sample must compile to TakeOrderedAndProject (per-partition
+    top-k + k-row driver merge), NEVER a full global sort."""
+    from knowledge_graph_spark.beyond.sampling import deterministic_sample
+    from knowledge_graph_spark.io import read_table
+
+    plan = _plan(deterministic_sample(read_table(spark, SF_SMALL, "documents"), k=10))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Exchange rangepartitioning" not in plan, plan[:2000]
