@@ -211,6 +211,11 @@ def _q_repo_map_walk(spark, sf_dir):  # G9 reference-shaped: depth walk + paging
     return L.repo_map_walk(kg, paths=("orders",), depth=1, page=2, page_size=50)
 
 
+def _q_degree_distribution(spark, sf_dir):  # G3 extension: out-degree histogram
+    kg = _graph(spark, sf_dir)
+    return L.degree_distribution(kg)
+
+
 # -- relational analytics (agg/join inventory at TPC-H shapes) --------------
 
 
@@ -377,6 +382,10 @@ def _q_redact_pii(spark, sf_dir):  # PII/secret scrub + per-pattern counts
     return T.redact_pii(read_table(spark, sf_dir, "documents"))
 
 
+def _q_quality_percentiles(spark, sf_dir):  # per-lang exact length percentiles
+    return T.quality_percentiles(read_table(spark, sf_dir, "documents"))
+
+
 def _q_token_counts(spark, sf_dir):
     return T.token_counts(read_table(spark, sf_dir, "documents"))
 
@@ -424,7 +433,13 @@ def _q_dir_tree_closure(spark, sf_dir):  # G4 multi-hop, J8-style BFS
 
     kg = _graph(spark, sf_dir)
     return reachable_from(
-        kg, "directory_nodes", 1, ("DIR_CONTAINS_DIR", "DIR_CONTAINS_FILE")
+        kg,
+        "directory_nodes",
+        1,
+        ("DIR_CONTAINS_DIR", "DIR_CONTAINS_FILE"),
+        # DIR_CONTAINS_* is a forest (one parent per node): tree mode skips
+        # the per-hop distinct/anti-join shuffles
+        assume_tree=True,
     ).select(
         F.col("t").alias("node_table"), F.col("id").alias("node_id"), "hops"
     )
@@ -525,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calls_to_imported_symbol": _q_calls_to_imported_symbol,
         "repo_map": _q_repo_map,
         "repo_map_walk": _q_repo_map_walk,
+        "degree_distribution": _q_degree_distribution,
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
         "regional_revenue": _q_regional_revenue,
@@ -551,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_click": _q_asof_last_click,
         "chunk_documents": _q_chunk_documents,
         "redact_pii": _q_redact_pii,
+        "quality_percentiles": _q_quality_percentiles,
         "token_counts": _q_token_counts,
         "tf_idf": _q_tf_idf,
         "bm25": _q_bm25,
@@ -644,6 +661,9 @@ def oracle_sql() -> dict[str, str]:
                 offset=50,
             )
         ),
+        "degree_distribution": o(
+            L.DEGREE_DISTRIBUTION_SQL, extra_ctes=L.DEGREE_DISTRIBUTION_CTES
+        ),
         "pricing_summary": A.PRICING_SUMMARY_SQL.format(cutoff="2000-01-01"),
         "top_revenue_orders": A.TOP_REVENUE_ORDERS_SQL.format(segment="BUILDING", k=20),
         "regional_revenue": A.REGIONAL_REVENUE_SQL.format(region_name="ASIA"),
@@ -676,6 +696,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_last_click": ASOF_LAST_CLICK_SQL,
         "chunk_documents": T.CHUNK_DOCUMENTS_SQL.format(size=32, step=24),
         "redact_pii": T._redact_sql(),
+        "quality_percentiles": T.QUALITY_PERCENTILES_SQL,
         "token_counts": T.TOKEN_COUNTS_SQL.format(rx=T.TOKEN_REGEX),
         "tf_idf": T.TF_IDF_SQL.format(terms="'spark', 'join', 'stream'"),
         "bm25": T.BM25_SQL.format(terms="'spark', 'join', 'stream'", k1=1.2, b=0.75),

@@ -381,3 +381,34 @@ def _redact_sql(replacement: str = "[REDACTED]") -> str:
         f"       length({clean}) AS clean_chars\n"
         "FROM documents ORDER BY doc_id"
     )
+
+
+def quality_percentiles(docs: DataFrame) -> DataFrame:
+    """Per-language corpus length percentiles (p50/p90/p99 of n_chars) —
+    the summary a curation pass thresholds against. Exact linear-interpolated
+    percentile (Spark ``percentile`` == DuckDB ``quantile_cont``); at 100 TB
+    swap to ``percentile_approx`` and re-validate tolerance."""
+    pct = F.expr("percentile(CAST(n_chars AS DOUBLE), array(0.5D, 0.9D, 0.99D))")
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), pct.alias("p"))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("p")[0], 6).alias("p50_chars"),
+            F.round(F.col("p")[1], 6).alias("p90_chars"),
+            F.round(F.col("p")[2], 6).alias("p99_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUALITY_PERCENTILES_SQL = """
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50_chars,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90_chars,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.99), 6) AS p99_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""

@@ -98,9 +98,15 @@ def reachable_from(
     start_id: int,
     edge_types: tuple[str, ...] | None = None,
     max_hops: int = 20,
+    assume_tree: bool = False,
 ) -> DataFrame:
     """Directed transitive closure from one node (call-graph closure when
-    edge_types = CALLS family — the multi-hop G4)."""
+    edge_types = CALLS family — the multi-hop G4).
+
+    ``assume_tree=True`` (safe when every node has ≤1 parent, e.g. the
+    DIR_CONTAINS_* forest) drops the per-hop distinct + seen anti-join and
+    the setup distinct: a tree walk reaches each node exactly once, so those
+    three shuffles per hop are pure overhead."""
     before = _persistent_rdd_ids(kg.spark)
     from knowledge_graph_spark.schema import tables_for_edge_types
 
@@ -123,22 +129,23 @@ def reachable_from(
     edges = parts[0]
     for p in parts[1:]:
         edges = edges.unionByName(p)
-    edges = edges.distinct().cache()
+    if not assume_tree:
+        edges = edges.distinct()
+    edges = edges.cache()
 
     frontier = kg.spark.createDataFrame(
         [(start_table, start_id, 0)], "t string, id long, hops int"
     )
     seen = frontier
     for hop in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(edges, (frontier.t == edges.src_t) & (frontier.id == edges.src))
-            .select(
-                F.col("dst_t").alias("t"), F.col("dst").alias("id"), F.lit(hop).alias("hops")
-            )
-            .distinct()
-            .join(seen.select("t", "id"), ["t", "id"], "left_anti")
-            .cache()
+        nxt = frontier.join(
+            edges, (frontier.t == edges.src_t) & (frontier.id == edges.src)
+        ).select(
+            F.col("dst_t").alias("t"), F.col("dst").alias("id"), F.lit(hop).alias("hops")
         )
+        if not assume_tree:
+            nxt = nxt.distinct().join(seen.select("t", "id"), ["t", "id"], "left_anti")
+        nxt = nxt.cache()
         if nxt.isEmpty():
             break
         seen = seen.unionByName(nxt).cache()
@@ -312,26 +319,33 @@ def pagerank(
     )
     adj.count()
 
-    keys = nodes.select("key")
     # dangling nodes (no out-edges) leak rank mass — their summed rank is
-    # redistributed uniformly each round; the SET is static, computed once
-    dangling = keys.join(adj.select("src"), keys.key == adj.src, "left_anti").localCheckpoint(
-        eager=True
+    # redistributed uniformly each round. The SET is static: fold it into the
+    # key table as a boolean ONCE, so each iteration reads the flag off the
+    # rank vector instead of paying a per-iteration semi-join.
+    keys = (
+        nodes.select("key")
+        .join(
+            adj.select("src").distinct(), nodes.key == F.col("src"), "left_outer"
+        )
+        .select("key", F.col("src").isNull().alias("is_dangling"))
+        .localCheckpoint(eager=True)
     )
     ranks = keys.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for _ in range(iterations):
-        r = ranks.withColumnsRenamed({"key": "k", "rank": "rk"})
+        r = ranks.select(F.col("key").alias("k"), F.col("rank").alias("rk"))
         contribs = (
             adj.join(r, adj.src == r.k)
             .groupBy("dst")
             .agg(F.sum(F.col("rk") * F.col("w")).alias("csum"))
         )
-        dmass = ranks.join(dangling, "key", "left_semi").agg(F.sum("rank").alias("dm"))
+        dmass = ranks.filter("is_dangling").agg(F.sum("rank").alias("dm"))
         ranks = (
             keys.join(contribs, keys.key == contribs.dst, "left_outer")
             .crossJoin(dmass)
             .select(
                 "key",
+                "is_dangling",
                 (
                     F.lit((1 - damping) / n)
                     + F.lit(damping)

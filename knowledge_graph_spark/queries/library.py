@@ -858,3 +858,39 @@ WHERE d.primary_file_path IN (SELECT path FROM file_nodes WHERE {walk_cond})
 ORDER BY file_path, start_line, fqn, definition_type, end_line
 LIMIT {page_size} OFFSET {offset}
 """
+
+
+def degree_distribution(kg: KnowledgeGraph) -> DataFrame:
+    """Out-degree histogram per node table over every edge table — the G3
+    stats family extended to distribution shape (skew visibility: the judge
+    of whether a traversal needs salting is exactly this histogram).
+
+    Two cascaded aggregations, both map-side combinable; the second input is
+    at most |nodes| rows."""
+    deg = (
+        kg.all_edges()
+        .groupBy("source_table", "source_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("source_table", "degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("source_table", "degree")
+    )
+
+
+DEGREE_DISTRIBUTION_CTES = """all_e AS (
+  SELECT source_table, source_id FROM directory_relationships
+  UNION ALL SELECT source_table, source_id FROM file_relationships
+  UNION ALL SELECT source_table, source_id FROM definition_relationships
+  UNION ALL SELECT source_table, source_id FROM imported_symbol_relationships
+),
+deg AS (
+  SELECT source_table, source_id, count(*) AS degree FROM all_e GROUP BY 1, 2
+)"""
+
+DEGREE_DISTRIBUTION_SQL = """
+SELECT source_table, degree, count(*) AS n_nodes
+FROM deg GROUP BY source_table, degree
+ORDER BY source_table, degree
+"""
