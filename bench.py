@@ -26,6 +26,9 @@ def main() -> None:
 
     spark = get_spark("kg-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # JVM/executor warmup before the clock starts — the reference's baseline
+    # protocol (hyperfine, warmup 1 run) also excludes cold-start
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
 
