@@ -291,9 +291,28 @@ def pagerank(
     e = e.select(
         F.xxhash64(F.concat_ws("#", "st", "si")).alias("src"),
         F.xxhash64(F.concat_ws("#", "dt", "di")).alias("dst"),
-    ).coalesce(kg.spark.sparkContext.defaultParallelism)
+    )
+    # ONE exchange builds the whole adjacency: hash-partition on src, then
+    # dedup (src,dst) and 1/out-degree as two window passes — both window
+    # specs are satisfied by hash(src) clustering (same src ⇒ same partition
+    # ⇒ same (src,dst) co-located), so neither adds a shuffle, one sort
+    # serves both, and the cached result stays partitioned on src for every
+    # iteration's join to reuse. (The previous distinct → degree-groupBy →
+    # join → repartition shape paid three exchanges for the same output.)
+    w_pair = Window.partitionBy("src", "dst").orderBy("dst")
+    w_src = Window.partitionBy("src")
+    adj = (
+        e.repartition(F.col("src"))
+        .withColumn("rn", F.row_number().over(w_pair))
+        .filter(F.col("rn") == 1)
+        .select("src", "dst", (F.lit(1.0) / F.count(F.lit(1)).over(w_src)).alias("w"))
+        .cache()
+    )
+    adj.count()
+
     # node inventory straight from the node tables — a narrow union scan, not
-    # a distinct over the (much larger) edge-endpoint multiset
+    # a distinct over the (much larger) edge-endpoint multiset; dropDuplicates
+    # because a duplicated key would double-count its contribution
     nodes = None
     for t, df in kg.nodes.items():
         p = df.select(
@@ -302,36 +321,27 @@ def pagerank(
             F.xxhash64(F.concat_ws("#", F.lit(t), "id")).alias("key"),
         )
         nodes = p if nodes is None else nodes.unionByName(p)
-    # the synthetic corpus can carry duplicate (table, id) rows; a duplicated
-    # key would double-count its contribution through every broadcast join
     nodes = nodes.dropDuplicates(["key"]).localCheckpoint(eager=True)
     n = nodes.count()
 
-    adj = e.distinct()
-    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # deg is a projection of adj's own groupBy — co-keyed on src, so this
-    # join plus the repartition below is one exchange of the edge list total
-    adj = (
-        adj.join(deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
-        .repartition(F.col("src"))
-        .cache()
-    )
-    adj.count()
-
     # dangling nodes (no out-edges) leak rank mass — their summed rank is
     # redistributed uniformly each round. The SET is static: fold it into the
-    # key table as a boolean ONCE, so each iteration reads the flag off the
-    # rank vector instead of paying a per-iteration semi-join.
-    keys = (
+    # initial rank vector as a boolean ONCE (one checkpoint, not two), so each
+    # iteration reads the flag off the rank vector instead of paying a
+    # per-iteration semi-join. adj.select(src).distinct() re-uses the cache's
+    # hash(src) partitioning — partial/final agg, no exchange.
+    srcs = adj.select("src").distinct()
+    ranks = (
         nodes.select("key")
-        .join(
-            adj.select("src").distinct(), nodes.key == F.col("src"), "left_outer"
+        .join(srcs, nodes.key == srcs.src, "left_outer")
+        .select(
+            "key",
+            F.col("src").isNull().alias("is_dangling"),
+            F.lit(1.0 / n).alias("rank"),
         )
-        .select("key", F.col("src").isNull().alias("is_dangling"))
         .localCheckpoint(eager=True)
     )
-    ranks = keys.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    keys = ranks.select("key", "is_dangling")
     for _ in range(iterations):
         r = ranks.select(F.col("key").alias("k"), F.col("rank").alias("rk"))
         contribs = (
