@@ -93,6 +93,16 @@ def _q_file_definitions(spark, sf_dir):  # J1 P1 P2 O1 O6
     return L.file_definitions(kg, _first_file_path(kg))
 
 
+def _q_read_definitions(spark, sf_dir):  # P2 batch (read_definitions MCP tool)
+    kg = _graph(spark, sf_dir)
+    reqs = [
+        (r["name"], r["primary_file_path"])
+        for r in kg.definitions.orderBy("id").limit(2)
+        .select("name", "primary_file_path").collect()
+    ]
+    return L.read_definitions(kg, reqs)
+
+
 def _q_file_imports(spark, sf_dir):  # J1 J6
     kg = _graph(spark, sf_dir)
     return L.file_imports(kg, _first_file_path(kg))
@@ -521,6 +531,7 @@ def _q_media_frame_sample(spark, sf_dir):  # rows-only
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "file_definitions": _q_file_definitions,
+        "read_definitions": _q_read_definitions,
         "file_imports": _q_file_imports,
         "import_usage": _q_import_usage,
         "get_references": _q_get_references,
@@ -606,6 +617,13 @@ def oracle_sql() -> dict[str, str]:
     o = tpch.oracle
     return {
         "file_definitions": o(L.FILE_DEFINITIONS_SQL.format(file_path=_FIRST_FILE, limit=100)),
+        "read_definitions": o(
+            L.READ_DEFINITIONS_SQL.format(
+                requests="SELECT DISTINCT name, primary_file_path FROM "
+                "(SELECT name, primary_file_path FROM definition_nodes ORDER BY id LIMIT 2) p",
+                limit=100,
+            )
+        ),
         "file_imports": o(L.FILE_IMPORTS_SQL.format(file_path=_FIRST_FILE, limit=50)),
         "import_usage": o(
             L.IMPORT_USAGE_SQL.format(

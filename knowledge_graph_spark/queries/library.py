@@ -67,6 +67,41 @@ ORDER BY d.start_line, d.fqn LIMIT {limit}
 """
 
 
+def read_definitions(
+    kg: KnowledgeGraph, requests: list[tuple[str, str]], limit: int = 100
+) -> DataFrame:
+    """Batch definition lookup by exact (name, primary_file_path) pairs —
+    the read_definitions MCP tool.
+
+    Reference: read_definitions/repository.rs:42-75 runs ONE query PER
+    request (``d.name = $name AND d.primary_file_path = $path ORDER BY
+    start_line``) in a driver-side loop. Spark-first difference: the whole
+    request batch is a single broadcast hash semi-join against the
+    definitions table — one scan total, however many requests, which is the
+    shape that survives 100 TB (N sequential point queries would re-scan or
+    re-seek per request)."""
+    req = kg.spark.createDataFrame(
+        list(dict.fromkeys(requests)), "name string, primary_file_path string"
+    )
+    return (
+        kg.definitions.join(F.broadcast(req), ["name", "primary_file_path"])
+        .select(
+            "name", "fqn", "definition_type", "primary_file_path",
+            "start_line", "end_line",
+        )
+        .orderBy("primary_file_path", "start_line", "name", "fqn")
+        .limit(limit)
+    )
+
+
+READ_DEFINITIONS_SQL = """
+SELECT d.name, d.fqn, d.definition_type, d.primary_file_path, d.start_line, d.end_line
+FROM definition_nodes d
+JOIN ({requests}) q ON q.name = d.name AND q.primary_file_path = d.primary_file_path
+ORDER BY d.primary_file_path, d.start_line, d.name, d.fqn LIMIT {limit}
+"""
+
+
 def file_imports(kg: KnowledgeGraph, file_path: str, limit: int = 50) -> DataFrame:
     """Imports of one file. Reference: library.rs:377-385 (get_file_imports)."""
     files = kg.files.filter(F.col("path") == file_path).select(F.col("id").alias("_fid"))
