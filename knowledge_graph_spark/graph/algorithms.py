@@ -261,6 +261,26 @@ def connected_components(kg: KnowledgeGraph, max_iter: int = 30) -> DataFrame:
     return _checkpoint_and_release(kg.spark, before, out)
 
 
+def _weighted_adjacency(e: DataFrame) -> DataFrame:
+    """(src, dst) pairs → deduped (src, dst, w=1/out-degree) in ONE exchange.
+
+    Hash-partition on src, then dedup (src,dst) and out-degree as two window
+    passes — both window specs are satisfied by hash(src) clustering (same
+    src ⇒ same partition ⇒ same (src,dst) co-located), so neither adds a
+    shuffle, one sort serves both, and the result stays partitioned on src
+    for downstream joins to reuse. (A distinct → degree-groupBy → join →
+    repartition shape pays three exchanges for the same output; pinned by
+    tests/test_plans.py.)"""
+    w_pair = Window.partitionBy("src", "dst").orderBy("dst")
+    w_src = Window.partitionBy("src")
+    return (
+        e.repartition(F.col("src"))
+        .withColumn("rn", F.row_number().over(w_pair))
+        .filter(F.col("rn") == 1)
+        .select("src", "dst", (F.lit(1.0) / F.count(F.lit(1)).over(w_src)).alias("w"))
+    )
+
+
 def pagerank(
     kg: KnowledgeGraph, iterations: int = 10, damping: float = 0.85
 ) -> DataFrame:
@@ -292,22 +312,7 @@ def pagerank(
         F.xxhash64(F.concat_ws("#", "st", "si")).alias("src"),
         F.xxhash64(F.concat_ws("#", "dt", "di")).alias("dst"),
     )
-    # ONE exchange builds the whole adjacency: hash-partition on src, then
-    # dedup (src,dst) and 1/out-degree as two window passes — both window
-    # specs are satisfied by hash(src) clustering (same src ⇒ same partition
-    # ⇒ same (src,dst) co-located), so neither adds a shuffle, one sort
-    # serves both, and the cached result stays partitioned on src for every
-    # iteration's join to reuse. (The previous distinct → degree-groupBy →
-    # join → repartition shape paid three exchanges for the same output.)
-    w_pair = Window.partitionBy("src", "dst").orderBy("dst")
-    w_src = Window.partitionBy("src")
-    adj = (
-        e.repartition(F.col("src"))
-        .withColumn("rn", F.row_number().over(w_pair))
-        .filter(F.col("rn") == 1)
-        .select("src", "dst", (F.lit(1.0) / F.count(F.lit(1)).over(w_src)).alias("w"))
-        .cache()
-    )
+    adj = _weighted_adjacency(e).cache()
     adj.count()
 
     # node inventory straight from the node tables — a narrow union scan, not

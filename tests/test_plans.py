@@ -91,6 +91,23 @@ def test_stratified_sample_single_shuffle(spark):
     assert "Join" not in plan, plan[:2000]
 
 
+def test_pagerank_adjacency_single_exchange(spark):
+    """Dedup + 1/out-degree weighting must ride ONE hash exchange (src
+    clustering satisfies both window specs) — the property that keeps every
+    pagerank iteration shuffle-reuse-able at 100 TB."""
+    from knowledge_graph_spark.graph.algorithms import _weighted_adjacency
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    plan = _plan(_weighted_adjacency(e))
+    assert _exchange_count(plan) == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+    rows = {(r.src, r.dst): r.w for r in _weighted_adjacency(e).collect()}
+    assert rows == {(1, 2): 0.5, (1, 3): 0.5, (2, 3): 1.0}
+
+
 def test_deterministic_sample_is_take_ordered(spark):
     """Global hash sample must compile to TakeOrderedAndProject (per-partition
     top-k + k-row driver merge), NEVER a full global sort."""
