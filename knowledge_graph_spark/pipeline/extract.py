@@ -85,6 +85,13 @@ _TS_DEF = re.compile(
 _TS_IMPORT = re.compile(
     r"^\s*import\s+(?:([\w$]+)\s*,?\s*)?(?:\{([^}]*)\}\s*)?from\s+['\"]([^'\"]+)['\"]"
 )
+# const/let/var binding of an arrow function — the dominant definition form
+# in modern TS; the reference's tree-sitter grammar extracts these as
+# functions alongside `function` declarations
+_TS_ARROW = re.compile(
+    r"^(\s*)(?:export\s+)?(?:default\s+)?(?:const|let|var)\s+([A-Za-z_$][\w$]*)"
+    r"\s*(?::[^=]+)?=\s*(?:async\s+)?(?:\([^)]*\)|[A-Za-z_$][\w$]*)\s*(?::[^=>]+)?=>"
+)
 # Brace-language analyzers (Java/Kotlin/C#/Rust): type + member declarations.
 # Same contract as the tree-sitter analyzers they stand in for
 # (parsing/processor.rs:195-204 lists the 7 supported languages).
@@ -188,6 +195,12 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
         if def_re is not None:
             m = def_re.match(line)
             hit = (len(m.group(1)), m.group(2), m.group(3)) if m else None
+            if hit is None and language == "TypeScript":
+                am = _TS_ARROW.match(line)
+                if am:
+                    # name is group 2 here (no group 3) — let the shared
+                    # emit path below locate the column by name instead
+                    hit, m = (len(am.group(1)), "function", am.group(2)), None
         else:
             hit = _match_def(language, line)
             m = hit

@@ -60,6 +60,12 @@ class App {
 export function formatName(n) {
   return n
 }
+
+export const toUpper = (s: string): string => s.toUpperCase()
+
+const handler = async (req) => {
+  return formatName(req)
+}
 ''',
     "jvm/Service.java": '''
 import java.util.List;
@@ -143,6 +149,8 @@ def test_definitions_and_fqns(indexed):
     assert "app.models.user.validate" in fqns  # top-level shadow
     assert "app.services.user_service.UserService.Syncer.sync_users" in fqns
     assert "web.main.main" in fqns
+    # TS arrow-function bindings extract as Function definitions
+    assert "web.util.toUpper" in fqns and "web.util.handler" in fqns
     assert "jvm.Service.Service.syncAll" in fqns
     assert "jvm.Service.Service.helper" in fqns
     assert "jvm.Model.Registry.register" in fqns
