@@ -181,7 +181,9 @@ def _driver_union_find(spark: SparkSession, edges: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(kg: KnowledgeGraph, max_iter: int = 30) -> DataFrame:
+def connected_components(
+    kg: KnowledgeGraph, max_iter: int = 30, driver_finish_rows: int = 200_000
+) -> DataFrame:
     """Undirected connected components by randomized contraction.
 
     Each round, every node merges into ``least(self, min(neighbors))`` and the
@@ -244,12 +246,12 @@ def connected_components(kg: KnowledgeGraph, max_iter: int = 30) -> DataFrame:
     # a merge map of ≤ ~50M rows (two longs ≈ 16B/row) broadcasts fine; past
     # that, fall back to shuffle joins (the 100 TB path)
     broadcast_rows = 50_000_000
-    # once the contracted graph fits comfortably on the driver, finish with
-    # union-find there: geometric shrink means the tail rounds process a few
-    # thousand edges but still pay 3-4 Spark jobs each (~2 s/round of pure
-    # scheduling). Bounded driver memory (two longs × threshold), so this is
-    # scale-safe — at 100 TB the loop contracts down to the same threshold.
-    driver_finish_rows = 200_000
+    # ``driver_finish_rows``: once the contracted graph fits comfortably on
+    # the driver, finish with union-find there — geometric shrink means the
+    # tail rounds process a few thousand edges but still pay 3-4 Spark jobs
+    # each (~2 s/round of pure scheduling). Bounded driver memory (two longs
+    # × threshold), so this is scale-safe — at 100 TB the loop contracts
+    # down to the same threshold. 0 disables (pure distributed loop).
 
     edges = und.filter(F.col("a") != F.col("b")).select("a", "b")
     m = out0.select("u", "lab")

@@ -96,14 +96,18 @@ def test_connected_components_matches_union_find(spark, edges):
     )
     kg = KnowledgeGraph(spark, nodes={}, edges={"definition_relationships": edf})
 
-    cc = connected_components(kg).collect()
-    by_label: dict = {}
-    for r in cc:
-        by_label.setdefault(r.component, set()).add(r.node_id)
-    got = {frozenset(g) for g in by_label.values()}
-
     nodes = {a for a, _ in edges} | {b for _, b in edges}
-    assert got == _uf_partition(edges, nodes)
+    expected = _uf_partition(edges, nodes)
+    # driver_finish_rows=0 forces the pure distributed contraction loop;
+    # the default takes the driver union-find shortcut on graphs this small —
+    # both paths must produce the same partition
+    for finish_rows in (200_000, 0):
+        cc = connected_components(kg, driver_finish_rows=finish_rows).collect()
+        by_label: dict = {}
+        for r in cc:
+            by_label.setdefault(r.component, set()).add(r.node_id)
+        got = {frozenset(g) for g in by_label.values()}
+        assert got == expected, finish_rows
 
 
 # -- deterministic sampling ---------------------------------------------------
