@@ -60,12 +60,20 @@ def ensure_session_confs(spark: SparkSession) -> None:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # TIMESTAMP(NANOS) columns arrive as epoch-nanos longs (see session.py);
-    # convert back to timestamps with integer division — a double division
-    # would lose precision above 2^53 ns (~1970+104 days).
+    # TIMESTAMP(NANOS) parquet columns vary by Spark version: epoch-nanos
+    # longs under nanosAsLong (≤ some 4.x builds) or TIMESTAMP_NTZ (current).
+    # Normalize both to a session-UTC TIMESTAMP so downstream epoch casts
+    # (cast as long) stay legal — NTZ forbids them. Long path uses integer
+    # division (a double division loses precision above 2^53 ns).
     for field in df.schema:
-        if field.name == "ts" and field.dataType.typeName() == "long":
+        if field.name != "ts":
+            continue
+        if field.dataType.typeName() == "long":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif field.dataType.typeName() == "timestamp_ntz":
+            # wall clock reinterpreted in the session tz (UTC) — the same
+            # instant the naive DuckDB oracle sees
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -47,9 +47,10 @@ def get_spark(app_name: str = "knowledge-graph-spark", master: str | None = None
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
-        # The events table is written as TIMESTAMP(NANOS) parquet, which
-        # Spark 4 rejects outright; read as epoch-nanos long and convert in
-        # io.read_table via integer division (timestamp_micros(ns DIV 1000)).
+        # The events table is written as TIMESTAMP(NANOS) parquet. Depending
+        # on the Spark build it surfaces as epoch-nanos long (this legacy
+        # conf, older 4.x) or TIMESTAMP_NTZ (current 4.1, conf ignored);
+        # io.read_table normalizes both to a session-UTC TIMESTAMP.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # 128 MB input splits: at 100 TB this yields ~800k tasks, the right
         # granularity for a 1000-executor cluster; harmless locally.

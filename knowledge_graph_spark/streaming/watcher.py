@@ -40,6 +40,8 @@ FILE_EVENT_SCHEMA = StructType(
 
 MAX_EVENTS_PER_WINDOW = 8192  # watcher.rs:26
 DEBOUNCE_WINDOW = "3 seconds"  # watcher.rs:25
+# watcher.rs:27 excluded dirs — events under these never trigger a reindex
+EXCLUDED_DIR_SEGMENTS = (".git", "node_modules", "target", ".venv", "__pycache__")
 
 
 def watch_event_stream(spark: SparkSession, watch_dir: str) -> DataFrame:
@@ -61,7 +63,14 @@ def debounced_jobs(
 
     Output: project, window_start/end, n_events (pre-cap), changed_paths and
     deleted_paths (each capped — the reference drops events past 8192/window).
+
+    Events under excluded dirs (editor caches, VCS internals — watcher.rs:27)
+    are dropped before windowing so a .git churn burst never schedules a job.
     """
+    for seg in EXCLUDED_DIR_SEGMENTS:
+        events = events.filter(
+            ~F.col("path").contains(f"/{seg}/") & ~F.col("path").startswith(f"{seg}/")
+        )
     w = events.withWatermark("event_time", watermark).groupBy(
         F.col("project"), F.window("event_time", window).alias("win")
     )
@@ -177,8 +186,13 @@ def streaming_event_rollup(
         .option("maxFilesPerTrigger", 1)
         .parquet(link_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # current Spark surfaces TIMESTAMP(NANOS) as NTZ; align with
+        # io.read_table's session-UTC TIMESTAMP normalization
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))

@@ -75,3 +75,22 @@ def test_streaming_rollup_equals_batch(spark):
         .collect()
     }
     assert streamed == batch
+
+
+def test_debounce_drops_excluded_dirs(spark):
+    """Events under .git / node_modules never schedule a job (watcher.rs:27)."""
+    from knowledge_graph_spark.streaming import watcher as W
+
+    rows = [
+        ("alpha", ".git/objects/ab", "modified"),
+        ("alpha", "vendor/node_modules/x/index.js", "created"),
+        ("alpha", "src/__pycache__/m.pyc", "modified"),
+        ("alpha", "src/main.py", "modified"),
+    ]
+    events = spark.createDataFrame(
+        [(p, f, c, __import__("datetime").datetime(2024, 1, 1)) for p, f, c in rows],
+        W.FILE_EVENT_SCHEMA,
+    )
+    jobs = W.debounced_jobs(events).collect()
+    assert len(jobs) == 1
+    assert list(jobs[0].changed_paths) == ["src/main.py"]
