@@ -43,6 +43,8 @@ ROWS_ONLY = {
     "import_chain_resolution",
     "media_decode_stats",
     "media_frame_sample",
+    "media_resize_stats",
+    "approx_user_counts",
 }
 
 # ---------------------------------------------------------------------------
@@ -528,6 +530,29 @@ def _q_media_frame_sample(spark, sf_dir):  # rows-only
     )
 
 
+def _q_media_resize_stats(spark, sf_dir):  # rows-only (mapInPandas stub)
+    from knowledge_graph_spark.beyond.multimodal import resize_media
+
+    return (
+        resize_media(_media(spark, sf_dir), max_width=64)
+        .groupBy("kind", "resized")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("width").alias("max_width"),
+            F.sum(F.length("data")).alias("total_bytes"),
+        )
+        .orderBy("kind", "resized")
+    )
+
+
+def _q_order_priority_rollup(spark, sf_dir):  # beyond §2.12: grouping lattice
+    return A.order_priority_rollup(read_table(spark, sf_dir, "orders"))
+
+
+def _q_approx_user_counts(spark, sf_dir):  # rows-only (HLL sketch)
+    return A.approx_user_counts(read_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "file_definitions": _q_file_definitions,
@@ -592,6 +617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_chain_resolution": _q_import_chain_resolution,
         "media_decode_stats": _q_media_decode_stats,
         "media_frame_sample": _q_media_frame_sample,
+        "media_resize_stats": _q_media_resize_stats,
+        "order_priority_rollup": _q_order_priority_rollup,
+        "approx_user_counts": _q_approx_user_counts,
     }
 
 
@@ -721,4 +749,5 @@ def oracle_sql() -> dict[str, str]:
         "dir_tree_closure": o(
             DIR_TREE_CLOSURE_SQL, extra_ctes=DIR_TREE_CLOSURE_CTE, recursive=True
         ),
+        "order_priority_rollup": A.ORDER_PRIORITY_ROLLUP_SQL,
     }

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     FloatType,
     IntegerType,
     LongType,
@@ -157,3 +158,69 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
         ).alias("frame_idx"),
     )
     return frames
+
+
+def resize_media(
+    media: DataFrame, max_width: int = 64, decoder: str = "synthetic"
+) -> DataFrame:
+    """Resize step (STUB codec): downscale every image/video wider than
+    ``max_width``, preserving aspect ratio; smaller assets pass through.
+
+    The synthetic transform rewrites the KGMM header dimensions and truncates
+    the payload proportionally to the area change — deterministic, so tests
+    can assert exact output sizes. A real implementation swaps the body of
+    ``run`` for a Pillow/ffmpeg batch resize with the identical
+    (Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame] contract; schema,
+    partitioning, and batch shape are unchanged.
+
+    At 100 TB this is the canonical narrow transform: no shuffle, payload
+    bytes stream through Arrow batches, and column pruning means a metadata-
+    only consumer never reads ``data`` at all.
+    """
+    if decoder != "synthetic":
+        raise NotImplementedError(
+            f"decoder '{decoder}' needs an image library not present in this "
+            "environment; implement it inside `run` below with the same "
+            "(Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame] contract"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
+                b = bytes(data)
+                if kind == "audio" or not b.startswith(_MAGIC):
+                    rows.append((mid, kind, None, None, b, False))
+                    continue
+                w, h = int(b[5:10]), int(b[10:15])
+                if w <= max_width:
+                    rows.append((mid, kind, w, h, b, False))
+                    continue
+                nw = max_width
+                nh = max(1, (h * max_width) // w)
+                payload = b[20:]
+                keep = max(1, (len(payload) * nw * nh) // max(1, w * h))
+                nb = (
+                    b[:5]
+                    + str(nw).zfill(5).encode()
+                    + str(nh).zfill(5).encode()
+                    + b[15:20]
+                    + payload[:keep]
+                )
+                rows.append((mid, kind, nw, nh, nb, True))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "width", "height", "data", "resized"],
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("data", BinaryType(), True),
+            StructField("resized", BooleanType(), False),
+        ]
+    )
+    return media.select("media_id", "kind", "data").mapInPandas(run, schema)

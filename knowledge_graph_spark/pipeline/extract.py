@@ -113,9 +113,20 @@ _CS_TYPE = re.compile(
     r"^(\s*)(?:public\s+|private\s+|protected\s+|internal\s+|static\s+|sealed\s+|abstract\s+|partial\s+)*"
     r"(class|interface|struct|enum|record)\s+([A-Za-z_][\w]*)"
 )
+_CS_METHOD = re.compile(
+    r"^(\s*)(?:public\s+|private\s+|protected\s+|internal\s+|static\s+|virtual\s+|"
+    r"override\s+|async\s+|sealed\s+|extern\s+)+[\w<>\[\],\s?]+\s+([A-Za-z_][\w]*)\s*\("
+)
 _CS_IMPORT = re.compile(r"^\s*using\s+(?:static\s+)?([\w.]+)\s*;")
 _RS_DEF = re.compile(
     r"^(\s*)(?:pub(?:\([\w:]+\))?\s+)?(?:async\s+)?(?:unsafe\s+)?(fn|struct|enum|trait|mod)\s+([A-Za-z_][\w]*)"
+)
+# `impl Type` / `impl Trait for Type` opens a method scope: tracked as an
+# enclosing-name frame (methods inside get parent = the impl target) without
+# emitting a definition row — the reference's tree-sitter analyzers likewise
+# attribute methods to the type, not to the impl block itself.
+_RS_IMPL = re.compile(
+    r"^(\s*)impl(?:<[^>]*>)?\s+(?:[\w:<>]+\s+for\s+)?([A-Za-z_][\w]*)(?:<[^>]*>)?\s*(?:\{|$)"
 )
 _RS_IMPORT = re.compile(r"^\s*(?:pub\s+)?use\s+([\w:]+)")
 _CALL = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)\s*\(")
@@ -163,10 +174,20 @@ def _match_def(language: str, line: str):
         return (len(m.group(1)), m.group(2), m.group(3)) if m else None
     if language == "CSharp":
         m = _CS_TYPE.match(line)
-        return (len(m.group(1)), m.group(2), m.group(3)) if m else None
+        if m:
+            return len(m.group(1)), m.group(2), m.group(3)
+        m = _CS_METHOD.match(line)
+        if m:
+            return len(m.group(1)), "method", m.group(2)
+        return None
     if language == "Rust":
         m = _RS_DEF.match(line)
-        return (len(m.group(1)), m.group(2), m.group(3)) if m else None
+        if m:
+            return len(m.group(1)), m.group(2), m.group(3)
+        m = _RS_IMPL.match(line)
+        if m:
+            return len(m.group(1)), "impl", m.group(2)
+        return None
     return None
 
 
@@ -208,6 +229,11 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
             indent, kw, name = hit
             while stack and stack[-1][0] >= indent:
                 stack.pop()
+            if kw == "impl":
+                # scope frame only: methods inside attribute to the type
+                stack.append((indent, name))
+                byte_off += line_bytes
+                continue
             parent = ".".join(n for _, n in stack) or None
             col = m.start(3) if hasattr(m, "start") else max(line.find(name), 0)
             yield (
@@ -290,6 +316,69 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
         byte_off += line_bytes
 
 
+def _gitignore_pattern_regex(pat: str) -> str:
+    """One .gitignore pattern → an RE2/Java-compatible anchored regex over the
+    repo-relative path. Supported: `*` (segment glob), `?`, `**`, trailing `/`
+    (directory contents), leading-`/` or embedded-`/` anchoring."""
+    dir_only = pat.endswith("/")
+    pat = pat.rstrip("/")
+    anchored = pat.startswith("/") or "/" in pat
+    pat = pat.lstrip("/")
+    out = []
+    i = 0
+    while i < len(pat):
+        if pat[i : i + 2] == "**":
+            out.append(".*")
+            i += 2
+            continue
+        c = pat[i]
+        if c == "*":
+            out.append("[^/]*")
+        elif c == "?":
+            out.append("[^/]")
+        else:
+            out.append(re.escape(c))
+        i += 1
+    prefix = "^" if anchored else "(^|.*/)"
+    suffix = "/.*$" if dir_only else "(/.*)?$"
+    return prefix + "".join(out) + suffix
+
+
+def gitignore_filter(df: DataFrame, patterns: list[str], path_col: str = "relative_path") -> DataFrame:
+    """Apply .gitignore semantics (last matching pattern wins; `!` re-includes)
+    as a fold of JVM-side rlike predicates — no Python UDF, so the filter
+    stays inside the scan stage and prunes before any content is read.
+
+    The reference walks with `ignore` crate semantics (project/source.rs);
+    this covers the common pattern forms (see _gitignore_pattern_regex).
+    """
+    ignored = F.lit(False)
+    for raw in patterns:
+        pat = raw.strip()
+        if not pat or pat.startswith("#"):
+            continue
+        neg = pat.startswith("!")
+        if neg:
+            pat = pat[1:]
+        rx = _gitignore_pattern_regex(pat)
+        # wrap outward: the last pattern in file order is tested first =
+        # last-match-wins
+        ignored = F.when(F.col(path_col).rlike(rx), F.lit(not neg)).otherwise(ignored)
+    return df.filter(~ignored)
+
+
+def load_gitignore(root: str) -> list[str]:
+    """Read `{root}/.gitignore` if present (driver-side — it is one small
+    file; the patterns ship to executors inside the plan, not as data)."""
+    import os
+
+    p = os.path.join(root, ".gitignore")
+    if not os.path.exists(p):
+        return []
+    with open(p, encoding="utf-8", errors="replace") as fh:
+        return fh.read().splitlines()
+
+
 def list_files(
     spark: SparkSession, root: str, max_file_size: int = DEFAULT_MAX_FILE_SIZE
 ) -> DataFrame:
@@ -314,13 +403,17 @@ def list_files(
     lang_map = F.create_map(
         *[F.lit(x) for kv in LANGUAGE_BY_EXTENSION.items() for x in kv]
     )
-    return df.select(
+    out = df.select(
         rel.alias("relative_path"),
         ext.alias("extension"),
         lang_map[ext].alias("language"),
         F.col("length"),
         F.col("content"),
     ).filter(F.col("language").isNotNull())
+    patterns = load_gitignore(root)
+    if patterns:
+        out = gitignore_filter(out, patterns)
+    return out
 
 
 def extract_entities(files: DataFrame) -> DataFrame:

@@ -418,3 +418,63 @@ FROM events
 WHERE user_id < {limit_users}
 ORDER BY user_id, ts, event_id
 """
+
+
+def order_priority_rollup(orders: DataFrame) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (status → priority → grand total).
+
+    Beyond reference parity: SURVEY §2.12 records that the reference has no
+    grouping sets / cube / rollup anywhere — Spark's ``rollup`` gives the
+    whole lattice in ONE pass (partial aggs reused across grouping sets),
+    where the naive alternative is three scans + a union. At 100 TB that is
+    the difference between one shuffle and three.
+
+    Super-aggregate rows surface their grouped-out keys as NULL in both
+    engines; they are coalesced to the sentinel 'ALL' so ordering and value
+    hashing are engine-independent.
+    """
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("string").cast("double").alias("sum_total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "sum_total",
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+ORDER_PRIORITY_ROLLUP_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def approx_user_counts(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """Approximate distinct users per event type (HyperLogLog++) next to the
+    exact count.
+
+    The scale operator for cardinality at 100 TB: ``approx_count_distinct``
+    aggregates a fixed-size sketch per partition (no shuffle of the distinct
+    key set), where exact COUNT(DISTINCT) shuffles every distinct value.
+    Rows-only for the driver (sketches are implementation-defined across
+    engines); pytest bounds the relative error against the exact column.
+    """
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -182,3 +182,14 @@ def test_chunk_documents_windows(spark):
     assert c1[0] == "w0 w1 w2 w3" and c1[1] == "w2 w3 w4 w5"
     assert c1[-1].endswith("w9")
     assert by_doc[2][0].chunk_text == "only three words" and len(by_doc[2]) == 1
+
+
+def test_approx_user_counts_tolerance(spark):
+    """HLL sketch accuracy: approx within 5% of exact at rsd=0.02."""
+    from knowledge_graph_spark.queries.analytics import approx_user_counts
+    from knowledge_graph_spark.io import read_table
+
+    rows = approx_user_counts(read_table(spark, SF_SMALL, "events")).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(2, 0.05 * r.exact_users), r

@@ -66,3 +66,34 @@ def test_frame_sample_explode(media):
     assert frames.filter(F.col("frame_idx") % 10 != 0).count() == 0
     per = frames.groupBy("media_id").count().collect()
     assert per and all(r["count"] >= 1 for r in per)
+
+
+def test_resize_media(media):
+    from knowledge_graph_spark.beyond.multimodal import decode_metadata, resize_media
+
+    out = resize_media(media, max_width=64).cache()
+    assert out.count() == media.count()
+    # audio passes through untouched
+    assert out.filter((F.col("kind") == "audio") & F.col("resized")).count() == 0
+    wide = decode_metadata(media).filter(
+        (F.col("kind") != "audio") & (F.col("width") > 64)
+    )
+    resized = out.filter(F.col("resized"))
+    assert resized.count() == wide.count()
+    rows = resized.collect()
+    assert rows and all(r.width == 64 for r in rows)
+    # header dims were rewritten in the payload itself
+    r0 = rows[0]
+    b = bytes(r0.data)
+    assert int(b[5:10]) == 64 and int(b[10:15]) == r0.height
+    # payload shrank with the area
+    orig = {r.media_id: r for r in media.collect()}
+    assert all(len(bytes(r.data)) <= len(bytes(orig[r.media_id].data)) for r in rows)
+    out.unpersist()
+
+
+def test_resize_gated(media):
+    from knowledge_graph_spark.beyond.multimodal import resize_media
+
+    with pytest.raises(NotImplementedError, match="pillow"):
+        resize_media(media, decoder="pillow")

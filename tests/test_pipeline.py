@@ -98,12 +98,21 @@ using System.Text;
 public sealed class Handler {
     public interface IRunner {
     }
+
+    public async Task<int> Process() {
+        return 1;
+    }
 }
 ''',
     "native/lib.rs": '''
 use std::collections::HashMap;
 
 pub struct Engine;
+
+impl Engine {
+    pub fn start(&self) {
+    }
+}
 
 pub trait Runner {
 }
@@ -155,7 +164,13 @@ def test_definitions_and_fqns(indexed):
     assert "jvm.Service.Service.helper" in fqns
     assert "jvm.Model.Registry.register" in fqns
     assert "dotnet.Handler.Handler.IRunner" in fqns
+    # C# methods attribute to their class
+    assert "dotnet.Handler.Handler.Process" in fqns
     assert "native.lib.Engine" in fqns and "native.lib.run_engine" in fqns
+    # Rust fns inside `impl Engine` attribute to Engine; the impl block
+    # itself emits no definition row
+    assert "native.lib.Engine.start" in fqns
+    assert not any(".impl" in f or f.endswith("impl") for f in fqns)
     types = dict(
         kg.definitions.groupBy("definition_type").count().collect()
     )
@@ -287,3 +302,25 @@ def test_stats(indexed):
     assert stats.total_definitions >= 9
     assert stats.files_per_second > 0
     assert set(stats.per_language) == {"Python", "Ruby", "TypeScript", "Java", "Kotlin", "CSharp", "Rust"}
+
+
+def test_gitignore_filtering(spark, tmp_path):
+    """S1 parity: list_files honors .gitignore — dir patterns, globs,
+    anchoring, and `!` re-includes with last-match-wins order."""
+    from knowledge_graph_spark.pipeline.extract import list_files
+
+    files = {
+        "src/keep.py": "x = 1\n",
+        "src/tmp_cache.py": "x = 2\n",
+        "build/gen.py": "x = 3\n",
+        "docs/example.py": "x = 4\n",
+        "docs/keep_me.py": "x = 5\n",
+        ".gitignore": "build/\ntmp_*.py\n/docs/*.py\n!/docs/keep_me.py\n",
+    }
+    root = tmp_path / "gi-repo"
+    for rel, content in files.items():
+        p = root / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(content)
+    got = {r.relative_path for r in list_files(spark, str(root)).collect()}
+    assert got == {"src/keep.py", "docs/keep_me.py"}
