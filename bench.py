@@ -38,6 +38,14 @@ def main() -> None:
     from knowledge_graph_spark.io import read_table
 
     base = [read_table(spark, SF_DIR, t).cache() for t in ("lineitem", "orders", "part")]
+    # FORCE the base caches before the 8-way materialize fan-out: cache() is
+    # lazy, and 8 concurrent derivations racing an unfilled cache each re-scan
+    # the parquet (compute-and-cache is per-partition, not deduped across
+    # simultaneous jobs)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(3) as ex:
+        list(ex.map(lambda d: d.count(), base))
     kg = entrymod._graph(spark, SF_DIR)
     kg.materialize()
     for b in base:
