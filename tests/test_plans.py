@@ -117,3 +117,14 @@ def test_deterministic_sample_is_take_ordered(spark):
     plan = _plan(deterministic_sample(read_table(spark, SF_SMALL, "documents"), k=10))
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "Exchange rangepartitioning" not in plan, plan[:2000]
+
+
+def test_rollup_is_single_pass(spark):
+    """ROLLUP must compute the whole grouping lattice from ONE scan (Expand +
+    shared partial aggs) — not one scan per grouping set."""
+    from knowledge_graph_spark.io import read_table
+    from knowledge_graph_spark.queries.analytics import order_priority_rollup
+
+    plan = _plan(order_priority_rollup(read_table(spark, SF_SMALL, "orders")))
+    assert plan.count("FileScan parquet") == 1, plan[:2000]
+    assert "Expand" in plan, plan[:2000]
