@@ -26,6 +26,7 @@ from knowledge_graph_spark.beyond import similarity as SIM
 from knowledge_graph_spark.beyond import text as T
 from knowledge_graph_spark.io import read_table
 from knowledge_graph_spark.operators.asof import ASOF_LAST_CLICK_SQL
+from knowledge_graph_spark.operators.range_join import SESSION_INTERVAL_ATTRIBUTION_SQL
 from knowledge_graph_spark.queries import analytics as A
 from knowledge_graph_spark.queries import library as L
 
@@ -386,6 +387,23 @@ def _q_asof_last_click(spark, sf_dir):  # as-of join: purchase ← latest prior 
     )
 
 
+def _q_session_interval_attribution(spark, sf_dir):  # range join via buckets
+    from knowledge_graph_spark.operators.range_join import interval_join
+
+    ev = read_table(spark, sf_dir, "events")
+    sessions = A.sessionize(ev, gap_minutes=30).select(
+        "user_id", "session_seq", "session_start", "session_end", "n_events"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    return (
+        interval_join(purchases, sessions)
+        .select("event_id", "user_id", "ts", "session_seq", "n_events")
+        .orderBy("event_id", "session_seq")
+    )
+
+
 def _q_chunk_documents(spark, sf_dir):  # overlapping token-window chunking
     return T.chunk_documents(read_table(spark, sf_dir, "documents"), size=32, overlap=8)
 
@@ -601,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "deterministic_sample": _q_deterministic_sample,
         "asof_last_click": _q_asof_last_click,
+        "session_interval_attribution": _q_session_interval_attribution,
         "chunk_documents": _q_chunk_documents,
         "redact_pii": _q_redact_pii,
         "quality_percentiles": _q_quality_percentiles,
@@ -740,6 +759,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": SAMP.STRATIFIED_SAMPLE_SQL.format(k=25),
         "deterministic_sample": SAMP.DETERMINISTIC_SAMPLE_SQL.format(k=100),
         "asof_last_click": ASOF_LAST_CLICK_SQL,
+        "session_interval_attribution": SESSION_INTERVAL_ATTRIBUTION_SQL,
         "chunk_documents": T.CHUNK_DOCUMENTS_SQL.format(size=32, step=24),
         "redact_pii": T._redact_sql(),
         "quality_percentiles": T.QUALITY_PERCENTILES_SQL,

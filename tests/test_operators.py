@@ -55,3 +55,59 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     assert "Exchange hashpartitioning" not in plan, plan[:2000]
     spark.sql("DROP TABLE t_nodes_b")
     spark.sql("DROP TABLE t_edges_b")
+
+
+def test_interval_join_matches_brute_force(spark):
+    """Bucketized interval join ≡ the naive theta join, including boundary
+    inclusivity, multi-bucket spans, and points outside every interval."""
+    from knowledge_graph_spark.operators.range_join import interval_join
+
+    intervals = spark.createDataFrame(
+        [
+            (1, 100, 250, "a"),     # spans buckets 1-2 at B=100
+            (1, 300, 300, "b"),     # zero-length
+            (1, 240, 320, "c"),     # overlaps 'a' and 'b'
+            (2, 0, 1000, "d"),      # long interval, many buckets
+        ],
+        "user_id long, session_start long, session_end long, tag string",
+    )
+    points = spark.createDataFrame(
+        [(i, 1, i * 10) for i in range(40)] + [(100, 2, 500), (101, 3, 50)],
+        "event_id long, user_id long, ts long",
+    )
+    got = {
+        (r.event_id, r.tag)
+        for r in interval_join(points, intervals, bucket_seconds=100).collect()
+    }
+    expect = {
+        (p.event_id, i.tag)
+        for p in points.collect()
+        for i in intervals.collect()
+        if p.user_id == i.user_id and i.session_start <= p.ts <= i.session_end
+    }
+    assert got == expect and got  # non-trivial
+
+
+def test_interval_join_is_equi_join(spark):
+    """The composition must plan as a hash/sort-merge equi-join — never the
+    BroadcastNestedLoopJoin a raw BETWEEN predicate degenerates to."""
+    from knowledge_graph_spark.operators.range_join import interval_join
+
+    intervals = spark.range(100).select(
+        (F.col("id") % 5).alias("user_id"),
+        (F.col("id") * 50).alias("session_start"),
+        (F.col("id") * 50 + 40).alias("session_end"),
+    )
+    points = spark.range(1000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 5).alias("user_id"),
+        (F.col("id") * 7).alias("ts"),
+    )
+    plan = (
+        interval_join(points, intervals)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan, plan[:2000]
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan[:2000]
