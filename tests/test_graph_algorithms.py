@@ -132,3 +132,14 @@ def test_resolve_import_chains_follows_links(spark):
     )
     res = {r.import_id: r.depth for r in resolve_import_chains(kg2).collect()}
     assert res == {1: 2, 2: 1, 3: 0}
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has 4 triangles; duplicate/reversed edges and a pendant vertex
+    must not change the count."""
+    from knowledge_graph_spark.graph.algorithms import triangle_count
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    edges = k4 + [(b, a) for a, b in k4] + [("d", "e"), ("a", "b")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    assert triangle_count(df).collect()[0].n_triangles == 4
