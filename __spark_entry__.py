@@ -412,6 +412,10 @@ def _q_redact_pii(spark, sf_dir):  # PII/secret scrub + per-pattern counts
     return T.redact_pii(read_table(spark, sf_dir, "documents"))
 
 
+def _q_pack_documents(spark, sf_dir):  # sequence packing for training batches
+    return T.pack_documents(read_table(spark, sf_dir, "documents"), budget_tokens=256, n_buckets=8)
+
+
 def _q_quality_percentiles(spark, sf_dir):  # per-lang exact length percentiles
     return T.quality_percentiles(read_table(spark, sf_dir, "documents"))
 
@@ -664,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_click": _q_asof_last_click,
         "session_interval_attribution": _q_session_interval_attribution,
         "chunk_documents": _q_chunk_documents,
+        "pack_documents": _q_pack_documents,
         "redact_pii": _q_redact_pii,
         "quality_percentiles": _q_quality_percentiles,
         "token_counts": _q_token_counts,
@@ -805,6 +810,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_last_click": ASOF_LAST_CLICK_SQL,
         "session_interval_attribution": SESSION_INTERVAL_ATTRIBUTION_SQL,
         "chunk_documents": T.CHUNK_DOCUMENTS_SQL.format(size=32, step=24),
+        "pack_documents": T.PACK_DOCUMENTS_SQL.format(budget=256, n_buckets=8),
         "redact_pii": T._redact_sql(),
         "quality_percentiles": T.QUALITY_PERCENTILES_SQL,
         "token_counts": T.TOKEN_COUNTS_SQL.format(rx=T.TOKEN_REGEX),

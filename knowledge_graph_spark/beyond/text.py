@@ -12,7 +12,7 @@ regexp_count whose regex dialects differ.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -411,4 +411,63 @@ SELECT lang, count(*) AS n_docs,
 FROM documents
 GROUP BY lang
 ORDER BY lang
+"""
+
+
+def pack_documents(
+    docs: DataFrame, budget_tokens: int = 512, n_buckets: int = 32
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget packs — the
+    batch-construction step of an LLM training pipeline (concatenate docs,
+    emit ~budget-token training sequences).
+
+    Global greedy bin packing is inherently sequential, so the distributed
+    form packs WITHIN hash buckets: docs hash-partition into ``n_buckets``
+    independent streams, each stream orders by a hash (so pack contents are
+    deterministic but uncorrelated with doc order) and assigns
+    ``pack_seq = (running_tokens_before_doc) div budget`` — one shuffle, one
+    window pass. A doc straddling a boundary overflows its assigned pack;
+    pair with ``chunk_documents`` upstream to bound per-doc length. The
+    bucket count trades packing slack (one partial pack per bucket) for
+    parallelism — at 100 TB use buckets ≈ cores, slack stays O(buckets·budget)
+    tokens, and no stream is ever collected to one reducer.
+    """
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % n_buckets).alias("bucket"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("_cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "bucket",
+            "n_tokens",
+            F.expr(f"(_cum - n_tokens) div {int(budget_tokens)}").alias("pack_seq"),
+        )
+        .orderBy("bucket", "pack_seq", "doc_id")
+    )
+
+
+PACK_DOCUMENTS_SQL = """
+WITH t AS (
+  SELECT doc_id, doc_id % {n_buckets} AS bucket,
+         len(string_split(text, ' ')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, bucket, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, bucket, n_tokens, (cum - n_tokens) // {budget} AS pack_seq
+FROM c ORDER BY bucket, pack_seq, doc_id
 """

@@ -193,3 +193,34 @@ def test_approx_user_counts_tolerance(spark):
     assert rows
     for r in rows:
         assert abs(r.approx_users - r.exact_users) <= max(2, 0.05 * r.exact_users), r
+
+
+def test_pack_documents_budget_semantics(spark):
+    """Packs fill to the budget: every pack's pre-overflow token start is
+    within budget, pack_seq is contiguous per bucket, and assignment is
+    deterministic."""
+    from knowledge_graph_spark.beyond.text import pack_documents
+    from knowledge_graph_spark.io import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    out = pack_documents(docs, budget_tokens=100, n_buckets=4).collect()
+    assert {r.bucket for r in out} == {0, 1, 2, 3}
+    by_bucket: dict = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for rows in by_bucket.values():
+        seqs = [r.pack_seq for r in rows]
+        assert seqs == sorted(seqs)
+        # first pack is 0; ids may skip only when a doc overflows a budget
+        assert seqs[0] == 0
+        # packing accumulates in md5-hash stream order within the bucket
+        import hashlib
+
+        cum = 0
+        for r in sorted(
+            rows, key=lambda r: (hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id)
+        ):
+            assert r.pack_seq == cum // 100  # start offset determines pack
+            cum += r.n_tokens
+    out2 = pack_documents(docs, budget_tokens=100, n_buckets=4).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in out2]
