@@ -111,3 +111,34 @@ def test_interval_join_is_equi_join(spark):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     ), plan[:2000]
+
+
+def test_write_sorted_layout_enables_pruning(spark, tmp_path):
+    """write_sorted must produce files with narrow, non-overlapping key
+    ranges (checked against the parquet footers with pyarrow) — the property
+    that lets a range filter skip files via min/max stats."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from knowledge_graph_spark.io import write_sorted
+
+    df = spark.range(100_000).select(
+        (F.xxhash64("id") % 1000000).alias("k"), F.col("id").alias("payload")
+    )
+    out = str(tmp_path / "sorted")
+    write_sorted(df, out, ["k"], num_files=8)
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "k"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint key ranges across files
