@@ -362,6 +362,13 @@ def _q_deterministic_sample(spark, sf_dir):  # deterministic global hash sample
     return SAMP.deterministic_sample(read_table(spark, sf_dir, "documents"), k=100)
 
 
+_MIX_QUOTAS = {"en": 40, "fr": 10, "de": 10, "es": 10, "zh": 5}
+
+
+def _q_weighted_mix(spark, sf_dir):  # corpus mixing ratios per language
+    return SAMP.weighted_mix(read_table(spark, sf_dir, "documents"), _MIX_QUOTAS)
+
+
 def _q_asof_last_click(spark, sf_dir):  # as-of join: purchase ← latest prior click
     from knowledge_graph_spark.operators.asof import asof_join
 
@@ -665,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "stratified_sample": _q_stratified_sample,
         "deterministic_sample": _q_deterministic_sample,
+        "weighted_mix": _q_weighted_mix,
         "asof_last_click": _q_asof_last_click,
         "session_interval_attribution": _q_session_interval_attribution,
         "chunk_documents": _q_chunk_documents,
@@ -807,6 +815,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": D._clusters_sql().format(threshold=0.35),
         "stratified_sample": SAMP.STRATIFIED_SAMPLE_SQL.format(k=25),
         "deterministic_sample": SAMP.DETERMINISTIC_SAMPLE_SQL.format(k=100),
+        "weighted_mix": SAMP.weighted_mix_sql(_MIX_QUOTAS),
         "asof_last_click": ASOF_LAST_CLICK_SQL,
         "session_interval_attribution": SESSION_INTERVAL_ATTRIBUTION_SQL,
         "chunk_documents": T.CHUNK_DOCUMENTS_SQL.format(size=32, step=24),

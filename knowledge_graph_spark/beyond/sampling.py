@@ -70,3 +70,45 @@ FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
 LIMIT {k}
 """
+
+
+def weighted_mix(
+    df: DataFrame,
+    quotas: dict[str, int],
+    strata: str = "lang",
+    id_col: str = "doc_id",
+    cols: tuple[str, ...] = ("doc_id", "lang", "source", "n_chars"),
+) -> DataFrame:
+    """Corpus mixing: deterministic per-stratum quotas (e.g. up-weight en,
+    down-weight zh) — the mixing-ratio step of training-corpus construction.
+
+    Same single-window shape as ``stratified_sample`` but with a per-stratum
+    quota map instead of one k; strata absent from ``quotas`` are dropped
+    (quota 0). Undersized strata yield what they have — re-runs reproduce the
+    byte-identical mix at any parallelism.
+    """
+    qmap = F.create_map(*[F.lit(x) for kv in quotas.items() for x in kv])
+    w = Window.partitionBy(strata).orderBy(*_hash_order(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.coalesce(qmap[F.col(strata)], F.lit(0)))
+        .select(*cols)
+        .orderBy(strata, id_col)
+    )
+
+
+WEIGHTED_MIX_SQL = """
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents) t
+WHERE rk <= CASE lang {cases} ELSE 0 END
+ORDER BY lang, doc_id
+"""
+
+
+def weighted_mix_sql(quotas: dict[str, int]) -> str:
+    cases = " ".join(f"WHEN '{k}' THEN {int(v)}" for k, v in quotas.items())
+    return WEIGHTED_MIX_SQL.format(cases=cases)

@@ -224,3 +224,18 @@ def test_pack_documents_budget_semantics(spark):
             cum += r.n_tokens
     out2 = pack_documents(docs, budget_tokens=100, n_buckets=4).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in out2]
+
+
+def test_weighted_mix_quotas(spark):
+    from knowledge_graph_spark.beyond.sampling import weighted_mix
+    from knowledge_graph_spark.io import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    quotas = {"en": 7, "zh": 2}
+    out = weighted_mix(docs, quotas).collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    assert by_lang == {"en": 7, "zh": 2}  # other langs dropped (quota 0)
+    # deterministic and a subset of the full-k stratified order
+    assert out == weighted_mix(docs, quotas).collect()
