@@ -182,7 +182,7 @@ def _driver_union_find(spark: SparkSession, edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    kg: KnowledgeGraph, max_iter: int = 30, driver_finish_rows: int = 200_000
+    kg: KnowledgeGraph, max_iter: int = 30, driver_finish_rows: int = 600_000
 ) -> DataFrame:
     """Undirected connected components by randomized contraction.
 
@@ -250,8 +250,10 @@ def connected_components(
     # the driver, finish with union-find there — geometric shrink means the
     # tail rounds process a few thousand edges but still pay 3-4 Spark jobs
     # each (~2 s/round of pure scheduling). Bounded driver memory (two longs
-    # × threshold), so this is scale-safe — at 100 TB the loop contracts
-    # down to the same threshold. 0 disables (pure distributed loop).
+    # × threshold ≈ 10 MB at the default), so this is scale-safe — at 100 TB
+    # the loop contracts down to the same threshold. 0 disables (pure
+    # distributed loop). Measured at sf0.1: 600k (skips one distributed
+    # round vs 200k) is ~30-40% faster end-to-end.
 
     edges = und.filter(F.col("a") != F.col("b")).select("a", "b")
     m = out0.select("u", "lab")
