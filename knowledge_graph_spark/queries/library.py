@@ -866,6 +866,73 @@ def repo_map_walk(
     )
 
 
+def repo_map_fs(kg: KnowledgeGraph, root: str, depth: int = 3) -> DataFrame:
+    """Filesystem-walk repo map — the reference's actual G9 shape: the tree
+    comes from the REAL filesystem (repo_map/repository.rs:9-125: WalkBuilder
+    honoring .gitignore + hidden-file defaults, depth clamped to 3), while
+    definition counts come from the graph (service.rs:36-101).
+
+    The walk is a metadata-only ``binaryFile`` listing (path/length columns —
+    content bytes are never read), filtered by the repo's .gitignore via the
+    same JVM-side rlike fold as indexing (S1), so listing and index always
+    agree on visibility. Output: one row per directory/file within the depth
+    cap with its definition count; files one level below the deepest listed
+    directory are included (max_depth = depth+1, as in the reference).
+    """
+    from knowledge_graph_spark.pipeline.extract import gitignore_filter, load_gitignore
+
+    depth = min(depth, 3)
+    spark = kg.spark
+    listing = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(
+            F.regexp_replace(F.col("path"), "^file:" + root.rstrip("/") + "/", "").alias(
+                "path"
+            )
+        )
+        # ignore-crate default: hidden entries are skipped
+        .filter(~F.col("path").rlike(r"(^|/)\."))
+    )
+    patterns = load_gitignore(root)
+    if patterns:
+        listing = gitignore_filter(listing, patterns, path_col="path")
+    segs = F.split(F.col("path"), "/")
+    files = listing.filter(F.size(segs) <= depth + 1).select(
+        "path", F.lit("file").alias("entry_type"), (F.size(segs) - 1).alias("depth")
+    )
+    # every proper path prefix is a directory; depth cap applies to dirs too
+    dirs = (
+        listing.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(segs) - 1),
+                    lambda i: F.slice(segs, F.lit(1), i),
+                )
+            ).alias("parts")
+        )
+        .select(F.array_join("parts", "/").alias("path"))
+        .distinct()
+        .filter(F.size(F.split(F.col("path"), "/")) <= depth)
+        .select("path", F.lit("dir").alias("entry_type"), F.size(F.split(F.col("path"), "/")).alias("depth"))
+    )
+    defs = kg.definitions.groupBy(F.col("primary_file_path").alias("path")).agg(
+        F.count(F.lit(1)).alias("n_definitions")
+    )
+    return (
+        files.unionByName(dirs)
+        .join(defs, "path", "left_outer")
+        .select(
+            "path",
+            "entry_type",
+            "depth",
+            F.coalesce("n_definitions", F.lit(0)).alias("n_definitions"),
+        )
+        .orderBy("path")
+    )
+
+
 def repo_map_walk_sql_cond(paths: tuple[str, ...], depth: int) -> str:
     """DuckDB twin of repo_map_walk's file filter (segment-count depth cap)."""
     depth = min(depth, 3)

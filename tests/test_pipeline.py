@@ -324,3 +324,19 @@ def test_gitignore_filtering(spark, tmp_path):
         p.write_text(content)
     got = {r.relative_path for r in list_files(spark, str(root)).collect()}
     assert got == {"src/keep.py", "docs/keep_me.py"}
+
+
+def test_repo_map_fs_walk(indexed, repo_dir):
+    """FS-walk repo map: depth semantics (files one level below the deepest
+    listed dir included), real definition counts, no content reads."""
+    from knowledge_graph_spark.queries.library import repo_map_fs
+
+    kg, _ = indexed
+    rows = {r.path: r for r in repo_map_fs(kg, repo_dir, depth=1).collect()}
+    dirs = {p for p, r in rows.items() if r.entry_type == "dir"}
+    assert dirs == {"app", "web", "jvm", "dotnet", "native"}
+    files = {p for p, r in rows.items() if r.entry_type == "file"}
+    assert "web/main.ts" in files and "app/facade.py" in files
+    assert "app/models/user.py" not in files  # depth 3 > cap
+    assert rows["jvm/Service.java"].n_definitions == 3  # Service, syncAll, helper
+    assert rows["app"].n_definitions == 0  # dirs carry no defs
