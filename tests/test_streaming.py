@@ -94,3 +94,66 @@ def test_debounce_drops_excluded_dirs(spark):
     jobs = W.debounced_jobs(events).collect()
     assert len(jobs) == 1
     assert list(jobs[0].changed_paths) == ["src/main.py"]
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream containment join (availableNow) must equal the batch
+    bucketized interval join on the same data."""
+    import json
+
+    from knowledge_graph_spark.operators.range_join import interval_join
+    from knowledge_graph_spark.streaming.joins import interval_join_stream
+
+    points = [
+        {"event_id": 1, "user_id": 1, "ts": "2024-01-01T10:02:00"},
+        {"event_id": 2, "user_id": 1, "ts": "2024-01-01T11:00:00"},  # no interval
+        {"event_id": 3, "user_id": 2, "ts": "2024-01-01T10:30:00"},
+        {"event_id": 4, "user_id": 1, "ts": "2024-01-01T10:10:00"},  # boundary end
+    ]
+    intervals = [
+        {"user_id": 1, "session_seq": 1,
+         "session_start": "2024-01-01T10:00:00", "session_end": "2024-01-01T10:10:00"},
+        {"user_id": 2, "session_seq": 1,
+         "session_start": "2024-01-01T10:00:00", "session_end": "2024-01-01T10:45:00"},
+        {"user_id": 1, "session_seq": 2,
+         "session_start": "2024-01-01T12:00:00", "session_end": "2024-01-01T12:30:00"},
+    ]
+    pdir, idir = tmp_path / "points", tmp_path / "intervals"
+    pdir.mkdir(); idir.mkdir()
+    (pdir / "p.json").write_text("\n".join(json.dumps(r) for r in points))
+    (idir / "i.json").write_text("\n".join(json.dumps(r) for r in intervals))
+
+    p_schema = "event_id long, user_id long, ts timestamp"
+    i_schema = ("user_id long, session_seq long, "
+                "session_start timestamp, session_end timestamp")
+    ps = spark.readStream.schema(p_schema).json(str(pdir))
+    es = spark.readStream.schema(i_schema).json(str(idir))
+    q = (
+        interval_join_stream(ps, es)
+        .writeStream.format("memory")
+        .queryName("sij_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.event_id, r.session_seq) for r in spark.table("sij_out").collect()
+    }
+
+    pb = spark.createDataFrame(
+        [(r["event_id"], r["user_id"], r["ts"].replace("T", " ")) for r in points],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    ib = spark.createDataFrame(
+        [(r["user_id"], r["session_seq"], r["session_start"].replace("T", " "),
+          r["session_end"].replace("T", " ")) for r in intervals],
+        "user_id long, session_seq long, ss string, se string",
+    ).select("user_id", "session_seq",
+             F.col("ss").cast("timestamp").alias("session_start"),
+             F.col("se").cast("timestamp").alias("session_end"))
+    batch = {
+        (r.event_id, r.session_seq) for r in interval_join(pb, ib).collect()
+    }
+    assert streamed == batch == {(1, 1), (4, 1), (3, 1)}
