@@ -104,6 +104,21 @@ _JAVA_METHOD = re.compile(
     r"[\w<>\[\],\s]+\s+([a-z][\w$]*)\s*\("
 )
 _JAVA_IMPORT = re.compile(r"^\s*import\s+(?:static\s+)?([\w.]+?)(?:\.\*)?\s*;")
+# constructor (Java + C#): access modifier(s), then the PascalCase type name
+# directly followed by '(' — no return type, so the method regexes miss it
+_CTOR = re.compile(
+    r"^(\s*)(?:public\s+|private\s+|protected\s+|internal\s+)+([A-Z][\w]*)\s*\("
+)
+# Java field: modifiers + type + lowercase name ending in '=' or ';'
+_JAVA_FIELD = re.compile(
+    r"^(\s*)(?:public\s+|private\s+|protected\s+|static\s+|final\s+|volatile\s+|transient\s+)+"
+    r"[\w<>\[\],\s]+\s+([a-z][\w]*)\s*[=;]"
+)
+# C# auto-property: modifiers + type + PascalCase name + '{ get' / '{ set'
+_CS_PROP = re.compile(
+    r"^(\s*)(?:public\s+|private\s+|protected\s+|internal\s+|static\s+|virtual\s+|override\s+)+"
+    r"[\w<>\[\],\s?]+\s+([A-Z][\w]*)\s*\{\s*(?:get|set)"
+)
 _KT_DEF = re.compile(
     r"^(\s*)(?:data\s+|open\s+|sealed\s+|abstract\s+|final\s+|private\s+|public\s+|internal\s+|suspend\s+)*"
     r"(class|interface|object|fun)\s+([A-Za-z_][\w]*)"
@@ -138,6 +153,7 @@ _KEYWORDS = {
 
 _KIND_BY_KEYWORD = {
     "method": "Method",
+    "property": "Property",
     "class": "Class",
     "record": "Class",
     "struct": "Class",
@@ -168,6 +184,12 @@ def _match_def(language: str, line: str):
         m = _JAVA_METHOD.match(line)
         if m:
             return len(m.group(1)), "method", m.group(2)
+        m = _CTOR.match(line)
+        if m:
+            return len(m.group(1)), "method", m.group(2)
+        m = _JAVA_FIELD.match(line)
+        if m:
+            return len(m.group(1)), "property", m.group(2)
         return None
     if language == "Kotlin":
         m = _KT_DEF.match(line)
@@ -176,7 +198,13 @@ def _match_def(language: str, line: str):
         m = _CS_TYPE.match(line)
         if m:
             return len(m.group(1)), m.group(2), m.group(3)
+        m = _CS_PROP.match(line)
+        if m:
+            return len(m.group(1)), "property", m.group(2)
         m = _CS_METHOD.match(line)
+        if m:
+            return len(m.group(1)), "method", m.group(2)
+        m = _CTOR.match(line)
         if m:
             return len(m.group(1)), "method", m.group(2)
         return None

@@ -73,6 +73,10 @@ import java.util.List;
 public class Service {
     private final List<String> names;
 
+    public Service() {
+        helper();
+    }
+
     public void syncAll() {
         helper();
     }
@@ -97,6 +101,11 @@ using System.Text;
 
 public sealed class Handler {
     public interface IRunner {
+    }
+
+    public int Retries { get; set; }
+
+    public Handler() {
     }
 
     public async Task<int> Process() {
@@ -164,8 +173,13 @@ def test_definitions_and_fqns(indexed):
     assert "jvm.Service.Service.helper" in fqns
     assert "jvm.Model.Registry.register" in fqns
     assert "dotnet.Handler.Handler.IRunner" in fqns
-    # C# methods attribute to their class
+    # C# methods, constructors and auto-properties attribute to their class
     assert "dotnet.Handler.Handler.Process" in fqns
+    assert "dotnet.Handler.Handler.Handler" in fqns  # constructor
+    assert "dotnet.Handler.Handler.Retries" in fqns  # auto-property
+    # Java constructor + field
+    assert "jvm.Service.Service.Service" in fqns
+    assert "jvm.Service.Service.names" in fqns
     assert "native.lib.Engine" in fqns and "native.lib.run_engine" in fqns
     # Rust fns inside `impl Engine` attribute to Engine; the impl block
     # itself emits no definition row
@@ -338,5 +352,6 @@ def test_repo_map_fs_walk(indexed, repo_dir):
     files = {p for p, r in rows.items() if r.entry_type == "file"}
     assert "web/main.ts" in files and "app/facade.py" in files
     assert "app/models/user.py" not in files  # depth 3 > cap
-    assert rows["jvm/Service.java"].n_definitions == 3  # Service, syncAll, helper
+    # Service, ctor, names field, syncAll, helper
+    assert rows["jvm/Service.java"].n_definitions == 5
     assert rows["app"].n_definitions == 0  # dirs carry no defs
