@@ -41,6 +41,7 @@ ROWS_ONLY = {
     "ivf_ann",
     "pagerank_top20",
     "connected_components_sizes",
+    "k_core_sizes",
     "import_chain_resolution",
     "media_decode_stats",
     "media_frame_sample",
@@ -564,6 +565,17 @@ def _q_connected_components_sizes(spark, sf_dir):  # rows-only (hash labels)
     )
 
 
+def _q_k_core_sizes(spark, sf_dir):  # rows-only (iterative peeling)
+    from knowledge_graph_spark.graph.algorithms import k_core
+
+    return (
+        k_core(_graph(spark, sf_dir), k=2)
+        .groupBy("node_table")
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.max("degree").alias("max_degree"))
+        .orderBy("node_table")
+    )
+
+
 def _q_import_chain_resolution(spark, sf_dir):  # J8 fixpoint, rows-only
     from knowledge_graph_spark.graph.algorithms import resolve_import_chains
 
@@ -690,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "pagerank_top20": _q_pagerank_top20,
         "connected_components_sizes": _q_connected_components_sizes,
+        "k_core_sizes": _q_k_core_sizes,
         "import_chain_resolution": _q_import_chain_resolution,
         "media_decode_stats": _q_media_decode_stats,
         "media_frame_sample": _q_media_frame_sample,

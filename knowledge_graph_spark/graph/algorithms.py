@@ -518,3 +518,64 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return tri
+
+
+def k_core(kg: KnowledgeGraph, k: int = 2, max_iter: int = 50) -> DataFrame:
+    """k-core decomposition: iteratively peel nodes with (undirected, deduped)
+    degree < k until fixpoint; returns surviving (node_table, node_id, degree)
+    — degree as of the final core.
+
+    Peeling is the canonical 'iterate until stable' graph reduction (dense
+    subgraph mining, spam/bot cluster surfacing in training-data graphs).
+    Each round costs one degree aggregation and one semi-join edge filter on
+    the shrinking edge set; rounds are O(peeling depth), and every round ends
+    in an eager checkpoint so lineage stays flat. Node keys are xxhash64
+    longs (narrow shuffles), the same trick as connected_components.
+    """
+    before = _persistent_rdd_ids(kg.spark)
+    parts = []
+    for df in kg.edges.values():
+        ha = F.xxhash64("source_table", "source_id")
+        hb = F.xxhash64("target_table", "target_id")
+        parts.append(
+            df.select(
+                F.col("source_table").alias("t"), F.col("source_id").alias("id"),
+                ha.alias("a"), hb.alias("b"),
+            )
+        )
+        parts.append(
+            df.select(
+                F.col("target_table").alias("t"), F.col("target_id").alias("id"),
+                hb.alias("a"), ha.alias("b"),
+            )
+        )
+    und = parts[0]
+    for p in parts[1:]:
+        und = und.unionByName(p)
+    # node dictionary (one row per endpoint key) + deduped directed-both-ways
+    # edge list, from ONE pass over the union
+    names = und.groupBy("a").agg(F.first("t").alias("t"), F.first("id").alias("id"))
+    edges = (
+        und.filter(F.col("a") != F.col("b")).select("a", "b").distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        weak = deg.filter(F.col("d") < k).select("a")
+        if weak.isEmpty():
+            break
+        # drop every edge touching a weak node (both directions are present,
+        # so two semi-filters on `a`-side suffice via the mirrored copy)
+        edges = (
+            edges.join(weak, "a", "left_anti")
+            .join(weak.withColumnRenamed("a", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+    out = (
+        deg.join(names, "a")
+        .select(F.col("t").alias("node_table"), F.col("id").alias("node_id"), "degree")
+        .orderBy("node_table", "node_id")
+    )
+    return _checkpoint_and_release(kg.spark, before, out)

@@ -34,3 +34,18 @@ def duck_med():
     from tests.oracle_utils import duck_con
 
     return duck_con(SF_MED)
+
+
+def make_edge_df(spark, pairs):
+    """Edge DataFrame from (src_label, dst_label) pairs — labels map to
+    stable ints; table fixed to definition_nodes. Only the four endpoint
+    columns the graph algorithms read are materialized."""
+    rows = [
+        ("definition_nodes", float(ord(a[0]) * 100 + len(a)), "definition_nodes",
+         float(ord(b[0]) * 100 + len(b)))
+        for a, b in pairs
+    ]
+    return spark.createDataFrame(
+        [(t1, int(i1), t2, int(i2)) for t1, i1, t2, i2 in rows],
+        "source_table string, source_id long, target_table string, target_id long",
+    )

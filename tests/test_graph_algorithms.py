@@ -143,3 +143,25 @@ def test_triangle_count_known_graph(spark):
     edges = k4 + [(b, a) for a, b in k4] + [("d", "e"), ("a", "b")]
     df = spark.createDataFrame(edges, "src string, dst string")
     assert triangle_count(df).collect()[0].n_triangles == 4
+
+
+def test_k_core_peels_to_triangle(spark):
+    """Triangle + pendant tail: the 2-core is exactly the triangle, and
+    peeling must cascade (removing the leaf makes its neighbor weak too)."""
+    from knowledge_graph_spark.graph.algorithms import k_core
+    from knowledge_graph_spark.graph.model import KnowledgeGraph
+    from tests.conftest import make_edge_df
+
+    # a-b-c triangle; c-d-e chain hanging off it
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    kg = KnowledgeGraph(
+        spark,
+        nodes={},
+        edges={"definition_relationships": make_edge_df(spark, pairs)},
+    )
+    out = k_core(kg, k=2).collect()
+    # hashed ids: check by count and degrees — the triangle survives with
+    # degree 2 each; d and e cascade out
+    assert len(out) == 3
+    assert all(r.degree == 2 for r in out)
+    assert k_core(kg, k=3).count() == 0
