@@ -268,6 +268,12 @@ def _q_parts_not_recently_shipped(spark, sf_dir):  # J10 left-anti
     )
 
 
+def _q_small_quantity_revenue(spark, sf_dir):  # Q17 shape: agg-subquery join
+    return A.small_quantity_revenue(
+        read_table(spark, sf_dir, "lineitem"), read_table(spark, sf_dir, "part")
+    )
+
+
 def _q_supplier_nation_rollup(spark, sf_dir):  # A6 broadcast dim rollup
     return A.supplier_nation_rollup(
         read_table(spark, sf_dir, "supplier"), read_table(spark, sf_dir, "nation")
@@ -667,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_distribution": _q_customer_order_distribution,
         "parts_not_recently_shipped": _q_parts_not_recently_shipped,
         "supplier_nation_rollup": _q_supplier_nation_rollup,
+        "small_quantity_revenue": _q_small_quantity_revenue,
         "event_hourly_rollup": _q_event_hourly_rollup,
         "event_type_stats": _q_event_type_stats,
         "sessionize": _q_sessionize,
@@ -805,6 +812,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_distribution": A.CUSTOMER_ORDER_DISTRIBUTION_SQL,
         "parts_not_recently_shipped": A.PARTS_NOT_RECENTLY_SHIPPED_SQL.format(since="2001-01-01"),
         "supplier_nation_rollup": A.SUPPLIER_NATION_ROLLUP_SQL,
+        "small_quantity_revenue": A.SMALL_QUANTITY_REVENUE_SQL.format(name_word="ring"),
         "event_hourly_rollup": A.EVENT_HOURLY_ROLLUP_SQL,
         "event_type_stats": A.EVENT_TYPE_STATS_SQL,
         "sessionize": A.SESSIONIZE_SQL.format(gap_minutes=30),

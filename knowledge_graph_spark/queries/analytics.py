@@ -478,3 +478,57 @@ def approx_user_counts(events: DataFrame, rsd: float = 0.02) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def small_quantity_revenue(li: DataFrame, part: DataFrame, name_word: str = "ring") -> DataFrame:
+    """TPC-H Q17 shape: filter facts against a PER-GROUP aggregate (orders of
+    unusually small quantity for their part), then aggregate the survivors.
+
+    The plan family this adds: aggregate-subquery join — pre-aggregate the
+    fact table per key (map-side combinable, output is |parts| rows), join
+    the tiny aggregate back onto the facts, filter, final agg. At 100 TB the
+    per-part average table is dimension-sized, so the join broadcasts; the
+    fact table is scanned twice but shuffled at most once (the pre-agg) —
+    the naive correlated-subquery form would re-scan per row.
+
+    Threshold arithmetic is double computed from an exact decimal sum and an
+    exact count — bit-identical across engines, so boundary rows agree.
+    """
+    avg_q = (
+        li.groupBy("l_partkey")
+        .agg(
+            (
+                F.sum(_dec("l_quantity")).cast("string").cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty")
+        )
+    )
+    p = part.filter(F.col("p_name").contains(name_word)).select("p_partkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(_dec("l_extendedprice")).cast("string").cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+WITH avg_q AS (
+  SELECT l_partkey,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_q USING (l_partkey)
+WHERE contains(p_name, '{name_word}')
+  AND l_quantity < 0.2 * avg_qty
+"""
