@@ -130,3 +130,114 @@ def test_deterministic_sample_stable_and_monotone(spark, ids):
     assert s1 == s2
     assert len(s1) == min(k, len(ids))
     assert s1 == bigger[: len(s1)]
+
+
+# -- interval join vs brute force -------------------------------------------
+
+_ij_inputs = st.tuples(
+    # points: (key, ts)
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 40)), max_size=10),
+    # intervals: (key, start, length)
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(0, 15)),
+        max_size=6,
+    ),
+    st.sampled_from([3, 7, 100]),  # bucket width incl. degenerate wide bucket
+)
+
+
+@given(_ij_inputs)
+@settings(**SETTINGS)
+def test_interval_join_matches_bruteforce(spark, inputs):
+    from knowledge_graph_spark.operators.range_join import interval_join
+
+    points, intervals, bucket = inputs
+    p = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(points)] or [(None,) * 3],
+        "event_id long, user_id long, ts long",
+    ).filter("event_id is not null")
+    iv = spark.createDataFrame(
+        [(j, k, s, s + ln) for j, (k, s, ln) in enumerate(intervals)] or [(None,) * 4],
+        "iid long, user_id long, session_start long, session_end long",
+    ).filter("iid is not null")
+    got = {
+        (r.event_id, r.iid)
+        for r in interval_join(p, iv, bucket_seconds=bucket).collect()
+    }
+    expect = {
+        (i, j)
+        for i, (k, t) in enumerate(points)
+        for j, (k2, s, ln) in enumerate(intervals)
+        if k == k2 and s <= t <= s + ln
+    }
+    assert got == expect
+
+
+# -- triangle count vs brute force ------------------------------------------
+
+_tri_edges = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)), max_size=20
+)
+
+
+@given(_tri_edges)
+@settings(**SETTINGS)
+def test_triangle_count_matches_bruteforce(spark, pairs):
+    from itertools import combinations
+
+    from knowledge_graph_spark.graph.algorithms import triangle_count
+
+    df = spark.createDataFrame(
+        pairs or [(None, None)], "src long, dst long"
+    ).filter("src is not null")
+    got = triangle_count(df).collect()[0].n_triangles or 0
+    und = {frozenset(p) for p in pairs if p[0] != p[1]}
+    nodes = {n for e in und for n in e}
+    expect = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= und
+    )
+    assert got == expect
+
+
+# -- k-core vs brute-force peeling ------------------------------------------
+
+_core_edges = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6)), min_size=1, max_size=15
+)
+
+
+@given(_core_edges, st.integers(1, 3))
+@settings(**SETTINGS)
+def test_k_core_matches_bruteforce(spark, pairs, k):
+    from knowledge_graph_spark.graph.algorithms import k_core
+    from knowledge_graph_spark.graph.model import KnowledgeGraph
+
+    labels = sorted({n for p in pairs for n in p})
+    name = {n: chr(ord("a") + n) for n in labels}
+    from tests.conftest import make_edge_df
+
+    kg = KnowledgeGraph(
+        spark,
+        nodes={},
+        edges={"definition_relationships": make_edge_df(
+            spark, [(name[a], name[b]) for a, b in pairs]
+        )},
+    )
+    got = {(r.node_id, r.degree) for r in k_core(kg, k=k).collect()}
+
+    # brute-force peel
+    und = {frozenset(p) for p in pairs if p[0] != p[1]}
+    alive = {n for e in und for n in e}
+    while True:
+        deg = {n: sum(1 for e in und if n in e) for n in alive}
+        weak = {n for n in alive if deg.get(n, 0) < k}
+        if not weak:
+            break
+        alive -= weak
+        und = {e for e in und if not (e & weak)}
+    expect = {
+        (ord(name[n][0]) * 100 + 1, sum(1 for e in und if n in e)) for n in alive
+    }
+    assert got == expect
