@@ -30,10 +30,13 @@ from knowledge_graph_spark.operators.range_join import SESSION_INTERVAL_ATTRIBUT
 from knowledge_graph_spark.queries import analytics as A
 from knowledge_graph_spark.queries import library as L
 
-#: queries with no SQL-expressible oracle (probabilistic LSH/banding) — the
-#: driver records a weaker rows-only check for these; their exact twins
-#: (ngram_jaccard_pairs, cosine_topk) ARE oracle-checked, and pytest verifies
-#: candidate-recall of the probabilistic variants against the exact ones.
+#: queries with no SQL-expressible oracle — probabilistic (LSH/banding/HLL
+#: sketches), iterative-non-monotone (pagerank, components, k-core peeling),
+#: or mapInPandas stubs. The driver records a weaker rows-only check; exact
+#: twins (ngram_jaccard_pairs, cosine_topk, countDistinct column) ARE
+#: oracle-checked, and pytest pins the probabilistic/iterative variants
+#: against exact references (recall containment, union-find, brute-force
+#: peeling, error bounds).
 ROWS_ONLY = {
     "minhash_lsh_pairs",
     "simhash_buckets",
