@@ -45,6 +45,7 @@ ROWS_ONLY = {
     "pagerank_top20",
     "connected_components_sizes",
     "k_core_sizes",
+    "label_prop_communities",
     "import_chain_resolution",
     "media_decode_stats",
     "media_frame_sample",
@@ -574,6 +575,20 @@ def _q_connected_components_sizes(spark, sf_dir):  # rows-only (hash labels)
     )
 
 
+def _q_label_prop_communities(spark, sf_dir):  # rows-only (iterative LPA)
+    from knowledge_graph_spark.graph.algorithms import label_propagation
+
+    return (
+        # 2 rounds: the community-size snapshot stabilizes early; each extra
+        # round is ~3 shuffles of the full both-direction edge list
+        label_propagation(_graph(spark, sf_dir), rounds=2)
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), "community")
+        .limit(50)
+    )
+
+
 def _q_k_core_sizes(spark, sf_dir):  # rows-only (iterative peeling)
     from knowledge_graph_spark.graph.algorithms import k_core
 
@@ -713,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_top20": _q_pagerank_top20,
         "connected_components_sizes": _q_connected_components_sizes,
         "k_core_sizes": _q_k_core_sizes,
+        "label_prop_communities": _q_label_prop_communities,
         "import_chain_resolution": _q_import_chain_resolution,
         "media_decode_stats": _q_media_decode_stats,
         "media_frame_sample": _q_media_frame_sample,

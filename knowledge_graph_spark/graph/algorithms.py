@@ -579,3 +579,72 @@ def k_core(kg: KnowledgeGraph, k: int = 2, max_iter: int = 50) -> DataFrame:
         .orderBy("node_table", "node_id")
     )
     return _checkpoint_and_release(kg.spark, before, out)
+
+
+def label_propagation(kg: KnowledgeGraph, rounds: int = 3) -> DataFrame:
+    """Semi-synchronous label propagation (LPA) communities: every node
+    repeatedly adopts the most frequent label among its neighbors (ties →
+    smallest label, so the result is deterministic). Unlike
+    connected_components (pure connectivity), LPA splits a connected graph
+    into DENSITY-based communities — the near-dup-cluster / spam-ring lens
+    on a training-data graph.
+
+    Fixed round count (LPA does not converge monotonically); each round is
+    one join of the label vector onto the cached adjacency (reusing its
+    hash(b) clustering), one (node, label) count aggregation, and one
+    per-node argmax window — all shuffles carry at most |E| narrow rows, and
+    each round ends in an eager checkpoint. Isolated nodes keep their own
+    label via the left join.
+    """
+    before = _persistent_rdd_ids(kg.spark)
+    parts = []
+    for df in kg.edges.values():
+        ha = F.xxhash64("source_table", "source_id")
+        hb = F.xxhash64("target_table", "target_id")
+        parts.append(
+            df.select(
+                F.col("source_table").alias("t"), F.col("source_id").alias("id"),
+                ha.alias("a"), hb.alias("b"),
+            )
+        )
+        parts.append(
+            df.select(
+                F.col("target_table").alias("t"), F.col("target_id").alias("id"),
+                hb.alias("a"), ha.alias("b"),
+            )
+        )
+    und = parts[0]
+    for p in parts[1:]:
+        und = und.unionByName(p)
+    names = und.groupBy("a").agg(F.first("t").alias("t"), F.first("id").alias("id"))
+    edges = (
+        und.filter(F.col("a") != F.col("b")).select("a", "b").distinct()
+        .repartition(F.col("b")).cache()
+    )
+    edges.count()
+    labels = names.select(F.col("a").alias("u"), F.col("a").alias("lab"))
+    w = Window.partitionBy("a").orderBy(F.desc("n"), "lab")
+    for _ in range(rounds):
+        nb = (
+            edges.join(labels.withColumnRenamed("u", "b"), "b")
+            .groupBy("a", "lab")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("a").alias("u"), F.col("lab").alias("new_lab"))
+        )
+        labels = (
+            labels.join(nb, "u", "left_outer")
+            .select("u", F.coalesce("new_lab", "lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    out = (
+        labels.join(names, labels.u == names.a)
+        .select(
+            F.col("t").alias("node_table"), F.col("id").alias("node_id"),
+            F.col("lab").alias("community"),
+        )
+        .orderBy("node_table", "node_id")
+    )
+    return _checkpoint_and_release(kg.spark, before, out)

@@ -165,3 +165,27 @@ def test_k_core_peels_to_triangle(spark):
     assert len(out) == 3
     assert all(r.degree == 2 for r in out)
     assert k_core(kg, k=3).count() == 0
+
+
+def test_label_propagation_invariants(spark):
+    """Every node gets exactly one community; disconnected subgraphs never
+    share one; the assignment is deterministic."""
+    from knowledge_graph_spark.graph.algorithms import label_propagation
+    from knowledge_graph_spark.graph.model import KnowledgeGraph
+    from tests.conftest import make_edge_df
+
+    clique1 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    clique2 = [(a, b) for a in "wxyz" for b in "wxyz" if a < b]
+    kg = KnowledgeGraph(
+        spark, nodes={},
+        edges={"definition_relationships": make_edge_df(spark, clique1 + clique2)},
+    )
+    rows = label_propagation(kg).collect()
+    assert len(rows) == 8 and len({r.node_id for r in rows}) == 8
+    comm = {r.node_id: r.community for r in rows}
+    left = {comm[ord(c) * 100 + 1] for c in "abcd"}
+    right = {comm[ord(c) * 100 + 1] for c in "wxyz"}
+    assert not (left & right)  # disconnected components never merge
+    assert len(left) == 1 and len(right) == 1  # cliques converge to one label
+    rows2 = label_propagation(kg).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
