@@ -468,6 +468,7 @@ c AS (
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM t
 )
-SELECT doc_id, bucket, n_tokens, (cum - n_tokens) // {budget} AS pack_seq
+SELECT doc_id, bucket, n_tokens,
+  CAST((cum - n_tokens) // {budget} AS BIGINT) AS pack_seq
 FROM c ORDER BY bucket, pack_seq, doc_id
 """

@@ -71,9 +71,10 @@ WITH flagged AS (
   FROM events
 ),
 ids AS (
+  -- CAST: DuckDB SUM(int) is HUGEINT → float64 in pandas; Spark emits BIGINT
   SELECT user_id, ts,
-    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM flagged
 ),
 sessions AS (

@@ -299,7 +299,7 @@ EVENT_TYPE_STATS_SQL = """
 SELECT event_type, COUNT(*) AS n,
   CAST(MIN(value) AS DOUBLE) AS min_value,
   CAST(MAX(value) AS DOUBLE) AS max_value,
-  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY event_type ORDER BY event_type
 """
@@ -351,9 +351,12 @@ WITH flagged AS (
   FROM events
 ),
 ids AS (
+  -- CAST: DuckDB SUM(int) yields HUGEINT, which pandas renders as float64;
+  -- Spark's sum(int) is BIGINT. The driver hashes rendered values, so the
+  -- types must agree ("3" vs "3.0").
   SELECT user_id, ts, value,
-    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq,

@@ -32,19 +32,27 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    """Type-strict cell canonicalization mirroring a string-render hash:
+    int vs float are DISTINCT (DuckDB HUGEINT→float64 must fail here like it
+    fails the driver's hash), tz info is kept, NaN→None. Width within a
+    family (int32 vs int64) is collapsed via .item()."""
     if v is None:
         return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return None
-        return v
     if hasattr(v, "item") and not isinstance(v, (list, tuple, str)):
         try:
             v = v.item()
         except Exception:
             pass
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return ("f", v)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, pd.Timestamp):
-        return v.to_pydatetime().replace(tzinfo=None)
+        return ("ts", str(v.to_pydatetime()))
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_norm_cell(x) for x in v)
     return v
