@@ -11,10 +11,11 @@ Reference behaviors re-expressed:
 
 Scale note: ``row_number`` over a single unpartitioned window is a
 single-reducer bottleneck at 100 TB. ``assign_dense_ids`` therefore uses
-``zipWithIndex``-equivalent two-phase numbering: per-partition counts are
-collected (tiny — one long per partition), then each partition adds its
-exclusive prefix-sum offset. Ordering stays deterministic because rows are
-first repartitioned by range on the key (stable total order).
+``zipWithIndex``-equivalent two-phase numbering, entirely JVM-side: local
+indexes come from ``monotonically_increasing_id``'s low 33 bits, partition
+offsets from a tiny count aggregation + exclusive prefix sum broadcast back.
+Ordering stays deterministic because rows are first repartitioned by range
+on the key (stable total order).
 """
 
 from __future__ import annotations
@@ -131,35 +132,30 @@ def assign_dense_ids(
     ranged = df.repartitionByRange(parts, *[F.col(c) for c in key_cols])
     ranged = ranged.sortWithinPartitions(*key_cols)
 
-    spark = df.sparkSession
-
-    def number_partition(idx: int, it):
-        n = 0
-        for row in it:
-            n += 1
-        yield (idx, n)
-
-    counts = dict(
-        ranged.rdd.mapPartitionsWithIndex(
-            lambda idx, it: [(idx, sum(1 for _ in it))]
-        ).collect()
+    # JVM-only two-phase numbering (no Python RDD — every row would be
+    # pickled twice on the 100 TB indexing hot path otherwise):
+    # monotonically_increasing_id() carries the record number WITHIN each
+    # partition in its lower 33 bits, computed in the same stage as the
+    # sort, so the local index needs no window (and no extra shuffle).
+    local_mask = (1 << 33) - 1
+    with_mid = ranged.select(
+        F.spark_partition_id().alias("_pid"),
+        F.monotonically_increasing_id().bitwiseAND(F.lit(local_mask)).alias("_local"),
+        *df.columns,
     )
-    offsets = {}
-    acc = start
-    for idx in sorted(counts):
-        offsets[idx] = acc
-        acc += counts[idx]
-    b_offsets = spark.sparkContext.broadcast(offsets)
-
-    schema = ranged.schema.add(id_col, "long", False)
-
-    def add_ids(idx: int, it):
-        base = b_offsets.value.get(idx, 0)
-        for i, row in enumerate(it):
-            yield (*row, base + i)
-
-    out = spark.createDataFrame(
-        ranged.rdd.mapPartitionsWithIndex(add_ids, preservesPartitioning=True), schema
+    # Per-partition counts are one row per partition — the exclusive prefix
+    # sum over them is a tiny single-partition window, then broadcast-joined
+    # back so the big side never moves again. The counts branch re-reads the
+    # same range-partition exchange (reused, and RangePartitioner's sampling
+    # is seed-fixed, so both branches see identical partition bounds).
+    counts = with_mid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        (F.coalesce(F.sum("_n").over(w_off), F.lit(0)) + F.lit(start)).alias("_off"),
+    )
+    out = with_mid.join(F.broadcast(offsets), "_pid").withColumn(
+        id_col, (F.col("_off") + F.col("_local")).cast("long")
     )
     return out.select(id_col, *[c for c in df.columns])
 

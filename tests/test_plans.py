@@ -128,3 +128,17 @@ def test_rollup_is_single_pass(spark):
     plan = _plan(order_priority_rollup(read_table(spark, SF_SMALL, "orders")))
     assert plan.count("FileScan parquet") == 1, plan[:2000]
     assert "Expand" in plan, plan[:2000]
+
+
+def test_assign_dense_ids_stays_jvm_side(spark):
+    """D9 at 100 TB: the dense-ID numbering must not route rows through
+    Python (pickle per row) — the plan may contain no Python eval nodes."""
+    from knowledge_graph_spark.io import assign_dense_ids
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.concat(F.lit("p"), F.col("id")).alias("path")
+    )
+    plan = _plan(assign_dense_ids(df, ["k", "path"]))
+    for marker in ("BatchEvalPython", "PythonRDD", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
