@@ -500,6 +500,8 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     wedge savings — apply it only when a degree profile
     (library.degree_distribution) shows real hubs.
     """
+    spark = edges.sparkSession
+    before = _persistent_rdd_ids(spark)
     e = (
         edges.filter(F.col(src) != F.col(dst))
         .select(
@@ -517,7 +519,9 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .join(e3, (e1.u == e3.u3) & (e2.w == e3.w3))
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    return tri
+    # release the cached canonical edge set once the count is materialized —
+    # without this every invocation leaked a session-lifetime cached dataset
+    return _checkpoint_and_release(spark, before, tri)
 
 
 def k_core(kg: KnowledgeGraph, k: int = 2, max_iter: int = 50) -> DataFrame:

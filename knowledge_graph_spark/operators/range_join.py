@@ -37,21 +37,26 @@ def interval_join(
     start_col: str = "session_start",
     end_col: str = "session_end",
     bucket_seconds: int = 3600,
+    max_buckets_per_interval: int = 10_000,
 ) -> DataFrame:
     """Inner-join each point row to every interval row of the same ``key``
     with ``start <= ts <= end`` (inclusive both ends, matching SQL BETWEEN).
     All point and interval columns survive; duplicate-named columns must be
-    disambiguated by the caller beforehand."""
+    disambiguated by the caller beforehand.
+
+    ``max_buckets_per_interval`` clamps the per-row explode: one corrupt
+    interval (epoch-0 start next to a current-time end) would otherwise
+    expand to millions of rows or trip Spark's sequence-length limit and
+    fail the whole job. Points falling beyond ``start + cap·bucket_seconds``
+    of a clamped interval are not matched — pick the cap so that legitimate
+    intervals stay under it."""
     b = F.lit(int(bucket_seconds))
-    i = intervals.withColumn(
-        "_bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(start_col).cast("long") / b),
-                F.floor(F.col(end_col).cast("long") / b),
-            )
-        ),
+    start_bucket = F.floor(F.col(start_col).cast("long") / b)
+    end_bucket = F.least(
+        F.floor(F.col(end_col).cast("long") / b),
+        start_bucket + F.lit(int(max_buckets_per_interval) - 1),
     )
+    i = intervals.withColumn("_bucket", F.explode(F.sequence(start_bucket, end_bucket)))
     p = points.withColumn("_bucket", F.floor(F.col(point_ts).cast("long") / b))
     joined = p.join(i, [key, "_bucket"]).filter(
         F.col(point_ts).between(F.col(start_col), F.col(end_col))

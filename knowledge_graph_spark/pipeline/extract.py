@@ -381,6 +381,13 @@ def gitignore_filter(df: DataFrame, patterns: list[str], path_col: str = "relati
     this covers the common pattern forms (see _gitignore_pattern_regex).
     """
     ignored = F.lit(False)
+    # git semantics: a `!` negation cannot re-include a path whose parent
+    # directory is excluded by an earlier dir-only pattern (`build/` then
+    # `!build/keep.py` keeps keep.py ignored). Track ancestor exclusion as
+    # the OR of dir-only positive patterns seen so far; remaining divergence
+    # (a negated dir-only pattern un-excluding the dir for later patterns)
+    # is not modeled.
+    ancestor_excluded = F.lit(False)
     for raw in patterns:
         pat = raw.strip()
         if not pat or pat.startswith("#"):
@@ -388,10 +395,16 @@ def gitignore_filter(df: DataFrame, patterns: list[str], path_col: str = "relati
         neg = pat.startswith("!")
         if neg:
             pat = pat[1:]
+        dir_only = pat.endswith("/")
         rx = _gitignore_pattern_regex(pat)
         # wrap outward: the last pattern in file order is tested first =
         # last-match-wins
-        ignored = F.when(F.col(path_col).rlike(rx), F.lit(not neg)).otherwise(ignored)
+        match = F.col(path_col).rlike(rx)
+        if neg:
+            match = match & ~ancestor_excluded
+        ignored = F.when(match, F.lit(not neg)).otherwise(ignored)
+        if not neg and dir_only:
+            ancestor_excluded = ancestor_excluded | F.col(path_col).rlike(rx)
     return df.filter(~ignored)
 
 
@@ -426,7 +439,9 @@ def list_files(
     df = df.filter(F.col("length") <= max_file_size)
     for seg in _IGNORED_SEGMENTS:
         df = df.filter(~F.col("path").contains(f"/{seg}/"))
-    rel = F.regexp_replace(F.col("path"), "^file:" + root.rstrip("/") + "/", "")
+    # \Q..\E-quote the root so regex metacharacters in the repo path
+    # (+, (), [], $) cannot break the file:-prefix strip
+    rel = F.regexp_replace(F.col("path"), "^file:\\Q" + root.rstrip("/") + "\\E/", "")
     ext = F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1)
     lang_map = F.create_map(
         *[F.lit(x) for kv in LANGUAGE_BY_EXTENSION.items() for x in kv]

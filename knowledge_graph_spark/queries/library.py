@@ -888,9 +888,11 @@ def repo_map_fs(kg: KnowledgeGraph, root: str, depth: int = 3) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .load(root)
         .select(
-            F.regexp_replace(F.col("path"), "^file:" + root.rstrip("/") + "/", "").alias(
-                "path"
-            )
+            # \Q..\E-quote the root: a repo path containing regex
+            # metacharacters (+, (), [], $) must still strip cleanly
+            F.regexp_replace(
+                F.col("path"), "^file:\\Q" + root.rstrip("/") + "\\E/", ""
+            ).alias("path")
         )
         # ignore-crate default: hidden entries are skipped
         .filter(~F.col("path").rlike(r"(^|/)\."))

@@ -68,8 +68,13 @@ def debounced_jobs(
     are dropped before windowing so a .git churn burst never schedules a job.
     """
     for seg in EXCLUDED_DIR_SEGMENTS:
+        # four forms: inside the dir, dir at path root, the dir entry itself
+        # (delete/rename events arrive for '.git' or 'src/node_modules' proper)
         events = events.filter(
-            ~F.col("path").contains(f"/{seg}/") & ~F.col("path").startswith(f"{seg}/")
+            ~F.col("path").contains(f"/{seg}/")
+            & ~F.col("path").startswith(f"{seg}/")
+            & ~F.col("path").endswith(f"/{seg}")
+            & (F.col("path") != seg)
         )
     w = events.withWatermark("event_time", watermark).groupBy(
         F.col("project"), F.window("event_time", window).alias("win")

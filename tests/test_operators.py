@@ -142,3 +142,26 @@ def test_write_sorted_layout_enables_pruning(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint key ranges across files
+
+
+def test_interval_join_clamps_corrupt_spans(spark):
+    """One epoch-0..now interval must not explode the job: the bucket
+    sequence is clamped at max_buckets_per_interval."""
+    from knowledge_graph_spark.operators.range_join import interval_join
+
+    intervals = spark.createDataFrame(
+        [(1, 0, 1_700_000_000, "corrupt"), (1, 500, 700, "ok")],
+        "user_id long, session_start long, session_end long, tag string",
+    )
+    points = spark.createDataFrame(
+        [(1, 1, 600), (2, 1, 50)], "event_id long, user_id long, ts long"
+    )
+    got = {
+        (r.event_id, r.tag)
+        for r in interval_join(
+            points, intervals, bucket_seconds=100, max_buckets_per_interval=3
+        ).collect()
+    }
+    # 'ok' matches point 600; the corrupt interval still matches points inside
+    # its first 3 buckets (ts=50) but not beyond the clamp (ts=600)
+    assert got == {(1, "ok"), (2, "corrupt")}

@@ -355,3 +355,23 @@ def test_repo_map_fs_walk(indexed, repo_dir):
     # Service, ctor, names field, syncAll, helper
     assert rows["jvm/Service.java"].n_definitions == 5
     assert rows["app"].n_definitions == 0  # dirs carry no defs
+
+
+def test_gitignore_negation_cannot_reinclude_under_excluded_dir(spark, tmp_path):
+    """git semantics: `build/` then `!build/keep.py` keeps keep.py ignored —
+    re-inclusion under an excluded directory is impossible."""
+    from knowledge_graph_spark.pipeline.extract import list_files
+
+    files = {
+        "src/main.py": "x = 1\n",
+        "build/keep.py": "x = 2\n",
+        "build/gen.py": "x = 3\n",
+        ".gitignore": "build/\n!build/keep.py\n",
+    }
+    root = tmp_path / "gi-neg-repo"
+    for rel, content in files.items():
+        p = root / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(content)
+    got = {r.relative_path for r in list_files(spark, str(root)).collect()}
+    assert got == {"src/main.py"}

@@ -157,3 +157,23 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         (r.event_id, r.session_seq) for r in interval_join(pb, ib).collect()
     }
     assert streamed == batch == {(1, 1), (4, 1), (3, 1)}
+
+
+def test_debounce_drops_excluded_dir_entry_events(spark):
+    """A delete/rename event for the excluded dir ITSELF (path ends at the
+    segment) must not schedule a job either."""
+    from knowledge_graph_spark.streaming import watcher as W
+
+    rows = [
+        ("alpha", ".git", "deleted"),
+        ("alpha", "src/node_modules", "deleted"),
+        ("alpha", "src/app.py", "modified"),
+    ]
+    events = spark.createDataFrame(
+        [(p, f, c, __import__("datetime").datetime(2024, 1, 1)) for p, f, c in rows],
+        W.FILE_EVENT_SCHEMA,
+    )
+    jobs = W.debounced_jobs(events).collect()
+    assert len(jobs) == 1
+    assert list(jobs[0].changed_paths) == ["src/app.py"]
+    assert list(jobs[0].deleted_paths) == []
