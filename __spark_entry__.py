@@ -849,7 +849,9 @@ def oracle_sql() -> dict[str, str]:
             key=T.FINGERPRINT_KEY_PREFIX.format(n=5)
         ),
         "exact_duplicates": D.EXACT_DUPLICATES_SQL.format(n=5),
-        "ngram_jaccard_pairs": D.NGRAM_JACCARD_PAIRS_SQL.format(nm1=2, threshold=0.5),
+        "ngram_jaccard_pairs": D.NGRAM_JACCARD_PAIRS_SQL.format(
+            nm1=2, threshold=0.5, max_doc_freq=1000
+        ),
         "cosine_topk": SIM.COSINE_TOPK_SQL.format(k=10),
         "embedding_near_dup": SIM.EMBEDDING_NEAR_DUP_SQL.format(threshold=0.35),
         "dedup_clusters": D._clusters_sql().format(threshold=0.35),

@@ -61,7 +61,7 @@ ORDER BY fingerprint
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5, max_doc_freq: int | None = None
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, max_doc_freq: int | None = 1000
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via inverted-index self-join.
 
@@ -69,6 +69,13 @@ def ngram_jaccard_pairs(
     shingles per pair, then |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. This finds
     every qualifying pair exactly — MinHash/LSH below is the probabilistic
     shortcut whose candidates this operator re-verifies.
+
+    ``max_doc_freq`` bounds hot shingles: a shingle appearing in f docs
+    contributes f² join rows, so on a real corpus one stop-shingle ("of the
+    and") would dominate the whole job. The bound is ON by default — shingles
+    above it are dropped from the index (and from the per-doc sizes, so the
+    Jaccard denominator sees the same universe). Pass ``None`` only for
+    corpora known to be stop-shingle-free.
 
     The shingle index feeds three subplans (sizes + both join sides), so it
     is cached for the run and released with the final checkpoint — the
@@ -108,10 +115,15 @@ def ngram_jaccard_pairs(
 
 
 NGRAM_JACCARD_PAIRS_SQL = """
-WITH sh AS (
+WITH sh_all AS (
   SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+{nm1}], ' ')
                  for i in range(1, greatest(len(toks) - {nm1}, 1) + 1)])) AS shingle
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+),
+sh AS (
+  SELECT sh_all.doc_id, sh_all.shingle FROM sh_all
+  JOIN (SELECT shingle FROM sh_all GROUP BY shingle
+        HAVING count(*) <= {max_doc_freq}) ok USING (shingle)
 ),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
 common AS (

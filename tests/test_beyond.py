@@ -239,3 +239,21 @@ def test_weighted_mix_quotas(spark):
     assert by_lang == {"en": 7, "zh": 2}  # other langs dropped (quota 0)
     # deterministic and a subset of the full-k stratified order
     assert out == weighted_mix(docs, quotas).collect()
+
+
+def test_ngram_jaccard_stop_shingle_bound_prunes(spark):
+    """max_doc_freq (on by default) drops hot shingles: two docs whose only
+    overlap is a corpus-wide stop-shingle must not pair up."""
+    from knowledge_graph_spark.beyond.dedup import ngram_jaccard_pairs
+
+    # every doc shares the stop shingle "of the and"; docs 0/1 also share a
+    # rare shingle pair
+    rows = [(0, "of the and alpha beta gamma"), (1, "of the and alpha beta gamma")]
+    rows += [(i, f"of the and unique{i} x{i} y{i}") for i in range(2, 12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bounded = ngram_jaccard_pairs(docs, n=3, threshold=0.1, max_doc_freq=5)
+    got = {(r.doc_a, r.doc_b) for r in bounded.collect()}
+    assert got == {(0, 1)}
+    # same corpus unbounded: the stop shingle connects everything
+    unbounded = ngram_jaccard_pairs(docs, n=3, threshold=0.1, max_doc_freq=None)
+    assert unbounded.count() > 1
