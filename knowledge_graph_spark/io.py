@@ -143,11 +143,18 @@ def assign_dense_ids(
         F.monotonically_increasing_id().bitwiseAND(F.lit(local_mask)).alias("_local"),
         *df.columns,
     )
+    # MATERIALIZE before branching: RangePartitioner's sample seed includes
+    # the RDD id, so if the counts branch and the join branch each evaluated
+    # the exchange independently they could see DIFFERENT partition bounds —
+    # offsets computed for one layout applied to another yields duplicate /
+    # gapped ids (observed at 10k rows: max id 10005 over 10000 rows). The
+    # eager local checkpoint pins one layout for both branches; it also
+    # stands in for the write stage this numbering precedes in the reference
+    # (writer.rs:120-126 assigns ids while materializing parquet).
+    with_mid = with_mid.localCheckpoint(eager=True)
     # Per-partition counts are one row per partition — the exclusive prefix
     # sum over them is a tiny single-partition window, then broadcast-joined
-    # back so the big side never moves again. The counts branch re-reads the
-    # same range-partition exchange (reused, and RangePartitioner's sampling
-    # is seed-fixed, so both branches see identical partition bounds).
+    # back so the big side never moves again.
     counts = with_mid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
