@@ -1,0 +1,430 @@
+"""Driver-checkable end-to-end pipeline queries over a synthesized corpus.
+
+The D (pipeline), M (mutation) and ST (streaming) operator families have no
+natural DuckDB oracle — their inputs are source trees, not tables. To give
+them driver-green correctness rows, these queries synthesize a deterministic
+Python mini-corpus FROM the ``documents`` table (one file per doc_id, content
+a closed-form function of the id), run the real extract→build→incremental
+machinery over it, and emit scalar (metric, value) rows. The DuckDB oracle
+computes the same metrics directly from ``documents`` arithmetic — any
+regression in the extractor, the graph builder's joins, dense-ID assignment,
+or the incremental splice breaks the hash match.
+
+This mirrors the reference's own test strategy (index a fixture repo →
+assert exact node/edge counts — crates/indexer/src/tests.rs), with the
+fixture derived from data so every scale factor checks automatically.
+
+Corpus shape per doc id ``i`` (n = number of docs, i2 = next id cyclically,
+a = i%7, b = i%3, g = i//2):
+
+    pkg{a}/sub{b}/mod_{i}.py
+        from pkg{i2%7}.sub{i2%3}.mod_{i2} import fn_a_{i2}
+        import lib_{i}
+        def fn_a_{i}():        x = fn_a_{i2}(); y = pair_{g}_fn()
+        def use_lib_{i}():     return lib_{i}()
+        def pair_{g}_fn():     (name shared with the partner doc i^1)
+        class Cls_{i}:  def meth_{i}(self): return fn_a_{i}()
+        {i%3 ×}  def extra_{i}_{j}(): return fn_a_{i}()
+
+which exercises: dir hierarchy synthesis (D4), definition maps + hierarchy
+edges (D5/D6), unique-name CALLS, shared-name AMBIGUOUSLY_CALLS, and
+call-to-import resolution (D7), import-path candidate resolution to files
+and definitions (J9/D8), dense ids (D9), and — in the incremental variant —
+delete/changed splice with id-head resume (M1-M3, ST5) and cross-file edge
+re-keying.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knowledge_graph_spark.io import read_table
+
+_N_PKG = 7
+_N_SUB = 3
+
+
+def _file_text(i: int, i2: int, version: int = 1) -> str:
+    a2, b2, g = i2 % _N_PKG, i2 % _N_SUB, i // 2
+    lines = [
+        f"from pkg{a2}.sub{b2}.mod_{i2} import fn_a_{i2}",
+        f"import lib_{i}",
+        "",
+        f"def fn_a_{i}():",
+        f"    x = fn_a_{i2}()",
+        f"    y = pair_{g}_fn()",
+        "    return x + y",
+        "",
+        f"def use_lib_{i}():",
+        f"    return lib_{i}()",
+        "",
+        f"def pair_{g}_fn():",
+        "    return 1",
+        "",
+        f"class Cls_{i}:",
+        f"    def meth_{i}(self):",
+        f"        return fn_a_{i}()",
+    ]
+    for j in range(i % 3):
+        lines += ["", f"def extra_{i}_{j}():", f"    return fn_a_{i}()"]
+    if version == 2:
+        lines += ["", f"def changed_{i}():", f"    return fn_a_{i}()"]
+    return "\n".join(lines) + "\n"
+
+
+def _path_of(i: int) -> str:
+    return f"pkg{i % _N_PKG}/sub{i % _N_SUB}/mod_{i}.py"
+
+
+def synth_files(
+    spark: SparkSession,
+    doc_ids: list[int],
+    only_ids: set[int] | None = None,
+    version_of=None,
+) -> DataFrame:
+    """Files DataFrame in list_files' output shape for the given doc ids.
+
+    Generation is driver-side (≤ thousands of tiny strings — this is a test
+    fixture synthesizer, not a data path; the machinery under test is the
+    distributed extract/build that consumes it)."""
+    ordered = sorted(doc_ids)
+    nxt = {d: ordered[(k + 1) % len(ordered)] for k, d in enumerate(ordered)}
+    rows = []
+    for i in ordered:
+        if only_ids is not None and i not in only_ids:
+            continue
+        v = version_of(i) if version_of else 1
+        text = _file_text(i, nxt[i], v)
+        rows.append(
+            (_path_of(i), "py", "Python", len(text.encode()), bytearray(text.encode()))
+        )
+    return spark.createDataFrame(
+        rows, "relative_path string, extension string, language string, length long, content binary"
+    )
+
+
+def _doc_ids(spark: SparkSession, sf_dir: str) -> list[int]:
+    return [
+        r["doc_id"]
+        for r in read_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+
+
+def _metric(name: str, df_count: DataFrame) -> DataFrame:
+    return df_count.select(F.lit(name).alias("metric"), F.col("v").cast("long").alias("value"))
+
+
+def _count_of(df: DataFrame) -> DataFrame:
+    return df.agg(F.count(F.lit(1)).alias("v"))
+
+
+def _max_id(df: DataFrame) -> DataFrame:
+    return df.agg(F.max("id").alias("v"))
+
+
+def _graph_metrics(kg, probe_path: str) -> DataFrame:
+    """(metric, value) rows for node counts, id probes, and per-type edge
+    counts — the golden-count contract of the reference's pipeline tests."""
+    dr = kg.edges["directory_relationships"]
+    fr = kg.edges["file_relationships"]
+    de = kg.edges["definition_relationships"]
+    ir = kg.edges["imported_symbol_relationships"]
+
+    def etype(df, t, target_table=None):
+        out = df.filter(F.col("type") == t)
+        if target_table:
+            out = out.filter(F.col("target_table") == target_table)
+        return out
+
+    parts = [
+        _metric("n_directory_nodes", _count_of(kg.directories)),
+        _metric("n_file_nodes", _count_of(kg.files)),
+        _metric("n_definition_nodes", _count_of(kg.definitions)),
+        _metric("n_imported_symbol_nodes", _count_of(kg.imports)),
+        _metric("max_file_id", _max_id(kg.files)),
+        _metric("max_definition_id", _max_id(kg.definitions)),
+        _metric("max_imported_symbol_id", _max_id(kg.imports)),
+        # ordering probes: dense ids are keyed by sorted path / (path, byte)
+        _metric(
+            "probe_file_id",
+            kg.files.filter(F.col("path") == probe_path).agg(F.max("id").alias("v")),
+        ),
+        _metric(
+            "probe_meth_def_id",
+            kg.definitions.filter(
+                (F.col("primary_file_path") == probe_path)
+                & F.col("name").startswith("meth_")
+            ).agg(F.max("id").alias("v")),
+        ),
+        _metric("e_dir_contains_dir", _count_of(etype(dr, "DIR_CONTAINS_DIR"))),
+        _metric("e_dir_contains_file", _count_of(etype(dr, "DIR_CONTAINS_FILE"))),
+        _metric("e_file_defines", _count_of(etype(fr, "FILE_DEFINES"))),
+        _metric("e_file_imports", _count_of(etype(fr, "FILE_IMPORTS"))),
+        _metric("e_class_to_method", _count_of(etype(de, "CLASS_TO_METHOD"))),
+        _metric("e_calls_def_def", _count_of(etype(de, "CALLS", "definition_nodes"))),
+        _metric("e_calls_def_imp", _count_of(etype(de, "CALLS", "imported_symbol_nodes"))),
+        _metric("e_ambiguously_calls", _count_of(etype(de, "AMBIGUOUSLY_CALLS"))),
+        _metric("e_imp_to_file", _count_of(etype(ir, "IMPORTED_SYMBOL_TO_FILE"))),
+        _metric("e_imp_to_def", _count_of(etype(ir, "IMPORTED_SYMBOL_TO_DEFINITION"))),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("metric")
+
+
+def pipeline_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-D9/J7/J9 end-to-end: index the synthesized corpus, emit golden
+    counts + id probes."""
+    from knowledge_graph_spark.persist import checkpoint_and_release, persistent_rdd_ids
+    from knowledge_graph_spark.pipeline.build import build_graph_from_entities
+    from knowledge_graph_spark.pipeline.extract import extract_entities
+
+    ids = _doc_ids(spark, sf_dir)
+    before = persistent_rdd_ids(spark)
+    files = synth_files(spark, ids)
+    kg = build_graph_from_entities(spark, files, extract_entities(files), "synth")
+    out = _graph_metrics(kg, _path_of(min(ids)))
+    return checkpoint_and_release(spark, before, out)
+
+
+INCREMENTAL_MAX_DOCS = 500
+
+
+def incremental_merge_stats(
+    spark: SparkSession, sf_dir: str, max_docs: int = INCREMENTAL_MAX_DOCS
+) -> DataFrame:
+    """M1-M3 + ST5 + D9 resume, driver-checked: index, then apply a
+    deterministic FileChanges set (docs id%10==0 changed to a v2 with one
+    extra function, id%10==5 deleted), and emit the merged graph's golden
+    counts — including max ids, which pin the resume-from-head numbering.
+
+    The corpus is capped at ``max_docs`` (smallest doc ids): the splice is
+    a fixed-size end-to-end semantics check, not a throughput probe — the
+    ~40 small shuffles it chains are scheduling-overhead-bound, so scaling
+    the corpus with sf only inflates bench time without new signal."""
+    from knowledge_graph_spark.incremental import apply_file_changes
+    from knowledge_graph_spark.persist import checkpoint_and_release, persistent_rdd_ids
+    from knowledge_graph_spark.pipeline.build import build_graph_from_entities
+    from knowledge_graph_spark.pipeline.extract import extract_entities
+
+    ids = sorted(_doc_ids(spark, sf_dir))[:max_docs]
+    changed = {i for i in ids if i % 10 == 0}
+    deleted = {i for i in ids if i % 10 == 5}
+    before = persistent_rdd_ids(spark)
+    base_files = synth_files(spark, ids)
+    base = build_graph_from_entities(
+        spark, base_files, extract_entities(base_files), "synth"
+    )
+    fresh_files = synth_files(spark, ids, only_ids=changed, version_of=lambda i: 2)
+    fresh = build_graph_from_entities(
+        spark, fresh_files, extract_entities(fresh_files), "synth"
+    )
+    # materialize: the splice references every base/fresh table several times
+    # (anti-joins, exceptAll, remap joins) and the metrics union re-reads the
+    # merged tables once per metric — without pinning, each reference re-runs
+    # the whole upstream DAG
+    base.materialize()
+    fresh.materialize()
+    merged = apply_file_changes(
+        spark,
+        base,
+        fresh,
+        [_path_of(i) for i in sorted(changed)],
+        [_path_of(i) for i in sorted(deleted)],
+    ).materialize()
+    probe = _path_of(min(i for i in ids if i not in changed and i not in deleted))
+    out = _graph_metrics(merged, probe)
+    return checkpoint_and_release(spark, before, out)
+
+
+def debounce_jobs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1/ST4 batch-twin, driver-checked: synthesize file events from the
+    events table (purchase ⇒ deletion), debounce into 3-second
+    (project, window) jobs, emit scalar job stats."""
+    from knowledge_graph_spark.streaming.watcher import debounced_jobs
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("proj"), (F.col("user_id") % 3)).alias("project"),
+        F.concat(F.lit("src/f"), (F.col("event_id") % 40), F.lit(".py")).alias("path"),
+        F.when(F.col("event_type") == "purchase", F.lit("deleted"))
+        .otherwise(F.lit("modified"))
+        .alias("change_type"),
+        F.col("ts").alias("event_time"),
+    )
+    jobs = debounced_jobs(ev, window="3 seconds")
+    return jobs.select(
+        "project",
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "n_events",
+        F.size("changed_paths").alias("n_changed"),
+        F.size("deleted_paths").alias("n_deleted"),
+    ).orderBy("project", "window_start_epoch")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — the same metrics as closed-form arithmetic over documents
+# ---------------------------------------------------------------------------
+
+# shared derivation: per-doc corpus facts
+_CORPUS_CTE = """corpus AS (
+  SELECT doc_id AS i,
+         doc_id % 7 AS a, doc_id % 3 AS b,
+         printf('pkg%d/sub%d/mod_%d.py', doc_id % 7, doc_id % 3, doc_id) AS path,
+         5 + doc_id % 3 AS n_defs,
+         lead(doc_id, 1, (SELECT min(doc_id) FROM documents))
+           OVER (ORDER BY doc_id) AS i2,
+         (CASE WHEN doc_id % 2 = 0 THEN doc_id + 1 ELSE doc_id - 1 END) AS partner
+  FROM documents
+)"""
+
+PIPELINE_INDEX_STATS_SQL = (
+    "WITH "
+    + _CORPUS_CTE
+    + """,
+probe AS (SELECT path FROM corpus WHERE i = (SELECT min(i) FROM corpus)),
+m(metric, value) AS (
+  SELECT 'n_directory_nodes',
+         (SELECT count(DISTINCT a) + count(DISTINCT (a, b)) FROM corpus)
+  UNION ALL SELECT 'n_file_nodes', (SELECT count(*) FROM corpus)
+  UNION ALL SELECT 'n_definition_nodes', (SELECT sum(n_defs) FROM corpus)
+  UNION ALL SELECT 'n_imported_symbol_nodes', (SELECT 2 * count(*) FROM corpus)
+  UNION ALL SELECT 'max_file_id', (SELECT count(*) FROM corpus)
+  UNION ALL SELECT 'max_definition_id', (SELECT sum(n_defs) FROM corpus)
+  UNION ALL SELECT 'max_imported_symbol_id', (SELECT 2 * count(*) FROM corpus)
+  UNION ALL SELECT 'probe_file_id',
+    (SELECT count(*) + 1 FROM corpus WHERE path < (SELECT path FROM probe))
+  UNION ALL SELECT 'probe_meth_def_id',
+    (SELECT coalesce(sum(n_defs), 0) + 5 FROM corpus
+     WHERE path < (SELECT path FROM probe))
+  UNION ALL SELECT 'e_dir_contains_dir', (SELECT count(DISTINCT (a, b)) FROM corpus)
+  UNION ALL SELECT 'e_dir_contains_file', (SELECT count(*) FROM corpus)
+  UNION ALL SELECT 'e_file_defines', (SELECT sum(n_defs) FROM corpus)
+  UNION ALL SELECT 'e_file_imports', (SELECT 2 * count(*) FROM corpus)
+  UNION ALL SELECT 'e_class_to_method', (SELECT count(*) FROM corpus)
+  -- def→def CALLS: meth→fn_a (1) + extras→fn_a (i%3) + cross-file
+  -- fn_a→fn_a_{i2}; a partner-less pair call (odd corpus tail) has one
+  -- candidate and lands here instead of AMBIGUOUSLY_CALLS
+  UNION ALL SELECT 'e_calls_def_def',
+    (SELECT sum(2 + i % 3
+                + (CASE WHEN partner IN (SELECT i FROM corpus) THEN 0 ELSE 1 END))
+     FROM corpus)
+  -- use_lib body calls lib_{i}(): resolves to the same-file import
+  UNION ALL SELECT 'e_calls_def_imp', (SELECT count(*) FROM corpus)
+  -- pair_{g}_fn call: 2 same-name candidates (partner doc), 2 edges per site
+  UNION ALL SELECT 'e_ambiguously_calls',
+    (SELECT sum(CASE WHEN partner IN (SELECT i FROM corpus) THEN 2 ELSE 0 END)
+     FROM corpus)
+  UNION ALL SELECT 'e_imp_to_file', (SELECT count(*) FROM corpus)
+  UNION ALL SELECT 'e_imp_to_def', (SELECT count(*) FROM corpus)
+)
+SELECT metric, CAST(value AS BIGINT) AS value FROM m ORDER BY metric
+"""
+)
+
+INCREMENTAL_MERGE_STATS_SQL = (
+    "WITH "
+    # the replace caps BOTH references (the CTE scan and the lead() default's
+    # min subquery) to the same smallest-ids corpus the Spark side builds
+    + _CORPUS_CTE.replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {INCREMENTAL_MAX_DOCS})",
+    )
+    + """,
+k AS (
+  SELECT c.*,
+         (i % 10 = 0) AS is_ch, (i % 10 = 5) AS is_del,
+         (i2 % 10 = 5) AS nxt_del,
+         (partner % 10 = 5) AS partner_del
+  FROM corpus c
+),
+probe AS (
+  SELECT path FROM k WHERE NOT is_ch AND NOT is_del
+  ORDER BY i LIMIT 1
+),
+m(metric, value) AS (
+  SELECT 'n_directory_nodes',
+         (SELECT count(DISTINCT a) + count(DISTINCT (a, b)) FROM k)
+  UNION ALL SELECT 'n_file_nodes', (SELECT count(*) FROM k WHERE NOT is_del)
+  UNION ALL SELECT 'n_definition_nodes',
+    (SELECT sum(CASE WHEN is_del THEN 0
+                     WHEN is_ch THEN n_defs + 1 ELSE n_defs END) FROM k)
+  UNION ALL SELECT 'n_imported_symbol_nodes',
+    (SELECT 2 * count(*) FROM k WHERE NOT is_del)
+  -- id heads resume at base max + renumbered fresh rows (M3)
+  UNION ALL SELECT 'max_file_id',
+    (SELECT count(*) FROM k) + (SELECT count(*) FROM k WHERE is_ch)
+  UNION ALL SELECT 'max_definition_id',
+    (SELECT sum(n_defs) FROM k) + (SELECT sum(n_defs + 1) FROM k WHERE is_ch)
+  UNION ALL SELECT 'max_imported_symbol_id',
+    (SELECT 2 * count(*) FROM k) + (SELECT 2 * count(*) FROM k WHERE is_ch)
+  UNION ALL SELECT 'probe_file_id',
+    (SELECT count(*) + 1 FROM k WHERE path < (SELECT path FROM probe))
+  UNION ALL SELECT 'probe_meth_def_id',
+    (SELECT coalesce(sum(n_defs), 0) + 5 FROM k
+     WHERE path < (SELECT path FROM probe))
+  UNION ALL SELECT 'e_dir_contains_dir', (SELECT count(DISTINCT (a, b)) FROM k)
+  UNION ALL SELECT 'e_dir_contains_file', (SELECT count(*) FROM k WHERE NOT is_del)
+  UNION ALL SELECT 'e_file_defines',
+    (SELECT sum(CASE WHEN is_del THEN 0
+                     WHEN is_ch THEN n_defs + 1 ELSE n_defs END) FROM k)
+  UNION ALL SELECT 'e_file_imports', (SELECT 2 * count(*) FROM k WHERE NOT is_del)
+  UNION ALL SELECT 'e_class_to_method', (SELECT count(*) FROM k WHERE NOT is_del)
+  -- unchanged: meth + extras + (cross-file unless next doc deleted) +
+  --            (pair self-edge stays AMBIGUOUS, counted below)
+  -- changed (re-derived in fresh, which sees only changed files):
+  --   meth + extras + changed_{i} + pair-self (1 candidate ⇒ CALLS);
+  --   the cross-file call resolves to the import instead (counted below)
+  UNION ALL SELECT 'e_calls_def_def',
+    (SELECT sum(CASE
+       WHEN is_del THEN 0
+       WHEN is_ch THEN 3 + i % 3
+       ELSE 1 + i % 3 + (CASE WHEN nxt_del THEN 0 ELSE 1 END)
+                      + (CASE WHEN partner IN (SELECT i FROM k) THEN 0 ELSE 1 END)
+       END) FROM k)
+  UNION ALL SELECT 'e_calls_def_imp',
+    (SELECT sum(CASE WHEN is_del THEN 0 WHEN is_ch THEN 2 ELSE 1 END) FROM k)
+  -- unchanged files keep their 2 AMBIGUOUSLY_CALLS edges unless the partner
+  -- doc (same pair name) was deleted (base edge types persist through the
+  -- splice — only the partner EDGE drops, the self edge stays AMBIGUOUS);
+  -- changed files re-derive in fresh where the pair name is unique ⇒ CALLS
+  UNION ALL SELECT 'e_ambiguously_calls',
+    (SELECT sum(CASE WHEN is_del OR is_ch THEN 0
+                     WHEN partner NOT IN (SELECT i FROM k) THEN 0
+                     WHEN partner_del THEN 1
+                     ELSE 2 END) FROM k)
+  -- import resolution: only unchanged files keep imp→file/imp→def (fresh
+  -- re-resolution cannot see unchanged target files), and only if the
+  -- imported module's doc survived
+  UNION ALL SELECT 'e_imp_to_file',
+    (SELECT count(*) FROM k WHERE NOT is_del AND NOT is_ch AND NOT nxt_del)
+  UNION ALL SELECT 'e_imp_to_def',
+    (SELECT count(*) FROM k WHERE NOT is_del AND NOT is_ch AND NOT nxt_del)
+)
+SELECT metric, CAST(value AS BIGINT) AS value FROM m ORDER BY metric
+"""
+)
+
+DEBOUNCE_JOBS_STATS_SQL = """
+WITH ev AS (
+  SELECT printf('proj%d', user_id % 3) AS project,
+         printf('src/f%d.py', event_id % 40) AS path,
+         (CASE WHEN event_type = 'purchase' THEN 'deleted' ELSE 'modified' END)
+           AS change_type,
+         ts
+  FROM events
+)
+SELECT project,
+  -- NB: DuckDB's // on DOUBLE (epoch returns DOUBLE) is plain division,
+  -- not floor division — floor() explicitly
+  CAST(floor(epoch(ts) / 3) AS BIGINT) * 3 AS window_start_epoch,
+  count(*) AS n_events,
+  CAST(least(count(DISTINCT CASE WHEN change_type <> 'deleted' THEN path END),
+             8192) AS INT) AS n_changed,
+  CAST(least(count(DISTINCT CASE WHEN change_type = 'deleted' THEN path END),
+             8192) AS INT) AS n_deleted
+FROM ev
+GROUP BY project, CAST(floor(epoch(ts) / 3) AS BIGINT) * 3
+ORDER BY project, window_start_epoch
+"""
