@@ -45,7 +45,6 @@ ROWS_ONLY = {
     "ivf_ann",
     "pagerank_top20",
     "connected_components_sizes",
-    "k_core_sizes",
     "label_prop_communities",
     "import_chain_resolution",
     "media_decode_stats",
@@ -169,6 +168,11 @@ def _q_search_definitions(spark, sf_dir):  # P5 P11 O5
 def _q_search_nodes(spark, sf_dir):  # U2 P7 P8 O3 G7
     kg = _graph(spark, sf_dir)
     return L.search_nodes(kg, "ro", limit=100)
+
+
+def _q_search_with_context(spark, sf_dir):  # result-context enrichment
+    kg = _graph(spark, sf_dir)
+    return L.search_with_context(kg, ["blue", "ring"], context_lines=2)
 
 
 def _q_neighbors_dir(spark, sf_dir):  # G1 J3 U3
@@ -558,6 +562,89 @@ JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
 """
 
 
+def _q_lpa_invariants(spark, sf_dir):  # LPA driver-checked via invariants
+    """Exact LPA output is not SQL-expressible, but two invariants are:
+    every edge-endpoint node gets exactly one label (n_labeled equals the
+    SQL-computable endpoint count), and no community spans two connected
+    components (violations must hash-match the oracle's literal 0, with the
+    violation count genuinely computed from LPA ⋈ CC)."""
+    from knowledge_graph_spark.graph.algorithms import (
+        connected_components,
+        label_propagation,
+    )
+
+    kg = _graph(spark, sf_dir)
+    lpa = label_propagation(kg, rounds=2)
+    cc = connected_components(kg)
+    viol = (
+        lpa.join(cc, ["node_table", "node_id"])
+        .groupBy("community")
+        .agg(F.countDistinct("component").alias("nc"))
+        .filter(F.col("nc") > 1)
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    n = lpa.agg(F.count(F.lit(1)).alias("n_labeled"))
+    return n.crossJoin(viol)
+
+
+LPA_INVARIANTS_SQL = """
+SELECT CAST((SELECT count(DISTINCT e) FROM (
+         SELECT source_table || '#' || source_id AS e FROM directory_relationships
+         UNION ALL SELECT target_table || '#' || target_id FROM directory_relationships
+         UNION ALL SELECT source_table || '#' || source_id FROM file_relationships
+         UNION ALL SELECT target_table || '#' || target_id FROM file_relationships
+         UNION ALL SELECT source_table || '#' || source_id FROM definition_relationships
+         UNION ALL SELECT target_table || '#' || target_id FROM definition_relationships
+         UNION ALL SELECT source_table || '#' || source_id FROM imported_symbol_relationships
+         UNION ALL SELECT target_table || '#' || target_id FROM imported_symbol_relationships
+       ) ep(e)) AS BIGINT) AS n_labeled,
+       CAST(0 AS BIGINT) AS n_violations
+"""
+
+
+def _k_core_peel_sql(k: int, rounds: int) -> str:
+    """Chained-CTE peeling: the k-core SET is unique regardless of peeling
+    order, so a fixed number of SQL rounds (no-ops after convergence)
+    reproduces the Spark iteration's exact survivors and degrees."""
+    # AS MATERIALIZED throughout: DuckDB inlines plain CTEs per reference,
+    # and each round references the previous one three times — unmaterialized
+    # chains expand 3^rounds and exhaust file handles re-scanning parquet
+    ctes = [
+        """raw(x, y) AS MATERIALIZED (
+  SELECT source_table || '#' || source_id, target_table || '#' || target_id FROM directory_relationships
+  UNION ALL SELECT source_table || '#' || source_id, target_table || '#' || target_id FROM file_relationships
+  UNION ALL SELECT source_table || '#' || source_id, target_table || '#' || target_id FROM definition_relationships
+  UNION ALL SELECT source_table || '#' || source_id, target_table || '#' || target_id FROM imported_symbol_relationships
+)""",
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT x AS a, y AS b FROM raw UNION ALL SELECT y, x FROM raw
+  ) both_dirs WHERE a <> b
+)""",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT a FROM e{r} GROUP BY a HAVING count(*) < {k})"
+        )
+        ctes.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{r} e "
+            f"WHERE e.a NOT IN (SELECT a FROM w{r}) "
+            f"AND e.b NOT IN (SELECT a FROM w{r}))"
+        )
+    return ", ".join(ctes)
+
+
+K_CORE_SIZES_SQL = """
+SELECT node_table, count(*) AS n_nodes, max(degree) AS max_degree
+FROM (
+  SELECT split_part(a, '#', 1) AS node_table, count(*) AS degree
+  FROM e{rounds} GROUP BY a
+) per_node
+GROUP BY node_table
+ORDER BY node_table
+"""
+
+
 def _q_pagerank_top20(spark, sf_dir):  # rows-only (iterative float)
     from knowledge_graph_spark.graph.algorithms import pagerank
 
@@ -701,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "definition_at": _q_definition_at,
         "list_matches": _q_list_matches,
         "search_definitions": _q_search_definitions,
+        "search_with_context": _q_search_with_context,
         "search_nodes": _q_search_nodes,
         "neighbors_dir": _q_neighbors_dir,
         "initial_graph": _q_initial_graph,
@@ -721,14 +809,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_nation_rollup": _q_supplier_nation_rollup,
         "order_priority_rollup": _q_order_priority_rollup,
         "event_type_stats": _q_event_type_stats,
-        "sessionize": _q_sessionize,
         "top_events_per_type": _q_top_events_per_type,
         "sql_passthrough": _q_sql_passthrough,
         # -- beyond-parity: text / dedup / similarity / sampling -----------
         "doc_stats": _q_doc_stats,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
-        "fingerprint": _q_fingerprint,
         "exact_duplicates": _q_exact_duplicates,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "cosine_topk": _q_cosine_topk,
@@ -742,15 +828,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": _q_redact_pii,
         "quality_percentiles": _q_quality_percentiles,
         "token_counts": _q_token_counts,
-        "tf_idf": _q_tf_idf,
         "bm25": _q_bm25,
-        # -- graph analytics with exact oracles ----------------------------
+        # -- graph analytics with exact / invariant oracles ----------------
         "dir_tree_closure": _q_dir_tree_closure,
         "triangle_count": _q_triangle_count,
+        "k_core_sizes": _q_k_core_sizes,
+        "lpa_invariants": _q_lpa_invariants,
         # ==== entries past the driver's 50-entry compare window ===========
         # oracle-backed variants whose operator ids are covered above;
         # pytest checks them against the same oracles at sf0.001
         "get_references_page2": _q_get_references_page2,
+        "fingerprint": _q_fingerprint,
+        "sessionize": _q_sessionize,
+        "tf_idf": _q_tf_idf,
         "neighbors_file": _q_neighbors_file,
         "max_ids": _q_max_ids,
         "callees_of": _q_callees_of,
@@ -769,7 +859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": _q_ivf_ann,
         "pagerank_top20": _q_pagerank_top20,
         "connected_components_sizes": _q_connected_components_sizes,
-        "k_core_sizes": _q_k_core_sizes,
         "label_prop_communities": _q_label_prop_communities,
         "import_chain_resolution": _q_import_chain_resolution,
         "media_decode_stats": _q_media_decode_stats,
@@ -838,6 +927,14 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "search_nodes": o(L.SEARCH_NODES_SQL.format(term=_sq("ro"), limit=100)),
+        "search_with_context": o(
+            L.SEARCH_WITH_CONTEXT_SQL.format(ctx=2),
+            extra_ctes=L.SEARCH_WITH_CONTEXT_CTE.format(
+                any_pred="(contains(lower(name), 'blue') OR contains(lower(name), 'ring'))",
+                limit=50,
+                offset=0,
+            ),
+        ),
         "neighbors_dir": o(L.neighbors_sql("directory_nodes", 11, limit=100)),
         "neighbors_file": o(
             L.neighbors_sql("file_nodes", "(SELECT min(id) FROM file_nodes)", limit=100)
@@ -916,4 +1013,8 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_index_stats": SY.PIPELINE_INDEX_STATS_SQL,
         "incremental_merge_stats": SY.INCREMENTAL_MERGE_STATS_SQL,
         "debounce_jobs_stats": SY.DEBOUNCE_JOBS_STATS_SQL,
+        "k_core_sizes": o(
+            K_CORE_SIZES_SQL.format(rounds=30), extra_ctes=_k_core_peel_sql(2, 30)
+        ),
+        "lpa_invariants": o(LPA_INVARIANTS_SQL),
     }

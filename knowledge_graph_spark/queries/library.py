@@ -377,6 +377,76 @@ LIMIT {limit} OFFSET {offset}
 """
 
 
+def search_with_context(
+    kg: KnowledgeGraph,
+    terms: list[str],
+    context_lines: int = 2,
+    page: int = 1,
+    page_size: int = 50,
+) -> DataFrame:
+    """Search hits enriched with a ±N-line context snippet.
+
+    Reference: search_codebase_definitions.rs:233-255 +
+    file_reader_utils.rs:1-252 — after the query, the MCP tool concurrently
+    reads file chunks (10 s timeout) to attach code snippets to each result.
+    Here the enrichment is a join against the indexed per-line inventory
+    (one rendered line per definition of the file), so snippet assembly is
+    part of the PLAN: a broadcast-hash join on file path (the ≤page_size hit
+    set broadcasts) with the line-range predicate as join filter, then a
+    sorted string-agg — no driver-side file IO, no timeout machinery, and
+    it scales with the hit count, not the corpus.
+    """
+    ctx = int(context_lines)
+    hits = search_definitions(kg, terms, page, page_size)
+    lines = kg.definitions.select(
+        F.col("primary_file_path").alias("_path"),
+        F.col("start_line").alias("_line"),
+        F.col("fqn").alias("_fqn"),
+        F.format_string(
+            "%s %s @%d", "definition_type", "fqn", "start_line"
+        ).alias("_rendered"),
+    )
+    j = F.broadcast(hits).join(
+        lines,
+        (hits.primary_file_path == lines._path)
+        & (lines._line >= hits.start_line - ctx)
+        & (lines._line <= hits.start_line + ctx),
+    )
+    snippet = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_line", "_fqn", "_rendered"))),
+            lambda s: s["_rendered"],
+        ),
+        "\n",
+    )
+    return (
+        j.groupBy("fqn", "name", "definition_type", "primary_file_path", "start_line")
+        .agg(snippet.alias("snippet"))
+        .orderBy("fqn", "start_line")
+    )
+
+
+SEARCH_WITH_CONTEXT_CTE = """hits AS (
+  SELECT fqn, name, definition_type, primary_file_path, start_line
+  FROM definition_nodes
+  WHERE {any_pred}
+  ORDER BY fqn, start_line
+  LIMIT {limit} OFFSET {offset}
+)"""
+
+SEARCH_WITH_CONTEXT_SQL = """
+SELECT h.fqn, h.name, h.definition_type, h.primary_file_path, h.start_line,
+  string_agg(printf('%s %s @%d', d.definition_type, d.fqn, d.start_line),
+             chr(10) ORDER BY d.start_line, d.fqn) AS snippet
+FROM hits h
+JOIN definition_nodes d
+  ON d.primary_file_path = h.primary_file_path
+ AND d.start_line BETWEEN h.start_line - {ctx} AND h.start_line + {ctx}
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY h.fqn, h.start_line
+"""
+
+
 def _pad_long():
     return F.lit(None).cast("long")
 
