@@ -344,6 +344,24 @@ def pagerank(
     deliberately avoided: they re-execute the rank subplan per broadcast and
     degrade in long-lived sessions."""
     before = _persistent_rdd_ids(kg.spark)
+    # AQE OFF for the whole loop: adaptive partition coalescing rewrites the
+    # post-shuffle partition count per stage, which breaks the
+    # hash(src)/hash(key) alignment the iteration relies on — every
+    # coalesced stage forces the NEXT iteration to re-exchange the rank
+    # vector. A fixed partition count keeps rank⋈adj and keys⋈contribs
+    # exchange-free after the first shuffle.
+    conf = kg.spark.conf
+    aqe_before = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _pagerank_loop(kg, iterations, damping, before)
+    finally:
+        conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _pagerank_loop(
+    kg: KnowledgeGraph, iterations: int, damping: float, before
+) -> DataFrame:
     e = None
     for df in kg.edges.values():
         p = df.select(
@@ -394,12 +412,27 @@ def pagerank(
     keys = ranks.select("key", "is_dangling")
     for _ in range(iterations):
         r = ranks.select(F.col("key").alias("k"), F.col("rank").alias("rk"))
-        contribs = (
+        # dangling mass fused into the contribs aggregation: dangling ranks
+        # enter the SAME shuffle under a NULL dst (node keys are never null),
+        # so one grouped exchange yields both the per-node sums and the
+        # dangling total — no separate dmass job per iteration. Map-side
+        # partial agg collapses the dangling rows to one per partition.
+        grouped = (
             adj.join(r, adj.src == r.k)
+            .select("dst", (F.col("rk") * F.col("w")).alias("v"))
+            .unionByName(
+                ranks.filter("is_dangling").select(
+                    F.lit(None).cast("long").alias("dst"), F.col("rank").alias("v")
+                )
+            )
             .groupBy("dst")
-            .agg(F.sum(F.col("rk") * F.col("w")).alias("csum"))
+            .agg(F.sum("v").alias("csum"))
         )
-        dmass = ranks.filter("is_dangling").agg(F.sum("rank").alias("dm"))
+        contribs = grouped.filter(F.col("dst").isNotNull())
+        # agg (not filter alone): stays one row even with zero dangling nodes
+        dmass = grouped.filter(F.col("dst").isNull()).agg(
+            F.sum("csum").alias("dm")
+        )
         ranks = (
             keys.join(contribs, keys.key == contribs.dst, "left_outer")
             .crossJoin(dmass)
