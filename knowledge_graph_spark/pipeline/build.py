@@ -106,14 +106,34 @@ def build_graph_from_entities(
     file_nodes = assign_dense_ids(file_nodes, ["path"]).cache()
 
     # ---- definition nodes (D5) -------------------------------------------
+    # FQN conventions follow the reference's per-language analyzers:
+    # - Ruby: scope-based, no file prefix — `Outer::Inner` nesting,
+    #   `Class#method` instance, `Class::method` singleton
+    #   (ruby tests assert e.g. "UsersController#destroy",
+    #   "NotificationService::notify")
+    # - Java: package-based — the extractor embeds the `package` declaration
+    #   in parent_chain, so fqn = parent_chain.name ("com.example.app.Foo.bar")
+    # - Python/TS/others: module path prefix + dotted scope (python/analyzer.rs)
     defs = entities.filter(F.col("kind") == "definition")
+    _ruby_prefix = F.regexp_replace(F.col("parent_chain"), r"\.", "::")
+    _ruby_sep = F.when(F.col("definition_type") == "Method", F.lit("#")).otherwise(
+        F.lit("::")
+    )
+    _fqn = (
+        F.when(
+            F.col("language") == "Ruby",
+            F.when(F.col("parent_chain").isNull(), F.col("name")).otherwise(
+                F.concat(_ruby_prefix, _ruby_sep, F.col("name"))
+            ),
+        )
+        .when(
+            F.col("language") == "Java",
+            F.concat_ws(".", F.col("parent_chain"), F.col("name")),
+        )
+        .otherwise(F.concat_ws(".", _module_fqn(), F.col("parent_chain"), F.col("name")))
+    )
     definitions = defs.select(
-        F.concat_ws(
-            ".",
-            _module_fqn(),
-            F.col("parent_chain"),
-            F.col("name"),
-        ).alias("fqn"),
+        _fqn.alias("fqn"),
         "name",
         "definition_type",
         F.col("path").alias("primary_file_path"),
@@ -124,6 +144,11 @@ def build_graph_from_entities(
         "start_col",
         "end_col",
         F.lit(1).alias("total_locations"),
+        # resolution-only columns (not part of the node schema, dropped at
+        # the final node select): same-file scope key for caller lookup and
+        # the immediately-enclosing scope name for receiver-typed matching
+        F.concat_ws(".", F.col("parent_chain"), F.col("name")).alias("_scope_key"),
+        F.element_at(F.split(F.col("parent_chain"), r"\."), -1).alias("_container"),
     )
     definitions = assign_dense_ids(
         definitions, ["primary_file_path", "primary_start_byte", "primary_end_byte"]
@@ -206,8 +231,16 @@ def build_graph_from_entities(
     file_relationships = _null_loc(fd.unionByName(fi)).select(*_EDGE_COLS)
 
     # ---- definition hierarchy (D6: parent fqn → child fqn self-join) ------
-    child = definitions.filter(F.col("fqn").contains("."))
-    parent_fqn = F.regexp_replace(F.col("fqn"), r"\.[^.]+$", "")
+    # separators vary by language (Ruby `::`/`#`, others `.`); the edge type
+    # is the reference's UPPER_SNAKE pair name — camel types split first so
+    # SingletonMethod becomes CLASS_TO_SINGLETON_METHOD
+    # (relationship.rs:20-40, ruby/analyzer.rs:195-235)
+    child = definitions.filter(F.col("fqn").rlike(r"(::|#|\.)"))
+    parent_fqn = F.regexp_replace(F.col("fqn"), r"(::|#|\.)[^.:#]+$", "")
+
+    def _snake(col):
+        return F.upper(F.regexp_replace(col, r"([a-z])([A-Z])", r"$1_$2"))
+
     hier = (
         child.withColumn("parent_fqn", parent_fqn)
         .alias("c")
@@ -222,21 +255,27 @@ def build_graph_from_entities(
             F.lit("definition_nodes").alias("source_table"),
             F.lit("definition_nodes").alias("target_table"),
             F.concat(
-                F.upper(F.col("p.definition_type")),
+                _snake(F.col("p.definition_type")),
                 F.lit("_TO_"),
-                F.upper(F.col("c.definition_type")),
+                _snake(F.col("c.definition_type")),
             ).alias("type"),
         )
     )
     hier = _null_loc(hier).select(*_EDGE_COLS)
 
     # ---- reference resolution (D7) ---------------------------------------
+    # caller lookup by same-file scope key (path, enclosing-chain) rather
+    # than by fqn string — identical for dotted languages, and required for
+    # Ruby/Java whose fqn separators differ from the extractor's chain
     calls = entities.filter(
         (F.col("kind") == "call") & F.col("parent_chain").isNotNull()
     ).select(
         F.col("path").alias("call_file"),
-        F.concat_ws(".", _module_fqn(), F.col("parent_chain")).alias("caller_fqn"),
+        F.col("parent_chain").alias("_scope_key"),
         F.col("name").alias("callee"),
+        "language",
+        "receiver_type",
+        "call_flavor",
         "start_line",
         "end_line",
         "start_col",
@@ -244,50 +283,131 @@ def build_graph_from_entities(
         "start_byte",
         "end_byte",
     )
-    caller = definitions.select(F.col("id").alias("caller_id"), F.col("fqn").alias("caller_fqn"))
-    calls = calls.join(caller, "caller_fqn")
+    caller = definitions.select(
+        F.col("id").alias("caller_id"),
+        F.col("primary_file_path").alias("call_file"),
+        "_scope_key",
+    )
+    calls = calls.join(caller, ["call_file", "_scope_key"]).drop("_scope_key")
+    bare_calls = calls.filter(F.col("receiver_type").isNull())
+    recv_calls = calls.filter(F.col("receiver_type").isNotNull())
+
+    def _ref_edges(matched):
+        mult = Window.partitionBy("caller_id", "start_byte")
+        matched = matched.withColumn("n_candidates", F.count(F.lit(1)).over(mult))
+        return matched.select(
+            F.col("caller_id").alias("source_id"),
+            "target_id",
+            F.lit("definition_nodes").alias("source_table"),
+            F.lit("definition_nodes").alias("target_table"),
+            F.when(F.col("n_candidates") == 1, F.lit(S.CALLS))
+            .otherwise(F.lit(S.AMBIGUOUSLY_CALLS))
+            .alias("type"),
+            F.col("start_byte").alias("source_start_byte"),
+            F.col("end_byte").alias("source_end_byte"),
+            F.col("start_line").alias("source_start_line"),
+            F.col("end_line").alias("source_end_line"),
+            F.col("start_col").alias("source_start_col"),
+            F.col("end_col").alias("source_end_col"),
+        )
 
     # candidate definitions by name (broadcast definition map, J7)
     target_defs = definitions.select(F.col("id").alias("target_id"), F.col("name").alias("callee"))
-    matched = calls.join(F.broadcast(target_defs), "callee")
-    mult = Window.partitionBy("caller_id", "start_byte")
-    matched = matched.withColumn("n_candidates", F.count(F.lit(1)).over(mult))
-    def_refs = matched.select(
-        F.col("caller_id").alias("source_id"),
-        "target_id",
-        F.lit("definition_nodes").alias("source_table"),
-        F.lit("definition_nodes").alias("target_table"),
-        F.when(F.col("n_candidates") == 1, F.lit(S.CALLS))
-        .otherwise(F.lit(S.AMBIGUOUSLY_CALLS))
-        .alias("type"),
-        F.col("start_byte").alias("source_start_byte"),
-        F.col("end_byte").alias("source_end_byte"),
-        F.col("start_line").alias("source_start_line"),
-        F.col("end_line").alias("source_end_line"),
-        F.col("start_col").alias("source_start_col"),
-        F.col("end_col").alias("source_end_col"),
+    def_refs = _ref_edges(bare_calls.join(F.broadcast(target_defs), "callee"))
+
+    # receiver-typed calls (Ruby/Java): resolve within the receiver's type —
+    # singleton calls to SingletonMethod defs, instance calls to Methods —
+    # walking the inheritance chain when the type itself lacks the method
+    # (the reference's find_method_in_hierarchy, scope_resolver.rs:155-185;
+    # Java has no singleton def type, so flavor matching is Ruby-only)
+    typed_targets = definitions.select(
+        F.col("id").alias("target_id"),
+        F.col("name").alias("tcallee"),
+        F.col("_container").alias("tcontainer"),
+        F.when(F.col("definition_type") == "SingletonMethod", F.lit("singleton"))
+        .otherwise(F.lit("instance"))
+        .alias("tflavor"),
+    ).filter(F.col("tcontainer").isNotNull())
+    inherits = (
+        entities.filter(F.col("kind") == "inherits")
+        .select(
+            F.element_at(F.split(F.col("parent_chain"), r"\."), -1).alias("child"),
+            F.col("name").alias("parent"),
+        )
+        .distinct()
     )
+    # short-circuit: corpora without receiver-typed calls (pure Python/TS)
+    # skip the 4-round chase entirely — it would add ~8 joins of empties to
+    # every downstream plan otherwise
+    has_recv = not recv_calls.isEmpty()
+    recv_resolved = None
+    cur = recv_calls
+    for _depth in range(4 if has_recv else 0):  # type itself + 3 superclass hops
+        m = cur.join(
+            F.broadcast(typed_targets),
+            (F.col("callee") == F.col("tcallee"))
+            & (F.col("receiver_type") == F.col("tcontainer"))
+            & ((F.col("call_flavor") == F.col("tflavor")) | (F.col("language") != "Ruby")),
+        ).drop("tcallee", "tcontainer", "tflavor")
+        recv_resolved = m if recv_resolved is None else recv_resolved.unionByName(m)
+        # unmatched calls climb to the superclass; types without a recorded
+        # parent drop out (unresolvable, like the reference)
+        survivors = cur.join(
+            typed_targets,
+            (F.col("callee") == F.col("tcallee"))
+            & (F.col("receiver_type") == F.col("tcontainer")),
+            "left_anti",
+        )
+        cur = (
+            survivors.join(
+                F.broadcast(inherits),
+                survivors.receiver_type == inherits.child,
+            )
+            .drop("receiver_type", "child")
+            .withColumnRenamed("parent", "receiver_type")
+        )
+    if recv_resolved is not None:
+        def_refs = def_refs.unionByName(_ref_edges(recv_resolved))
 
     # unresolved-by-defs calls matching an import in the same file → def→imp
-    unmatched = calls.join(target_defs, "callee", "left_anti")
+    unmatched = bare_calls.join(target_defs, "callee", "left_anti")
     imp_targets = imported.select(
         F.col("id").alias("target_id"),
         F.col("name").alias("callee"),
         F.col("file_path").alias("call_file"),
     )
-    imp_refs = unmatched.join(imp_targets, ["callee", "call_file"]).select(
-        F.col("caller_id").alias("source_id"),
-        "target_id",
-        F.lit("definition_nodes").alias("source_table"),
-        F.lit("imported_symbol_nodes").alias("target_table"),
-        F.lit(S.CALLS).alias("type"),
-        F.col("start_byte").alias("source_start_byte"),
-        F.col("end_byte").alias("source_end_byte"),
-        F.col("start_line").alias("source_start_line"),
-        F.col("end_line").alias("source_end_line"),
-        F.col("start_col").alias("source_start_col"),
-        F.col("end_col").alias("source_end_col"),
-    )
+    def _imp_edges(joined):
+        return joined.select(
+            F.col("caller_id").alias("source_id"),
+            "target_id",
+            F.lit("definition_nodes").alias("source_table"),
+            F.lit("imported_symbol_nodes").alias("target_table"),
+            F.lit(S.CALLS).alias("type"),
+            F.col("start_byte").alias("source_start_byte"),
+            F.col("end_byte").alias("source_end_byte"),
+            F.col("start_line").alias("source_start_line"),
+            F.col("end_line").alias("source_end_line"),
+            F.col("start_col").alias("source_start_col"),
+            F.col("end_col").alias("source_end_col"),
+        )
+
+    imp_refs = _imp_edges(unmatched.join(imp_targets, ["callee", "call_file"]))
+    if has_recv:
+        # receiver-typed calls whose receiver is an IMPORTED type
+        # (`List.of(...)` with `import java.util.List`) → call to the
+        # imported symbol, the reference's find_calls_to_imported_symbol
+        # surface
+        recv_unresolved = recv_calls.join(
+            recv_resolved.select("call_file", "caller_id", "start_byte").distinct(),
+            ["call_file", "caller_id", "start_byte"],
+            "left_anti",
+        )
+        recv_imp = recv_unresolved.drop("callee").withColumnRenamed(
+            "receiver_type", "callee"
+        )
+        imp_refs = imp_refs.unionByName(
+            _imp_edges(recv_imp.join(imp_targets, ["callee", "call_file"]))
+        )
     definition_relationships = hier.unionByName(def_refs.select(*_EDGE_COLS)).unionByName(
         imp_refs.select(*_EDGE_COLS)
     )

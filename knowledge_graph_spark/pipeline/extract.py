@@ -52,7 +52,12 @@ LANGUAGE_BY_EXTENSION = {
 DEFAULT_MAX_FILE_SIZE = 5_000_000  # indexer.rs:64-71
 _IGNORED_SEGMENTS = (".git", "node_modules", "__pycache__", "target", ".venv", "vendor")
 
-# One row per extracted entity; ``kind`` ∈ {definition, import, call}
+# One row per extracted entity; ``kind`` ∈ {definition, import, call, inherits}
+# receiver_type/call_flavor carry receiver-typed call info (Ruby/Java):
+# receiver_type = resolved constant/class name of the receiver expression,
+# call_flavor ∈ {singleton, instance} — mirroring the reference's
+# expression-resolver output (ruby/expression_resolver.rs, the class-method
+# vs instance-method lookup split in scope_resolver.rs:155-175).
 ENTITY_SCHEMA = StructType(
     [
         StructField("path", StringType(), False),
@@ -69,6 +74,8 @@ ENTITY_SCHEMA = StructType(
         StructField("end_col", IntegerType(), True),
         StructField("start_byte", LongType(), True),
         StructField("end_byte", LongType(), True),
+        StructField("receiver_type", StringType(), True),
+        StructField("call_flavor", StringType(), True),
     ]
 )
 
@@ -77,8 +84,37 @@ _PY_IMPORT = re.compile(
     r"^\s*(?:from\s+([A-Za-z_][\w.]*)\s+import\s+([A-Za-z_*][\w]*(?:\s*,\s*[\w]+)*)(?:\s+as\s+(\w+))?"
     r"|import\s+([A-Za-z_][\w.]*)(?:\s+as\s+(\w+))?)"
 )
-_RB_DEF = re.compile(r"^(\s*)(def|class|module)\s+(?:self\.)?([A-Za-z_][A-Za-z0-9_?!]*)")
+_RB_DEF = re.compile(r"^(\s*)(def|class|module)\s+(self\.)?([A-Za-z_][A-Za-z0-9_?!]*)")
 _RB_IMPORT = re.compile(r"^\s*require(?:_relative)?\s+['\"]([^'\"]+)['\"]")
+# `class Foo < Bar` superclass clause — feeds the inheritance chain the
+# reference keeps for method lookup (ruby/scope_resolver.rs:57-63,142-149)
+_RB_INHERIT = re.compile(r"<\s*([A-Z][\w:]*)")
+# receiver-dot-method, parens optional (Ruby calls are parenless-friendly):
+# group 1 = receiver expression (Const / Const::Path / local / @ivar)
+_RB_RECV_CALL = re.compile(r"(@?[A-Za-z_]\w*(?:::\w+)*)\.([a-z_]\w*[?!]?)")
+# local / ivar assignments whose RHS names a constant constructor-ish call:
+# the var's type is the constant (user = User.new → user : User), the same
+# local-type inference the reference's expression resolver performs
+_RB_LOCAL_ASSIGN = re.compile(
+    r"^\s*([a-z_]\w*)\s*=\s*([A-Z]\w*(?:::\w+)*)\.(?:new|create\w*|find\w*|build\w*)\b"
+)
+_RB_IVAR_ASSIGN = re.compile(
+    r"^\s*@(\w+)\s*=\s*([A-Z]\w*(?:::\w+)*)\.(?:new|create\w*|find\w*|build\w*)\b"
+)
+_JAVA_PKG = re.compile(r"^\s*package\s+([\w.]+)\s*;")
+# `Type name = ...` / `private Type name;` declarations give locals and
+# fields their static type (generics stripped)
+_JAVA_VAR_DECL = re.compile(
+    r"^\s*(?:(?:public|private|protected|final|static|var)\s+)*"
+    r"([A-Z][\w]*)(?:<[^>]*>)?\s+([a-z]\w*)\s*[=;]"
+)
+_JV_RECV_CALL = re.compile(r"([A-Za-z_$][\w$]*)\.([a-z]\w*)\s*\(")
+# `new Outer.Inner()` / `new ArrayList<String>()` — constructor calls the
+# bare-call regex misses (dotted prefix, generic argument list); the call
+# target is the CLASS, as in the reference's constructor resolution
+_JV_NEW = re.compile(
+    r"\bnew\s+([A-Z][\w$]*(?:\s*\.\s*[A-Z][\w$]*)*)\s*(?:<[^>()]*>)?\s*\("
+)
 _TS_DEF = re.compile(
     r"^(\s*)(?:export\s+)?(?:default\s+)?(function|class|interface)\s+([A-Za-z_$][\w$]*)"
 )
@@ -144,7 +180,9 @@ _RS_IMPL = re.compile(
     r"^(\s*)impl(?:<[^>]*>)?\s+(?:[\w:<>]+\s+for\s+)?([A-Za-z_][\w]*)(?:<[^>]*>)?\s*(?:\{|$)"
 )
 _RS_IMPORT = re.compile(r"^\s*(?:pub\s+)?use\s+([\w:]+)")
-_CALL = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)\s*\(")
+# bare-name call: NOT preceded by '.' — a dotted call is a receiver call and
+# must resolve through the receiver's type, never by bare name
+_CALL = re.compile(r"(?<![.\w])([A-Za-z_][A-Za-z0-9_]*)\s*\(")
 _KEYWORDS = {
     "if", "for", "while", "return", "def", "class", "function", "switch", "catch",
     "print", "super", "new", "import", "require", "elif", "unless", "until", "puts",
@@ -167,6 +205,10 @@ _KIND_BY_KEYWORD = {
 
 
 def _kind_name(language: str, keyword: str, name: str) -> str:
+    if keyword == "def_self":
+        # Ruby `def self.x` — the reference's distinct SingletonMethod
+        # definition type (parser RubyDefinitionType::SingletonMethod)
+        return "SingletonMethod"
     mapped = _KIND_BY_KEYWORD.get(keyword)
     if mapped:
         return mapped
@@ -237,58 +279,162 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
     brace = _BRACE_IMPORTS.get(language)
     if def_re is None and brace is None:
         return
-    stack: list[tuple[int, str]] = []  # (indent, name)
+    type_kws = {"class", "module", "interface", "enum", "record", "struct", "object", "impl"}
+    stack: list[tuple[int, str, str]] = []  # (indent, name, keyword)
     byte_off = 0
+    pkg: str | None = None  # Java `package` declaration
+    local_types: dict[str, str] = {}  # per-def local var → constant type
+    ivar_types: dict[str, str] = {}  # per-file @ivar / field → type
+
+    def row(kind, name, parent, dtype, ipath, alias, ln, line, col, width,
+            receiver_type=None, call_flavor=None):
+        return (
+            path, language, kind, name, parent, dtype, ipath, alias,
+            ln, ln, col, col + width, byte_off + col, byte_off + col + width,
+            receiver_type, call_flavor,
+        )
+
+    def scope_names():
+        names = [n for _, n, _ in stack]
+        if language == "Java":
+            # package declaration prefixes the scope (reference Java FQNs
+            # are package-based: com.example.app.Foo.bar); files in the
+            # unnamed package fall back to the path-derived module prefix
+            # so FQNs stay unique
+            prefix = pkg if pkg else path.rsplit(".", 1)[0].replace("/", ".")
+            names = prefix.split(".") + names
+        return names
+
+    def enclosing_type() -> str | None:
+        for _, n, kw in reversed(stack):
+            if kw in type_kws:
+                return n
+        return None
+
+    def receiver_calls(line, regex, ln):
+        """Receiver-typed call emission shared by Ruby and Java; unresolvable
+        receivers are dropped, like the reference's expression resolver."""
+        enclosing = ".".join(scope_names()) or None
+        if enclosing is None:
+            return
+        for cm in regex.finditer(line):
+            recv, callee = cm.group(1), cm.group(2)
+            if callee in _KEYWORDS:
+                continue
+            if recv[0].isupper():
+                rtype, flavor = recv.split("::")[-1], "singleton"
+            elif recv in ("this", "self"):
+                rtype, flavor = enclosing_type(), "instance"
+            elif recv.startswith("@"):
+                rtype, flavor = ivar_types.get(recv[1:]), "instance"
+            else:
+                # locals first, then fields (Java fields are bare names)
+                rtype = local_types.get(recv) or ivar_types.get(recv)
+                flavor = "instance"
+            if rtype is None:
+                continue
+            col = cm.start(2)
+            yield row(
+                "call", callee, enclosing, None, None, None, ln, line,
+                col, len(callee), receiver_type=rtype, call_flavor=flavor,
+            )
+
     for ln, line in enumerate(text.split("\n")):
         line_bytes = len(line.encode("utf-8", "replace")) + 1
         if def_re is not None:
             m = def_re.match(line)
-            hit = (len(m.group(1)), m.group(2), m.group(3)) if m else None
+            if m and language == "Ruby":
+                kw = "def_self" if (m.group(2) == "def" and m.group(3)) else m.group(2)
+                hit = (len(m.group(1)), kw, m.group(4))
+                name_col = m.start(4)
+            elif m:
+                hit = (len(m.group(1)), m.group(2), m.group(3))
+                name_col = m.start(3)
+            else:
+                hit, name_col = None, None
             if hit is None and language == "TypeScript":
                 am = _TS_ARROW.match(line)
                 if am:
-                    # name is group 2 here (no group 3) — let the shared
-                    # emit path below locate the column by name instead
-                    hit, m = (len(am.group(1)), "function", am.group(2)), None
+                    hit, name_col = (len(am.group(1)), "function", am.group(2)), None
         else:
             hit = _match_def(language, line)
-            m = hit
+            name_col = None
+            if hit is None and language == "Java":
+                pm = _JAVA_PKG.match(line)
+                if pm:
+                    pkg = pm.group(1)
         if hit:
             indent, kw, name = hit
             while stack and stack[-1][0] >= indent:
                 stack.pop()
             if kw == "impl":
                 # scope frame only: methods inside attribute to the type
-                stack.append((indent, name))
+                stack.append((indent, name, kw))
                 byte_off += line_bytes
                 continue
-            parent = ".".join(n for _, n in stack) or None
-            col = m.start(3) if hasattr(m, "start") else max(line.find(name), 0)
-            yield (
-                path, language, "definition", name, parent,
-                _kind_name(language, kw, name), None, None,
-                ln, ln, col, col + len(name),
-                byte_off + col, byte_off + col + len(name),
+            if kw in ("def", "def_self", "method", "function", "fun"):
+                local_types.clear()  # new method scope: locals reset
+            parent = ".".join(scope_names()) or None
+            col = name_col if name_col is not None else max(line.find(name), 0)
+            yield row(
+                "definition", name, parent, _kind_name(language, kw, name),
+                None, None, ln, line, col, len(name),
             )
-            stack.append((indent, name))
+            stack.append((indent, name, kw))
+            if language == "Ruby" and kw == "class":
+                ih = _RB_INHERIT.search(line)
+                if ih:
+                    # superclass clause → inheritance-chain entry
+                    # (scope_resolver.rs:142-149); child = the chain incl.
+                    # the class just pushed
+                    yield row(
+                        "inherits", ih.group(1).split("::")[-1],
+                        ".".join(scope_names()), None, None, None,
+                        ln, line, ih.start(1), len(ih.group(1)),
+                    )
         elif brace is not None:
             bim = brace[0].match(line)
             if bim:
+                # reference convention (java/tests.rs:292-303,
+                # find_calls_to_imported_symbol("java.util", "ArrayList")):
+                # import_path = the container/package, name = the last segment
                 base = bim.group(1)
-                yield (
-                    path, language, "import", base.split(brace[1])[-1], None, None,
-                    base, None, ln, ln, 0, len(line), byte_off, byte_off + len(line),
+                sep = brace[1]
+                name_ = base.split(sep)[-1]
+                container = base.rsplit(sep, 1)[0] if sep in base else base
+                yield row(
+                    "import", name_, None, None, container, None,
+                    ln, line, 0, len(line),
                 )
             else:
-                enclosing = ".".join(n for _, n in stack) or None
+                ctor_cols: set[int] = set()
+                if language == "Java":
+                    vd = _JAVA_VAR_DECL.match(line)
+                    if vd:
+                        if enclosing_type() and not any(
+                            k in ("method", "function") for _, _, k in stack
+                        ):
+                            ivar_types[vd.group(2)] = vd.group(1)
+                        else:
+                            local_types[vd.group(2)] = vd.group(1)
+                    yield from receiver_calls(line, _JV_RECV_CALL, ln)
+                    enc = ".".join(scope_names()) or None
+                    for nm_ in _JV_NEW.finditer(line):
+                        cls = nm_.group(1).replace(" ", "").split(".")[-1]
+                        col = nm_.end(1) - len(cls)
+                        ctor_cols.add(col)
+                        yield row(
+                            "call", cls, enc, None, None, None,
+                            ln, line, col, len(cls),
+                        )
+                enclosing = ".".join(scope_names()) or None
                 for cm in _CALL.finditer(line):
                     callee = cm.group(1)
-                    if callee in _KEYWORDS:
+                    if callee in _KEYWORDS or cm.start(1) in ctor_cols:
                         continue
-                    yield (
-                        path, language, "call", callee, enclosing, None, None, None,
-                        ln, ln, cm.start(1), cm.start(1) + len(callee),
-                        byte_off + cm.start(1), byte_off + cm.start(1) + len(callee),
+                    yield row(
+                        "call", callee, enclosing, None, None, None,
+                        ln, line, cm.start(1), len(callee),
                     )
         else:
             im = imp_re.match(line)
@@ -299,47 +445,54 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                         for nm in (im.group(2) or "").split(","):
                             nm = nm.strip()
                             if nm:
-                                yield (
-                                    path, language, "import", nm, None, None,
-                                    base, im.group(3), ln, ln, 0, len(line),
-                                    byte_off, byte_off + len(line), )
+                                yield row(
+                                    "import", nm, None, None, base, im.group(3),
+                                    ln, line, 0, len(line),
+                                )
                     else:
-                        yield (
-                            path, language, "import", im.group(4).split(".")[-1], None,
-                            None, im.group(4), im.group(5), ln, ln, 0, len(line),
-                            byte_off, byte_off + len(line), )
+                        yield row(
+                            "import", im.group(4).split(".")[-1], None, None,
+                            im.group(4), im.group(5), ln, line, 0, len(line),
+                        )
                 elif language == "Ruby":
                     base = im.group(1)
-                    yield (
-                        path, language, "import", base.split("/")[-1], None, None,
-                        base, None, ln, ln, 0, len(line), byte_off, byte_off + len(line),
+                    yield row(
+                        "import", base.split("/")[-1], None, None, base, None,
+                        ln, line, 0, len(line),
                     )
                 else:  # TypeScript
                     default_imp, named, base = im.group(1), im.group(2), im.group(3)
                     if default_imp:
-                        yield (
-                            path, language, "import", default_imp, None, None, base,
-                            None, ln, ln, 0, len(line), byte_off, byte_off + len(line),
+                        yield row(
+                            "import", default_imp, None, None, base, None,
+                            ln, line, 0, len(line),
                         )
                     for nm in (named or "").split(","):
                         nm = nm.strip()
                         if nm:
                             parts = nm.split(" as ")
-                            yield (
-                                path, language, "import", parts[0].strip(), None, None,
-                                base, parts[1].strip() if len(parts) > 1 else None,
-                                ln, ln, 0, len(line), byte_off, byte_off + len(line),
+                            yield row(
+                                "import", parts[0].strip(), None, None, base,
+                                parts[1].strip() if len(parts) > 1 else None,
+                                ln, line, 0, len(line),
                             )
             else:
-                enclosing = ".".join(n for _, n in stack) or None
+                if language == "Ruby":
+                    la = _RB_LOCAL_ASSIGN.match(line)
+                    if la:
+                        local_types[la.group(1)] = la.group(2).split("::")[-1]
+                    iv = _RB_IVAR_ASSIGN.match(line)
+                    if iv:
+                        ivar_types[iv.group(1)] = iv.group(2).split("::")[-1]
+                    yield from receiver_calls(line, _RB_RECV_CALL, ln)
+                enclosing = ".".join(scope_names()) or None
                 for cm in _CALL.finditer(line):
                     callee = cm.group(1)
                     if callee in _KEYWORDS:
                         continue
-                    yield (
-                        path, language, "call", callee, enclosing, None, None, None,
-                        ln, ln, cm.start(1), cm.start(1) + len(callee),
-                        byte_off + cm.start(1), byte_off + cm.start(1) + len(callee),
+                    yield row(
+                        "call", callee, enclosing, None, None, None,
+                        ln, line, cm.start(1), len(callee),
                     )
         byte_off += line_bytes
 

@@ -165,7 +165,9 @@ def test_definitions_and_fqns(indexed):
     assert "app.models.user.User.save" in fqns
     assert "app.models.user.User.validate" in fqns
     assert "app.models.user.validate" in fqns  # top-level shadow
-    assert "app.services.user_service.UserService.Syncer.sync_users" in fqns
+    # Ruby FQNs are scope-based with reference separators (Outer::Inner,
+    # Class#instance_method) — no file-path prefix
+    assert "UserService::Syncer#sync_users" in fqns
     assert "web.main.main" in fqns
     # TS arrow-function bindings extract as Function definitions
     assert "web.util.toUpper" in fqns and "web.util.handler" in fqns
