@@ -142,3 +142,15 @@ def test_assign_dense_ids_stays_jvm_side(spark):
     for marker in ("BatchEvalPython", "PythonRDD", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_search_with_context_stays_broadcast(parquet_kg):
+    """Snippet enrichment joins the tiny hit set against the line inventory:
+    must plan as broadcast-hash with the range predicate as join filter,
+    never a nested loop."""
+    from knowledge_graph_spark.queries import library as L
+
+    plan = _plan(L.search_with_context(parquet_kg, ["red", "bolt"]))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
