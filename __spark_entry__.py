@@ -30,6 +30,7 @@ from knowledge_graph_spark.pipeline import synthetic as SY
 from knowledge_graph_spark.operators.range_join import SESSION_INTERVAL_ATTRIBUTION_SQL
 from knowledge_graph_spark.queries import analytics as A
 from knowledge_graph_spark.queries import library as L
+from knowledge_graph_spark.queries import shaping as SHAPE
 
 #: queries with no SQL-expressible oracle — probabilistic (LSH/banding/HLL
 #: sketches), iterative-non-monotone (pagerank, components, k-core peeling),
@@ -44,9 +45,7 @@ ROWS_ONLY = {
     "hyperplane_lsh_ann",
     "ivf_ann",
     "pagerank_top20",
-    "connected_components_sizes",
     "label_prop_communities",
-    "import_chain_resolution",
     "media_decode_stats",
     "media_frame_sample",
     "media_resize_stats",
@@ -173,6 +172,15 @@ def _q_search_nodes(spark, sf_dir):  # U2 P7 P8 O3 G7
 def _q_search_with_context(spark, sf_dir):  # result-context enrichment
     kg = _graph(spark, sf_dir)
     return L.search_with_context(kg, ["blue", "ring"], context_lines=2)
+
+
+def _q_search_xml(spark, sf_dir):  # enrichment + XML render + page token
+    from knowledge_graph_spark.queries import shaping
+
+    kg = _graph(spark, sf_dir)
+    return shaping.search_definitions_xml(
+        kg, ["blue", "ring"], page=1, page_size=50, context_lines=2
+    )
 
 
 def _q_neighbors_dir(spark, sf_dir):  # G1 J3 U3
@@ -645,22 +653,159 @@ ORDER BY node_table
 """
 
 
+_ALL_EDGES_RAW_CTE = """raw(x, y) AS MATERIALIZED (
+  SELECT source_table || '#' || source_id, target_table || '#' || target_id FROM directory_relationships
+  UNION ALL SELECT source_table || '#' || source_id, target_table || '#' || target_id FROM file_relationships
+  UNION ALL SELECT source_table || '#' || source_id, target_table || '#' || target_id FROM definition_relationships
+  UNION ALL SELECT source_table || '#' || source_id, target_table || '#' || target_id FROM imported_symbol_relationships
+)"""
+
+
+def _cc_hist_sql(rounds: int = 10) -> str:
+    """Exact connected-components size histogram as unrolled min-label
+    propagation WITH pointer jumping (label := label-of-label each round), so
+    convergence is O(log diameter) — 10 rounds covers diameter ≲ 1000 on the
+    derived graph (actual ≈ 12). The histogram is label-independent, which is
+    what makes the randomized-contraction Spark side hash-comparable."""
+    ctes = [
+        _ALL_EDGES_RAW_CTE,
+        """cund AS MATERIALIZED (
+  SELECT x AS a, y AS b FROM raw UNION ALL SELECT y, x FROM raw
+)""",
+        # round 0 mirrors the Spark side: every endpoint appears as `a`, so
+        # the node set and initial label (min of closed neighborhood) agree
+        "l0 AS MATERIALIZED (SELECT a AS u, least(a, min(b)) AS lab FROM cund GROUP BY a)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"n{r} AS MATERIALIZED (SELECT e.a AS u, min(l.lab) AS nb "
+            f"FROM cund e JOIN l{p} l ON l.u = e.b GROUP BY e.a)"
+        )
+        ctes.append(
+            f"j{r} AS MATERIALIZED (SELECT l.u, ll.lab AS jm "
+            f"FROM l{p} l JOIN l{p} ll ON ll.u = l.lab)"
+        )
+        ctes.append(
+            f"l{r} AS MATERIALIZED (SELECT l.u, "
+            f"least(l.lab, n.nb, coalesce(j.jm, l.lab)) AS lab "
+            f"FROM l{p} l JOIN n{r} n ON n.u = l.u "
+            f"LEFT JOIN j{r} j ON j.u = l.u)"
+        )
+    return ", ".join(ctes)
+
+
+CC_HIST_SQL = """
+SELECT CAST(sz AS BIGINT) AS component_size, CAST(count(*) AS BIGINT) AS n_components
+FROM (SELECT lab, count(*) AS sz FROM l{rounds} GROUP BY lab) comp
+GROUP BY sz ORDER BY component_size
+"""
+
+
+def _pagerank_exact_sql(iterations: int = 3, scale: int = 10**12, top: int = 20) -> str:
+    """DuckDB twin of graph.algorithms.pagerank_exact: the same BIGINT
+    fixed-point recurrence unrolled one CTE-pair per iteration. Every
+    division is truncating integer division on positives (// here, DIV in
+    Spark) and every sum is CAST back to BIGINT (DuckDB SUM(BIGINT) is
+    HUGEINT, which pandas would render as float)."""
+    ctes = [
+        _ALL_EDGES_RAW_CTE,
+        "pe AS MATERIALIZED (SELECT DISTINCT x AS src, y AS dst FROM raw)",
+        """pn AS MATERIALIZED (SELECT src AS node FROM pe UNION SELECT dst FROM pe)""",
+        "pdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM pe GROUP BY src)",
+        "pcnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pn)",
+        f"r0 AS MATERIALIZED (SELECT node, CAST({scale} // (SELECT n FROM pcnt) AS BIGINT) AS rank FROM pn)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"d{i} AS (SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS dm "
+            f"FROM r{i} r LEFT JOIN pdeg g ON g.src = r.node WHERE g.src IS NULL)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT e.dst AS node, "
+            f"CAST(sum(r.rank // g.outdeg) AS BIGINT) AS s "
+            f"FROM pe e JOIN pdeg g ON g.src = e.src "
+            f"JOIN r{i} r ON r.node = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i + 1} AS MATERIALIZED (SELECT n.node, "
+            f"CAST((15 * ({scale} // (SELECT n FROM pcnt))) // 100 "
+            f"+ (85 * (coalesce(s.s, 0) + (SELECT dm FROM d{i}) // (SELECT n FROM pcnt))) // 100 "
+            f"AS BIGINT) AS rank "
+            f"FROM pn n LEFT JOIN s{i} s ON s.node = n.node)"
+        )
+    return ", ".join(ctes)
+
+
+PAGERANK_EXACT_SQL = """
+SELECT node, rank FROM r{iterations} ORDER BY rank DESC, node LIMIT {top}
+"""
+
+
+IMPORT_CHAIN_CTE = """ii AS (
+  SELECT source_id AS src, target_id AS dst FROM imported_symbol_relationships
+  WHERE type = 'IMPORTED_SYMBOL_TO_IMPORTED_SYMBOL'
+),
+term AS (
+  SELECT source_id AS imp, target_table AS resolved_table, target_id AS resolved_id
+  FROM imported_symbol_relationships
+  WHERE type IN ('IMPORTED_SYMBOL_TO_DEFINITION', 'IMPORTED_SYMBOL_TO_FILE')
+),
+chain_reach(origin, cur, depth) AS (
+  SELECT id, id, 0 FROM imported_symbol_nodes
+  UNION
+  SELECT r.origin, i.dst, r.depth + 1 FROM chain_reach r JOIN ii i ON i.src = r.cur
+  WHERE r.depth < 10
+),
+chain_hits AS (
+  SELECT r.origin, t.resolved_table, t.resolved_id, r.depth
+  FROM chain_reach r JOIN term t ON t.imp = r.cur
+),
+chain_first AS (SELECT origin, min(depth) AS depth FROM chain_hits GROUP BY origin)"""
+
+IMPORT_CHAIN_SQL = """
+SELECT origin AS import_id, resolved_table, resolved_id, CAST(depth AS INT) AS depth
+FROM (
+  SELECT h.origin, h.resolved_table, h.resolved_id, h.depth,
+         row_number() OVER (
+           PARTITION BY h.origin
+           ORDER BY CASE WHEN h.resolved_table = 'definition_nodes' THEN 0 ELSE 1 END,
+                    h.resolved_table, h.resolved_id
+         ) AS rk
+  FROM chain_hits h
+  JOIN chain_first f ON f.origin = h.origin AND f.depth = h.depth
+) ranked
+WHERE rk = 1
+ORDER BY import_id
+"""
+
+
 def _q_pagerank_top20(spark, sf_dir):  # rows-only (iterative float)
     from knowledge_graph_spark.graph.algorithms import pagerank
 
     return pagerank(_graph(spark, sf_dir), iterations=5).limit(20)
 
 
-def _q_connected_components_sizes(spark, sf_dir):  # rows-only (hash labels)
+def _q_connected_components_sizes(spark, sf_dir):  # exact: size histogram
     from knowledge_graph_spark.graph.algorithms import connected_components
 
+    # Component LABELS are xxhash64-dependent (rows-only territory), but the
+    # SIZE HISTOGRAM is label-independent and exact — hash-comparable against
+    # a min-label fixpoint unrolled as DuckDB CTEs (_cc_hist_sql).
     cc = connected_components(_graph(spark, sf_dir))
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
     return (
-        cc.groupBy("component")
-        .agg(F.count(F.lit(1)).alias("size"))
-        .orderBy(F.desc("size"), "component")
-        .limit(50)
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .select(F.col("sz").alias("component_size"), "n_components")
+        .orderBy("component_size")
     )
+
+
+def _q_pagerank_exact(spark, sf_dir):  # exact: integer fixed-point ranks
+    from knowledge_graph_spark.graph.algorithms import pagerank_exact
+
+    return pagerank_exact(_graph(spark, sf_dir), iterations=3).limit(20)
 
 
 def _q_label_prop_communities(spark, sf_dir):  # rows-only (iterative LPA)
@@ -788,7 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "definition_at": _q_definition_at,
         "list_matches": _q_list_matches,
         "search_definitions": _q_search_definitions,
-        "search_with_context": _q_search_with_context,
+        "search_xml": _q_search_xml,
         "search_nodes": _q_search_nodes,
         "neighbors_dir": _q_neighbors_dir,
         "initial_graph": _q_initial_graph,
@@ -806,7 +951,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
         "parts_not_recently_shipped": _q_parts_not_recently_shipped,
-        "supplier_nation_rollup": _q_supplier_nation_rollup,
         "order_priority_rollup": _q_order_priority_rollup,
         "event_type_stats": _q_event_type_stats,
         "top_events_per_type": _q_top_events_per_type,
@@ -826,17 +970,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "pack_documents": _q_pack_documents,
         "redact_pii": _q_redact_pii,
-        "quality_percentiles": _q_quality_percentiles,
-        "token_counts": _q_token_counts,
         "bm25": _q_bm25,
         # -- graph analytics with exact / invariant oracles ----------------
         "dir_tree_closure": _q_dir_tree_closure,
         "triangle_count": _q_triangle_count,
         "k_core_sizes": _q_k_core_sizes,
         "lpa_invariants": _q_lpa_invariants,
+        "connected_components_sizes": _q_connected_components_sizes,
+        "pagerank_exact": _q_pagerank_exact,
+        "import_chain_resolution": _q_import_chain_resolution,
         # ==== entries past the driver's 50-entry compare window ===========
         # oracle-backed variants whose operator ids are covered above;
         # pytest checks them against the same oracles at sf0.001
+        "supplier_nation_rollup": _q_supplier_nation_rollup,
+        "quality_percentiles": _q_quality_percentiles,
+        "token_counts": _q_token_counts,
+        "search_with_context": _q_search_with_context,
         "get_references_page2": _q_get_references_page2,
         "fingerprint": _q_fingerprint,
         "sessionize": _q_sessionize,
@@ -858,9 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperplane_lsh_ann": _q_hyperplane_lsh_ann,
         "ivf_ann": _q_ivf_ann,
         "pagerank_top20": _q_pagerank_top20,
-        "connected_components_sizes": _q_connected_components_sizes,
         "label_prop_communities": _q_label_prop_communities,
-        "import_chain_resolution": _q_import_chain_resolution,
         "media_decode_stats": _q_media_decode_stats,
         "media_frame_sample": _q_media_frame_sample,
         "media_resize_stats": _q_media_resize_stats,
@@ -930,6 +1077,20 @@ def oracle_sql() -> dict[str, str]:
         "search_with_context": o(
             L.SEARCH_WITH_CONTEXT_SQL.format(ctx=2),
             extra_ctes=L.SEARCH_WITH_CONTEXT_CTE.format(
+                any_pred="(contains(lower(name), 'blue') OR contains(lower(name), 'ring'))",
+                limit=50,
+                offset=0,
+            ),
+        ),
+        "search_xml": o(
+            SHAPE.search_definitions_xml_sql(
+                any_pred="(contains(lower(name), 'blue') OR contains(lower(name), 'ring'))",
+                terms_str="blue, ring",
+                page=1,
+                page_size=50,
+                ctx=2,
+            ),
+            extra_ctes=SHAPE.SEARCH_XML_HITS_CTE.format(
                 any_pred="(contains(lower(name), 'blue') OR contains(lower(name), 'ring'))",
                 limit=50,
                 offset=0,
@@ -1017,4 +1178,14 @@ def oracle_sql() -> dict[str, str]:
             K_CORE_SIZES_SQL.format(rounds=30), extra_ctes=_k_core_peel_sql(2, 30)
         ),
         "lpa_invariants": o(LPA_INVARIANTS_SQL),
+        "connected_components_sizes": o(
+            CC_HIST_SQL.format(rounds=10), extra_ctes=_cc_hist_sql(10)
+        ),
+        "pagerank_exact": o(
+            PAGERANK_EXACT_SQL.format(iterations=3, top=20),
+            extra_ctes=_pagerank_exact_sql(iterations=3),
+        ),
+        "import_chain_resolution": o(
+            IMPORT_CHAIN_SQL, extra_ctes=IMPORT_CHAIN_CTE, recursive=True
+        ),
     }

@@ -457,6 +457,76 @@ def _pagerank_loop(
     return _checkpoint_and_release(kg.spark, before, out)
 
 
+def pagerank_exact(
+    kg: KnowledgeGraph, iterations: int = 3, scale: int = 10**12
+) -> DataFrame:
+    """Bit-exact fixed-point PageRank — the oracle-checkable twin of
+    :func:`pagerank`.
+
+    Float PageRank cannot be hash-compared across engines (shuffle order
+    perturbs double summation), so this variant does the whole power
+    iteration in BIGINT micro-units (``scale`` = 1.0): identical truncating
+    integer division (Spark ``DIV`` ≡ DuckDB ``//`` on positives) at every
+    step makes the result deterministic and engine-independent —
+    ``__spark_entry__._pagerank_exact_sql`` unrolls the very same recurrence
+    as DuckDB CTEs. The update rule per node v with damping 85/100::
+
+        rank'(v) = (15 * (scale DIV n)) DIV 100
+                 + (85 * (Σ_{u→v} rank(u) DIV outdeg(u) + dangling DIV n)) DIV 100
+
+    Same scale shape as :func:`pagerank` (edge set shuffled once, rank
+    vector per iteration); the per-iteration dangling-mass collect is a
+    1-row scalar, bounded at any data size. Keys are ``table#id`` strings
+    because the oracle must reproduce them textually."""
+    before = _persistent_rdd_ids(kg.spark)
+    parts = [
+        df.select(
+            F.concat_ws("#", "source_table", "source_id").alias("src"),
+            F.concat_ws("#", "target_table", "target_id").alias("dst"),
+        )
+        for df in kg.edges.values()
+    ]
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    e = e.distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    base = (15 * (scale // n)) // 100
+    r = nodes.select("node", F.lit(scale // n).cast("long").alias("rank"))
+    for _ in range(iterations):
+        dang = (
+            r.join(deg, r.node == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("d"))
+            .collect()[0]["d"]
+        )
+        contribs = (
+            ed.join(r, ed.src == r.node)
+            .select("dst", F.expr("rank DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .withColumnRenamed("dst", "node")
+        )
+        r = (
+            nodes.join(contribs, "node", "left_outer")
+            .selectExpr(
+                "node",
+                f"CAST({base} + (85 * (coalesce(s, CAST(0 AS BIGINT)) + {dang // n}))"
+                " DIV 100 AS BIGINT) AS rank",
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = r.orderBy(F.desc("rank"), "node")
+    return _checkpoint_and_release(kg.spark, before, out)
+
+
 def resolve_import_chains(kg: KnowledgeGraph, max_depth: int = 10) -> DataFrame:
     """J8: follow imp→imp edges to each import's terminal resolution
     (definition or file), with cycle guard — the DataFrame-fixpoint form of

@@ -154,3 +154,29 @@ def test_search_with_context_stays_broadcast(parquet_kg):
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
     assert "SortMergeJoin" not in plan, plan[:1500]
+
+
+def test_search_xml_wellformed_and_broadcast(parquet_kg):
+    """The XML render must stay a Catalyst string pipeline over the same
+    broadcast enrichment join, and the document must parse as XML (escaping
+    correct) with the reference's element vocabulary (xml.rs:124-148)."""
+    import xml.etree.ElementTree as ET
+
+    from knowledge_graph_spark.queries import shaping
+
+    df = shaping.search_definitions_xml(parquet_kg, ["red", "bolt"], page_size=5)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    row = df.collect()[0]
+    root = ET.fromstring(row["xml"])
+    assert root.tag == "ToolResponse"
+    defs = root.find("definitions")
+    kids = list(defs)
+    assert kids and all(k.tag == "definition" for k in kids)
+    names = {c.tag for c in kids[0]}
+    assert names == {"name", "fqn", "definition-type", "location", "context"}
+    # full page of 5 → next-page token present and matches the column
+    assert row["next_page"] == 2
+    assert root.find("next-page").text == "2"
+    assert "Decision Framework:" in row["system_message"]
