@@ -130,6 +130,17 @@ def build_graph_from_entities(
             F.col("language") == "Java",
             F.concat_ws(".", F.col("parent_chain"), F.col("name")),
         )
+        .when(
+            # TypeScript: scope-based `::` joins with NO file prefix —
+            # the reference asserts e.g. 'Application::run'
+            # (indexer tests.rs:493-496, typescript_fqn_to_string)
+            F.col("language") == "TypeScript",
+            F.concat_ws(
+                "::",
+                F.regexp_replace(F.col("parent_chain"), r"\.", "::"),
+                F.col("name"),
+            ),
+        )
         .otherwise(F.concat_ws(".", _module_fqn(), F.col("parent_chain"), F.col("name")))
     )
     definitions = defs.select(
@@ -413,6 +424,32 @@ def build_graph_from_entities(
     )
 
     # ---- import resolution (J9: candidate paths → files, priority order) --
+    # TS relative imports resolve against the importing file's directory
+    # ('./base_model' in app/models/user_model.ts → app/models/base_model.ts;
+    # one '../' level supported); bare module specifiers ('crypto') get no
+    # file candidate — they are external, like the reference's unresolved
+    # node_modules imports. NULL array entries are dropped by the join.
+    _dir = F.when(
+        F.col("file_path").contains("/"),
+        F.regexp_replace("file_path", r"/[^/]*$", ""),
+    ).otherwise(F.lit(""))
+    _ts_rel = F.when(
+        F.col("import_path").startswith("./"),
+        F.concat_ws(
+            "/",
+            F.when(_dir != "", _dir),
+            F.regexp_replace("import_path", r"^\./", ""),
+        ),
+    ).when(
+        F.col("import_path").startswith("../"),
+        F.concat_ws(
+            "/",
+            F.when(
+                _dir.contains("/"), F.regexp_replace(_dir, r"/[^/]*$", "")
+            ),
+            F.regexp_replace("import_path", r"^\.\./", ""),
+        ),
+    )
     cand = imported.select(
         F.col("id").alias("imp_id"),
         F.col("name").alias("imp_name"),
@@ -421,7 +458,8 @@ def build_graph_from_entities(
                 F.concat(F.regexp_replace("import_path", r"\.", "/"), F.lit(".py")),
                 F.concat(F.regexp_replace("import_path", r"\.", "/"), F.lit("/__init__.py")),
                 F.concat(F.col("import_path"), F.lit(".rb")),
-                F.concat(F.regexp_replace("import_path", r"^\./", ""), F.lit(".ts")),
+                F.concat(_ts_rel, F.lit(".ts")),
+                F.concat(_ts_rel, F.lit("/index.ts")),
             )
         ).alias("priority", "cand_path"),
     )

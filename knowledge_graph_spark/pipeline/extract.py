@@ -116,7 +116,40 @@ _JV_NEW = re.compile(
     r"\bnew\s+([A-Z][\w$]*(?:\s*\.\s*[A-Z][\w$]*)*)\s*(?:<[^>()]*>)?\s*\("
 )
 _TS_DEF = re.compile(
-    r"^(\s*)(?:export\s+)?(?:default\s+)?(function|class|interface)\s+([A-Za-z_$][\w$]*)"
+    r"^(\s*)(?:export\s+)?(?:default\s+)?(?:declare\s+)?(?:abstract\s+)?(?:async\s+)?"
+    r"(function|class|interface|namespace|enum)\s+([A-Za-z_$][\w$]*)"
+)
+# class-body member: optional modifiers, optional get/set, name immediately
+# followed by '(' and an opening brace ending the line. Only consulted when
+# the innermost scope frame is a class/interface (guards against top-level
+# control flow and call statements). Matches the reference's tree-sitter
+# method_definition inventory on fixtures/typescript/test-repo: 84 total
+# definitions = classes + interfaces + functions + methods/ctors/accessors,
+# NO fields/consts (tests.rs:369-454 asserts 84 global / 32 in the models)
+_TS_METHOD = re.compile(
+    r"^(\s*)(?:(?:public|private|protected|static|readonly|override|abstract|async)\s+)*"
+    r"(?:(get|set)\s+)?([A-Za-z_$][\w$]*)\s*\(.*\{\s*$"
+)
+# `class Foo extends Bar` superclass clause → inheritance-chain entry, the
+# same chain-climbing method lookup as Ruby (`UserModel.create` resolving to
+# BaseModel.create in the reference's TS fixture)
+_TS_EXTENDS = re.compile(r"\bextends\s+([A-Za-z_$][\w$.]*)")
+# receiver-dot-method with call parens; receiver may be a dotted path
+# (`UserManagement.User.findByUsername`) — resolution uses the last segment
+_TS_RECV_CALL = re.compile(
+    r"((?:[A-Za-z_$][\w$]*\.)*[A-Za-z_$][\w$]*)\.([A-Za-z_$][\w$]*)\s*\("
+)
+# const/let/var whose RHS names a constructor or factory-ish static call:
+# the local's type is the constant (user = UserModel.create(...) → UserModel)
+_TS_LOCAL_ASSIGN = re.compile(
+    r"^\s*(?:const|let|var)\s+([A-Za-z_$][\w$]*)\s*=\s*"
+    r"(?:new\s+([A-Z][\w$.]*)|([A-Z][\w$.]*)\.(?:create|find\w*|build\w*)\b)"
+)
+# class field with a type annotation (`private users: UserModel[] = []`) —
+# gives `this.users`-style receivers their declared type
+_TS_FIELD_TYPE = re.compile(
+    r"^\s*(?:(?:public|private|protected|static|readonly)\s+)+"
+    r"([A-Za-z_$][\w$]*)\??\s*:\s*([A-Z][\w$]*)"
 )
 _TS_IMPORT = re.compile(
     r"^\s*import\s+(?:([\w$]+)\s*,?\s*)?(?:\{([^}]*)\}\s*)?from\s+['\"]([^'\"]+)['\"]"
@@ -186,6 +219,7 @@ _CALL = re.compile(r"(?<![.\w])([A-Za-z_][A-Za-z0-9_]*)\s*\(")
 _KEYWORDS = {
     "if", "for", "while", "return", "def", "class", "function", "switch", "catch",
     "print", "super", "new", "import", "require", "elif", "unless", "until", "puts",
+    "do", "try", "else", "typeof", "await",
 }
 
 
@@ -321,16 +355,25 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
             recv, callee = cm.group(1), cm.group(2)
             if callee in _KEYWORDS:
                 continue
-            if recv[0].isupper():
-                rtype, flavor = recv.split("::")[-1], "singleton"
-            elif recv in ("this", "self"):
+            # dotted receiver paths (TS `UserManagement.User.x`, Ruby
+            # `A::B.x`) resolve through the LAST path segment
+            segs = recv.replace("::", ".").split(".")
+            last = segs[-1]
+            if recv in ("this", "self"):
                 rtype, flavor = enclosing_type(), "instance"
             elif recv.startswith("@"):
                 rtype, flavor = ivar_types.get(recv[1:]), "instance"
-            else:
+            elif last[0].isupper():
+                rtype, flavor = last, "singleton"
+            elif len(segs) == 2 and segs[0] in ("this", "self"):
+                # `this.field.m()` — the field's declared type
+                rtype, flavor = ivar_types.get(last), "instance"
+            elif len(segs) == 1:
                 # locals first, then fields (Java fields are bare names)
                 rtype = local_types.get(recv) or ivar_types.get(recv)
                 flavor = "instance"
+            else:
+                rtype, flavor = None, "instance"
             if rtype is None:
                 continue
             col = cm.start(2)
@@ -356,6 +399,19 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                 am = _TS_ARROW.match(line)
                 if am:
                     hit, name_col = (len(am.group(1)), "function", am.group(2)), None
+                else:
+                    mm = _TS_METHOD.match(line)
+                    if mm and mm.group(3) not in _KEYWORDS:
+                        # only a class/interface body hosts methods: find the
+                        # innermost frame that would survive this indent
+                        m_indent = len(mm.group(1))
+                        host = next(
+                            (kw_ for ind_, _n, kw_ in reversed(stack) if ind_ < m_indent),
+                            None,
+                        )
+                        if host in ("class", "interface"):
+                            hit = (m_indent, "method", mm.group(3))
+                            name_col = mm.start(3)
         else:
             hit = _match_def(language, line)
             name_col = None
@@ -367,8 +423,11 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
             indent, kw, name = hit
             while stack and stack[-1][0] >= indent:
                 stack.pop()
-            if kw == "impl":
-                # scope frame only: methods inside attribute to the type
+            if kw == "impl" or (kw == "namespace" and language == "TypeScript"):
+                # scope frame only: Rust impl blocks and TS namespaces
+                # contribute to contained FQNs but emit no definition row —
+                # the reference analyzer skips Namespace definitions outright
+                # (typescript.rs:42-44 `Namespace → continue`)
                 stack.append((indent, name, kw))
                 byte_off += line_bytes
                 continue
@@ -381,6 +440,17 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                 None, None, ln, line, col, len(name),
             )
             stack.append((indent, name, kw))
+            if language == "TypeScript" and kw == "class":
+                ts_ih = _TS_EXTENDS.search(line)
+                if ts_ih:
+                    # `extends` clause → same inheritance-chain entry as the
+                    # Ruby superclass: unresolved receiver-typed calls climb
+                    # the chain (UserModel.create → BaseModel.create)
+                    sup = ts_ih.group(1).split(".")[-1]
+                    yield row(
+                        "inherits", sup, ".".join(scope_names()), None, None,
+                        None, ln, line, ts_ih.start(1), len(ts_ih.group(1)),
+                    )
             if language == "Ruby" and kw == "class":
                 ih = _RB_INHERIT.search(line)
                 if ih:
@@ -477,6 +547,7 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                                 ln, line, 0, len(line),
                             )
             else:
+                ctor_cols: set[int] = set()
                 if language == "Ruby":
                     la = _RB_LOCAL_ASSIGN.match(line)
                     if la:
@@ -485,10 +556,31 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                     if iv:
                         ivar_types[iv.group(1)] = iv.group(2).split("::")[-1]
                     yield from receiver_calls(line, _RB_RECV_CALL, ln)
+                elif language == "TypeScript":
+                    tla = _TS_LOCAL_ASSIGN.match(line)
+                    if tla:
+                        t = (tla.group(2) or tla.group(3)).split(".")[-1]
+                        local_types[tla.group(1)] = t
+                    tf = _TS_FIELD_TYPE.match(line)
+                    if tf:
+                        ivar_types[tf.group(1)] = tf.group(2)
+                    yield from receiver_calls(line, _TS_RECV_CALL, ln)
+                    # `new Outer.Inner()` constructor calls: target is the
+                    # class; cols recorded so the bare-call pass below does
+                    # not double-emit the single-segment `new Token()` form
+                    enc_ts = ".".join(scope_names()) or None
+                    for nm_ in _JV_NEW.finditer(line):
+                        cls = nm_.group(1).replace(" ", "").split(".")[-1]
+                        col = nm_.end(1) - len(cls)
+                        ctor_cols.add(col)
+                        yield row(
+                            "call", cls, enc_ts, None, None, None,
+                            ln, line, col, len(cls),
+                        )
                 enclosing = ".".join(scope_names()) or None
                 for cm in _CALL.finditer(line):
                     callee = cm.group(1)
-                    if callee in _KEYWORDS:
+                    if callee in _KEYWORDS or cm.start(1) in ctor_cols:
                         continue
                     yield row(
                         "call", callee, enclosing, None, None, None,

@@ -56,7 +56,7 @@ def test_diff_detects_added_and_deleted(incremental_case):
     deleted = {r.fqn for r in diff["deleted"].collect()}
     assert "app.models.user.archive" in added
     assert "app.models.account.Account" in added
-    assert "web.util.formatName" in deleted
+    assert "formatName" in deleted
     assert not {r.fqn for r in diff["retained"].collect()} & added
 
 

@@ -228,3 +228,156 @@ def test_java_calls_to_imported_symbol(java_main):
     )
     rows = {(r.imp_path, r.imp_name) for r in named.select("imp_path", "imp_name").collect()}
     assert ("java.util", "ArrayList") in rows or ("java.util", "List") in rows, rows
+
+
+# ---- TypeScript: fixtures/typescript/test-repo (indexer tests.rs:369-518) --
+
+TS_REPO = "/root/reference/fixtures/typescript/test-repo"
+
+
+@pytest.fixture(scope="module")
+def ts_repo(spark, tmp_path_factory):
+    """Index the reference's TS fixture WITH the import modification its
+    golden tests apply (tests.rs:118-132 modify_test_repo_typescript inserts
+    UserManagement + UserModel imports after main.ts line 2), so line-number
+    and import-count assertions carry over verbatim."""
+    import shutil
+
+    root = tmp_path_factory.mktemp("ts_fixture")
+    dst = root / "test-repo"
+    shutil.copytree(TS_REPO, dst)
+    main = dst / "main.ts"
+    content = main.read_text().replace(
+        "import { Authentication } from './lib/authentication';",
+        "import { Authentication } from './lib/authentication';\n"
+        "import { UserManagement } from './lib/user_management';\n"
+        "import { UserModel } from './app/models/user_model';",
+    )
+    main.write_text(content)
+    return _index(spark, str(dst))
+
+
+def test_ts_definition_inventory(ts_repo):
+    """tests.rs:415-419: 84 definitions globally; tests.rs:421-434: 32 in
+    user_model.ts + base_model.ts. The inventory is classes + interfaces +
+    functions + methods/ctors/accessors — namespaces and fields excluded."""
+    assert ts_repo.definitions.count() == 84
+    models = ts_repo.definitions.filter(
+        F.col("primary_file_path").isin(
+            ["app/models/user_model.ts", "app/models/base_model.ts"]
+        )
+    )
+    assert models.count() == 32
+
+
+def test_ts_main_imports(ts_repo):
+    """tests.rs:436-449: main.ts carries 5 imported symbols after the
+    modification (3 original + 2 inserted; location-keyed, not deduped)."""
+    assert ts_repo.imports.filter(F.col("file_path") == "main.ts").count() == 5
+
+
+def test_ts_internal_call_location(ts_repo):
+    """tests.rs:490-518: Application::run CALLS
+    Application::testAuthenticationProviders with source line 21 (0-based,
+    after the 2-line import insertion)."""
+    d = ts_repo.definitions.select("id", "fqn")
+    de = ts_repo.edges["definition_relationships"].filter(
+        (F.col("type") == "CALLS") & (F.col("target_table") == "definition_nodes")
+    )
+    rows = (
+        de.join(d.withColumnsRenamed({"id": "source_id", "fqn": "caller"}), "source_id")
+        .join(d.withColumnsRenamed({"id": "target_id", "fqn": "callee"}), "target_id")
+        .filter(
+            (F.col("caller") == "Application::run")
+            & (F.col("callee") == "Application::testAuthenticationProviders")
+        )
+        .collect()
+    )
+    assert rows, "expected TS internal call row"
+    assert rows[0].source_start_line == 21 and rows[0].source_end_line == 21
+
+
+def test_ts_namespace_scoped_fqns(ts_repo):
+    """Namespaces emit no definition node (typescript.rs:42-44) but scope
+    the FQNs of everything inside them."""
+    fqns = {r.fqn for r in ts_repo.definitions.select("fqn").collect()}
+    assert "Authentication" not in fqns  # namespace itself skipped
+    assert "UserManagement" not in fqns
+    assert "Authentication::authenticateUser" in fqns
+    assert "Authentication::Token::expired" in fqns
+    assert "Authentication::Providers::LdapProvider::authenticate" in fqns
+    assert "UserManagement::User::verifyPassword" in fqns
+    assert "UserModel::fullName" in fqns  # get-accessor
+
+
+def test_ts_receiver_typed_namespace_calls(ts_repo):
+    """Receiver-typed resolution through namespace containers:
+    Authentication.createSession / UserManagement.createUser from
+    Application methods."""
+    pairs = _call_pairs(ts_repo)
+    assert ("Application::testTokenManagement", "Authentication::createSession") in pairs
+    assert ("Application::testAuthentication", "UserManagement::createUser") in pairs
+    assert ("Application::run", "Application::testAuthentication") in pairs  # this.x()
+
+
+def test_ts_static_call_climbs_inheritance(ts_repo):
+    """UserModel.create(data) in main.ts: create is defined on BaseModel —
+    resolution climbs the extends chain like the reference's
+    find_method_in_hierarchy."""
+    pairs = _call_pairs(ts_repo)
+    assert ("Application::createSampleUsers", "BaseModel::create") in pairs
+    # dotted receiver path: UserManagement.User.findByUsername
+    assert (
+        "Authentication::authenticateUser",
+        "UserManagement::User::findByUsername",
+    ) in pairs
+
+
+def test_ts_constructor_calls(ts_repo):
+    """`new Token(userId)` → CALLS targeting the class definition; dotted
+    `new Providers.LdapProvider(config)` resolves through the last segment."""
+    pairs = _call_pairs(ts_repo)
+    assert ("Authentication::createSession", "Authentication::Token") in pairs
+    assert (
+        "Authentication::configureProvider",
+        "Authentication::Providers::LdapProvider",
+    ) in pairs
+
+
+def test_ts_relative_import_resolution(ts_repo):
+    """'./base_model' from app/models/user_model.ts resolves against the
+    importing file's directory, landing on the BaseModel class definition."""
+    imp_def = ts_repo.edges["imported_symbol_relationships"].filter(
+        F.col("type") == "IMPORTED_SYMBOL_TO_DEFINITION"
+    )
+    resolved = (
+        imp_def.join(
+            ts_repo.imports.select(
+                F.col("id").alias("source_id"), F.col("file_path").alias("src")
+            ),
+            "source_id",
+        )
+        .join(
+            ts_repo.definitions.select(F.col("id").alias("target_id"), "fqn"),
+            "target_id",
+        )
+    )
+    pairs = {(r.src, r.fqn) for r in resolved.collect()}
+    assert ("app/models/user_model.ts", "BaseModel") in pairs, pairs
+    # root-level relative import from main.ts → lib file's class
+    imp_file = ts_repo.edges["imported_symbol_relationships"].filter(
+        F.col("type") == "IMPORTED_SYMBOL_TO_FILE"
+    )
+    fpairs = {
+        (r.src, r.dst)
+        for r in imp_file.join(
+            ts_repo.imports.select(F.col("id").alias("source_id"), F.col("file_path").alias("src")),
+            "source_id",
+        )
+        .join(
+            ts_repo.files.select(F.col("id").alias("target_id"), F.col("path").alias("dst")),
+            "target_id",
+        )
+        .collect()
+    }
+    assert ("main.ts", "lib/user_management.ts") in fpairs, fpairs

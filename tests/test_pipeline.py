@@ -168,9 +168,9 @@ def test_definitions_and_fqns(indexed):
     # Ruby FQNs are scope-based with reference separators (Outer::Inner,
     # Class#instance_method) — no file-path prefix
     assert "UserService::Syncer#sync_users" in fqns
-    assert "web.main.main" in fqns
+    assert "main" in fqns  # TS: scope-based fqn, no file prefix
     # TS arrow-function bindings extract as Function definitions
-    assert "web.util.toUpper" in fqns and "web.util.handler" in fqns
+    assert "toUpper" in fqns and "handler" in fqns
     assert "jvm.Service.Service.syncAll" in fqns
     assert "jvm.Service.Service.helper" in fqns
     assert "jvm.Model.Registry.register" in fqns
