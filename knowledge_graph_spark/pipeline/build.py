@@ -424,6 +424,18 @@ def build_graph_from_entities(
     )
 
     # ---- import resolution (J9: candidate paths → files, priority order) --
+    # Python interfile semantics (interfile.rs:18-162):
+    #   - relative imports (`from .foo import x`, `from .. import y`) climb
+    #     `level` = dot-count segments from the importing FILE — one climb
+    #     drops the filename (same package); `__init__.py` needs no special
+    #     case because its package dir IS its parent (interfile.rs:63-83);
+    #   - a dots-only clause targets the package's `__init__.py`
+    #     (interfile.rs:89-94);
+    #   - absolute imports try the repo root first, then the importing
+    #     file's own directory (interfile.rs:108-121);
+    #   - per search path the module file precedes the package __init__
+    #     (interfile.rs:144-150), and lookups are case-insensitive over the
+    #     denormalized tree (interfile.rs:26-27,42).
     # TS relative imports resolve against the importing file's directory
     # ('./base_model' in app/models/user_model.ts → app/models/base_model.ts;
     # one '../' level supported); bare module specifiers ('crypto') get no
@@ -450,13 +462,44 @@ def build_graph_from_entities(
             F.regexp_replace("import_path", r"^\.\./", ""),
         ),
     )
+
+    def _under(base, tail):
+        # base + "/" + tail, collapsing the empty-base (repo root) case
+        return F.when(base != "", F.concat(base, F.lit("/"), tail)).otherwise(tail)
+
+    _segs = F.split("file_path", "/")
+    _dots = F.length(F.regexp_extract("import_path", r"^(\.+)", 1))
+    _is_py = F.col("file_path").endswith(".py")
+    _is_rel = _is_py & (_dots > 0)
+    _is_abs = _is_py & (_dots == 0)
+    _rel_mod = F.regexp_replace(F.regexp_replace("import_path", r"^\.+", ""), r"\.", "/")
+    _rel_base = F.array_join(
+        F.slice(_segs, 1, F.greatest(F.size(_segs) - _dots, F.lit(0))), "/"
+    )
+    _abs_mod = F.regexp_replace("import_path", r"\.", "/")
     cand = imported.select(
         F.col("id").alias("imp_id"),
         F.col("name").alias("imp_name"),
         F.posexplode(
             F.array(
-                F.concat(F.regexp_replace("import_path", r"\.", "/"), F.lit(".py")),
-                F.concat(F.regexp_replace("import_path", r"\.", "/"), F.lit("/__init__.py")),
+                # absolute, repo root (module file > package __init__)
+                F.when(_is_abs, F.concat(_abs_mod, F.lit(".py"))),
+                F.when(_is_abs, F.concat(_abs_mod, F.lit("/__init__.py"))),
+                # absolute, importing file's directory
+                F.when(_is_abs, _under(_dir, F.concat(_abs_mod, F.lit(".py")))),
+                F.when(_is_abs, _under(_dir, F.concat(_abs_mod, F.lit("/__init__.py")))),
+                # relative, climbed base
+                F.when(
+                    _is_rel & (_rel_mod != ""),
+                    _under(_rel_base, F.concat(_rel_mod, F.lit(".py"))),
+                ),
+                F.when(
+                    _is_rel,
+                    F.when(
+                        _rel_mod != "",
+                        _under(_rel_base, F.concat(_rel_mod, F.lit("/__init__.py"))),
+                    ).otherwise(_under(_rel_base, F.lit("__init__.py"))),
+                ),
                 F.concat(F.col("import_path"), F.lit(".rb")),
                 F.concat(_ts_rel, F.lit(".ts")),
                 F.concat(_ts_rel, F.lit("/index.ts")),
@@ -464,7 +507,10 @@ def build_graph_from_entities(
         ).alias("priority", "cand_path"),
     )
     resolved_file = (
-        cand.join(file_nodes.select(F.col("id").alias("file_id"), "path"), cand.cand_path == F.col("path"))
+        cand.join(
+            file_nodes.select(F.col("id").alias("file_id"), "path"),
+            F.lower(cand.cand_path) == F.lower(F.col("path")),
+        )
         .withColumn(
             "rk",
             F.row_number().over(

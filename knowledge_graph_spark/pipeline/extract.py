@@ -2,13 +2,15 @@
 
 Reference mapping (SURVEY §2.9):
 - D1 two-stage async pipeline (tokio IO → rayon parse, indexer.rs:218-371) →
-  Spark's own partition parallelism: ``binaryFile`` scan partitions are the IO
-  stage, ``mapInPandas`` batches are the CPU stage. No manual semaphores —
-  backpressure is the scheduler's.
-- S1 repo enumeration w/ ignore rules (project/source.rs:28-60) →
-  ``recursiveFileLookup`` + path filters.
+  Spark's own partition parallelism: an Arrow-batched ``mapInPandas`` read
+  is the IO stage, the extraction ``mapInPandas`` the CPU stage. No manual
+  semaphores — backpressure is the scheduler's.
+- S1 repo enumeration w/ ignore rules (project/source.rs:28-90) →
+  driver-side metadata walk (Spark's own file sources hide ``_``/``.``
+  prefixed names — they would drop every ``__init__.py``) + Catalyst
+  gitignore predicate.
 - S2 bounded read, 5 MB max (project/io.rs:15-40, indexer.rs:64-71) →
-  ``length < max_file_size`` predicate pushed into the binaryFile source.
+  ``os.stat`` size check at enumeration; oversized files are never opened.
 - D2 per-file parse → definitions/imports/call-sites
   (parsing/processor.rs:179-250). The reference uses tree-sitter; this
   container has no parser libs, so extraction is a regex/indentation
@@ -30,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -80,8 +83,12 @@ ENTITY_SCHEMA = StructType(
 )
 
 _PY_DEF = re.compile(r"^(\s*)(def|class)\s+([A-Za-z_][A-Za-z0-9_]*)")
+# `from` clause accepts leading dots (relative imports: `from .foo import x`,
+# `from .. import y`) — interfile.rs:48-96 resolves them against the
+# importing file's package; the dots are preserved in import_path so the
+# build-stage candidate join can count them.
 _PY_IMPORT = re.compile(
-    r"^\s*(?:from\s+([A-Za-z_][\w.]*)\s+import\s+([A-Za-z_*][\w]*(?:\s*,\s*[\w]+)*)(?:\s+as\s+(\w+))?"
+    r"^\s*(?:from\s+(\.+[\w.]*|[A-Za-z_][\w.]*)\s+import\s+([A-Za-z_*][\w]*(?:\s*,\s*[\w]+)*)(?:\s+as\s+(\w+))?"
     r"|import\s+([A-Za-z_][\w.]*)(?:\s+as\s+(\w+))?)"
 )
 _RB_DEF = re.compile(r"^(\s*)(def|class|module)\s+(self\.)?([A-Za-z_][A-Za-z0-9_?!]*)")
@@ -665,43 +672,90 @@ def load_gitignore(root: str) -> list[str]:
         return fh.read().splitlines()
 
 
+_FILE_META_SCHEMA = StructType(
+    [
+        StructField("relative_path", StringType(), False),
+        StructField("extension", StringType(), False),
+        StructField("language", StringType(), False),
+        StructField("length", LongType(), False),
+    ]
+)
+
+_FILE_SCHEMA = StructType(
+    _FILE_META_SCHEMA.fields + [StructField("content", BinaryType(), True)]
+)
+
+
+def _walk_repo(root: str, max_file_size: int) -> list[tuple]:
+    """S1 driver-side repo enumeration — metadata only, no content reads.
+
+    Mirrors the reference's walkdir enumeration (project/source.rs:52-90,
+    ``WalkBuilder.hidden(false)`` — dotfiles included, which also matters
+    here because Spark's own file sources HIDE ``_``/``.``-prefixed names
+    (a data-lake convention: ``_SUCCESS``, ``.crc``) and would silently drop
+    every ``__init__.py`` in a Python repo. Ignored directory segments are
+    pruned during the walk; the 5 MB cap (indexer.rs:64-71) is an
+    ``os.stat`` metadata check, so oversized files are never opened.
+
+    Scale note: enumeration is metadata-only and linear in file count —
+    the same work ``git status`` does; content IO stays distributed."""
+    import os
+
+    rows = []
+    rootp = root.rstrip("/")
+    for dirpath, dirnames, filenames in os.walk(rootp):
+        dirnames[:] = sorted(d for d in dirnames if d not in _IGNORED_SEGMENTS)
+        for fn in sorted(filenames):
+            ext = fn.rsplit(".", 1)[-1] if "." in fn else ""
+            lang = LANGUAGE_BY_EXTENSION.get(ext)
+            if lang is None:
+                continue
+            full = os.path.join(dirpath, fn)
+            try:
+                size = os.stat(full).st_size
+            except OSError:
+                continue
+            if size > max_file_size:
+                continue
+            rows.append((os.path.relpath(full, rootp), ext, lang, int(size)))
+    return rows
+
+
 def list_files(
     spark: SparkSession, root: str, max_file_size: int = DEFAULT_MAX_FILE_SIZE
 ) -> DataFrame:
     """S1+S2: enumerate source files under ``root`` with size cap and ignore
-    rules; returns (path, relative_path, extension, language, length, content).
+    rules; returns (relative_path, extension, language, length, content).
 
-    The ``length`` predicate is evaluated against binaryFile's file metadata —
-    oversized files are skipped without reading content (reference skips at
-    5 MB, indexer.rs:64-71)."""
-    exts = list(LANGUAGE_BY_EXTENSION)
-    df = (
-        spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true")
-        .option("pathGlobFilter", "*.{" + ",".join(exts) + "}")
-        .load(root)
-    )
-    df = df.filter(F.col("length") <= max_file_size)
-    for seg in _IGNORED_SEGMENTS:
-        df = df.filter(~F.col("path").contains(f"/{seg}/"))
-    # \Q..\E-quote the root so regex metacharacters in the repo path
-    # (+, (), [], $) cannot break the file:-prefix strip
-    rel = F.regexp_replace(F.col("path"), "^file:\\Q" + root.rstrip("/") + "\\E/", "")
-    ext = F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1)
-    lang_map = F.create_map(
-        *[F.lit(x) for kv in LANGUAGE_BY_EXTENSION.items() for x in kv]
-    )
-    out = df.select(
-        rel.alias("relative_path"),
-        ext.alias("extension"),
-        lang_map[ext].alias("language"),
-        F.col("length"),
-        F.col("content"),
-    ).filter(F.col("language").isNotNull())
+    Enumeration is a driver-side metadata walk (see :func:`_walk_repo` for
+    why Spark's binaryFile source cannot do this job: its hidden-file rule
+    drops ``__init__.py``); gitignore filtering stays a Catalyst predicate
+    over the path column; content IO is distributed — an Arrow-batched
+    ``mapInPandas`` read, fusing the IO stage into the same batch pipeline
+    that feeds per-file parsing (the reference's tokio-IO → rayon-parse
+    split, indexer.rs:218-371)."""
+    meta = spark.createDataFrame(_walk_repo(root, max_file_size), _FILE_META_SCHEMA)
     patterns = load_gitignore(root)
     if patterns:
-        out = gitignore_filter(out, patterns)
-    return out
+        meta = gitignore_filter(meta, patterns)
+    rootp = root.rstrip("/")
+
+    def read_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        for pdf in batches:
+            contents = []
+            for rel in pdf["relative_path"]:
+                try:
+                    with open(os.path.join(rootp, rel), "rb") as fh:
+                        contents.append(fh.read())
+                except OSError:
+                    contents.append(None)  # raced deletion → dropped below
+            yield pdf.assign(content=contents)
+
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    out = meta.repartition(par).mapInPandas(read_batch, _FILE_SCHEMA)
+    return out.filter(F.col("content").isNotNull())
 
 
 def extract_entities(files: DataFrame) -> DataFrame:
