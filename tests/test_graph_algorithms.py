@@ -84,10 +84,23 @@ def test_resolve_import_chains(spark, kg):
 
     res = resolve_import_chains(kg)
     rows = {r.import_id: (r.resolved_table, r.depth) for r in res.collect()}
-    # every import resolves (all parts have terminal edges at depth 0)
+    # every import resolves (all parts have def terminals reachable), and
+    # definitions beat files at every depth (follow-through semantics:
+    # chains are walked to the end, deepest definition wins)
     assert len(rows) == kg.imports.count()
     assert all(t == "definition_nodes" for t, _ in rows.values())
-    assert all(d == 0 for _, d in rows.values())
+    # imports with no outgoing imp→imp link must resolve at depth 0
+    from pyspark.sql import functions as F
+
+    chained = {
+        r.source_id
+        for r in kg.edges["imported_symbol_relationships"]
+        .filter(F.col("type") == "IMPORTED_SYMBOL_TO_IMPORTED_SYMBOL")
+        .select("source_id")
+        .collect()
+    }
+    assert all(d == 0 for i, (_, d) in rows.items() if i not in chained)
+    assert all(d >= 1 for i, (_, d) in rows.items() if i in chained)
 
 
 def test_resolve_import_chains_follows_links(spark):
