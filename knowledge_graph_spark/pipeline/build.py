@@ -127,7 +127,10 @@ def build_graph_from_entities(
             ),
         )
         .when(
-            F.col("language") == "Java",
+            # Java AND Kotlin: package-based FQNs — the extractor embeds the
+            # `package` declaration in parent_chain (kotlin tests assert
+            # e.g. "com.example.foo.Foo.Companion.companionFoo")
+            F.col("language").isin("Java", "Kotlin"),
             F.concat_ws(".", F.col("parent_chain"), F.col("name")),
         )
         .when(

@@ -196,10 +196,35 @@ _CS_PROP = re.compile(
     r"[\w<>\[\],\s?]+\s+([A-Z][\w]*)\s*\{\s*(?:get|set)"
 )
 _KT_DEF = re.compile(
-    r"^(\s*)(?:data\s+|open\s+|sealed\s+|abstract\s+|final\s+|private\s+|public\s+|internal\s+|suspend\s+)*"
+    r"^(\s*)(?:data\s+|open\s+|sealed\s+|abstract\s+|final\s+|private\s+|public\s+"
+    r"|protected\s+|internal\s+|suspend\s+|override\s+|operator\s+|inner\s+"
+    r"|inline\s+|tailrec\s+|external\s+|enum\s+|annotation\s+)*"
     r"(class|interface|object|fun)\s+([A-Za-z_][\w]*)"
 )
 _KT_IMPORT = re.compile(r"^\s*import\s+([\w.]+)")
+# Kotlin extras (kotlin/tests.rs parity): package declaration (no ';'),
+# companion objects (a scope frame named Companion, reachable from the
+# class through the lookup chain), supertype clause after ':', and
+# val/var local type inference (annotation, constructor RHS, enum-constant
+# RHS) feeding receiver-typed call resolution
+_KT_PKG = re.compile(r"^\s*package\s+([\w.]+)")
+_KT_COMPANION = re.compile(r"^(\s*)companion\s+object\b")
+_KT_SUPER = re.compile(r":\s*([A-Z][\w.]*)")
+_KT_LOCAL = re.compile(
+    r"^\s*(?:val|var)\s+([A-Za-z_]\w*)\s*"
+    r"(?::\s*([A-Za-z_][\w.]*)(?:<[^>]*>)?\s*\??)?"
+    r"(?:\s*=\s*(.*))?$"
+)
+_KT_CTOR_RHS = re.compile(r"^([A-Z][\w.]*)(?:<[^>]*>)?\s*\(")
+_KT_ENUM_RHS = re.compile(r"^([A-Z][\w.]*)\.([A-Z][A-Z0-9_]*)\s*$")
+# Python receiver-typed calls (python/analyzer.rs:148-387): self.method()
+# → enclosing class, locals typed by constructor assignment
+# (`x = ClassName(...)`), self-attribute types from `self.x = ClassName()`,
+# inheritance chain from `class A(B):`
+_PY_INHERIT = re.compile(r"^\s*class\s+[A-Za-z_]\w*\s*\(\s*([A-Za-z_][\w.]*)")
+_PY_LOCAL_ASSIGN = re.compile(r"^\s*([a-z_]\w*)\s*=\s*([A-Z]\w*)\s*\(")
+_PY_SELF_ASSIGN = re.compile(r"^\s*self\.(\w+)\s*=\s*([A-Z]\w*)\s*\(")
+_PY_RECV_CALL = re.compile(r"((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)\.([a-z_]\w*)\s*\(")
 _CS_TYPE = re.compile(
     r"^(\s*)(?:public\s+|private\s+|protected\s+|internal\s+|static\s+|sealed\s+|abstract\s+|partial\s+)*"
     r"(class|interface|struct|enum|record)\s+([A-Za-z_][\w]*)"
@@ -228,6 +253,116 @@ _KEYWORDS = {
     "print", "super", "new", "import", "require", "elif", "unless", "until", "puts",
     "do", "try", "else", "typeof", "await",
 }
+
+
+# ---------------------------------------------------------------------------
+# Comment / string masking pre-pass
+# ---------------------------------------------------------------------------
+# The reference's tree-sitter parse never sees comments or string contents as
+# code; a line-regex analyzer does unless told otherwise (a `# def foo`
+# comment or a `"User.find("` literal would emit entities). Each line is
+# masked into two same-length variants before any regex runs:
+#   code_line   — comments AND string contents blanked (def/call/assign
+#                 matching; columns and widths stay aligned with the source)
+#   import_line — only comments blanked, string contents kept (import paths
+#                 live inside literals: `require 'foo'`, `from 'mod'`)
+_LANG_SYNTAX = {
+    "Python": {"line_comment": "#", "strings": ('"""', "'''", '"', "'")},
+    "Ruby": {"line_comment": "#", "strings": ('"', "'"), "block_line": ("=begin", "=end")},
+    "TypeScript": {"line_comment": "//", "block": ("/*", "*/"), "strings": ('"', "'", "`")},
+    "Java": {"line_comment": "//", "block": ("/*", "*/"), "strings": ('"', "'")},
+    "Kotlin": {"line_comment": "//", "block": ("/*", "*/"), "strings": ('"""', '"', "'")},
+    "CSharp": {"line_comment": "//", "block": ("/*", "*/"), "strings": ('"', "'")},
+    # Rust: `'` is a lifetime marker far more often than a char literal —
+    # treating it as a string opener would mask real code, so only `"`.
+    "Rust": {"line_comment": "//", "block": ("/*", "*/"), "strings": ('"',)},
+}
+_MULTILINE_STRINGS = ('"""', "'''", "`")
+
+
+def _mask_text(language: str, text: str) -> list[tuple[str, str]]:
+    """Per line: (code_line, import_line), both exactly as long as the
+    original line (chars), so every column/width downstream stays valid."""
+    lines = text.split("\n")
+    cfg = _LANG_SYNTAX.get(language)
+    if cfg is None:
+        return [(l, l) for l in lines]
+    strings = cfg.get("strings", ())
+    lc = cfg.get("line_comment")
+    blk = cfg.get("block")
+    blk_line = cfg.get("block_line")
+    out: list[tuple[str, str]] = []
+    state: object = None  # None | ("str", delim) | "block" | "block_line"
+    for line in lines:
+        n = len(line)
+        if blk_line is not None and not isinstance(state, tuple) and state != "block":
+            if state == "block_line":
+                out.append((" " * n, " " * n))
+                if line.startswith(blk_line[1]):
+                    state = None
+                continue
+            if line.startswith(blk_line[0]):
+                out.append((" " * n, " " * n))
+                state = "block_line"
+                continue
+        code: list[str] = []
+        imp: list[str] = []
+        i = 0
+        while i < n:
+            if state is None:
+                if lc and line.startswith(lc, i):
+                    pad = " " * (n - i)
+                    code.append(pad)
+                    imp.append(pad)
+                    i = n
+                    continue
+                if blk and line.startswith(blk[0], i):
+                    pad = " " * len(blk[0])
+                    code.append(pad)
+                    imp.append(pad)
+                    i += len(blk[0])
+                    state = "block"
+                    continue
+                delim = next((d for d in strings if line.startswith(d, i)), None)
+                if delim is not None:
+                    code.append(delim)
+                    imp.append(delim)
+                    i += len(delim)
+                    state = ("str", delim)
+                    continue
+                code.append(line[i])
+                imp.append(line[i])
+                i += 1
+            elif state == "block":
+                if line.startswith(blk[1], i):
+                    pad = " " * len(blk[1])
+                    code.append(pad)
+                    imp.append(pad)
+                    i += len(blk[1])
+                    state = None
+                else:
+                    code.append(" ")
+                    imp.append(" ")
+                    i += 1
+            else:  # inside a string literal
+                delim = state[1]
+                if line[i] == "\\" and i + 1 < n:
+                    code.append("  ")
+                    imp.append(line[i : i + 2])
+                    i += 2
+                elif line.startswith(delim, i):
+                    code.append(delim)
+                    imp.append(delim)
+                    i += len(delim)
+                    state = None
+                else:
+                    code.append(" ")
+                    imp.append(line[i])
+                    i += 1
+        if isinstance(state, tuple) and state[1] not in _MULTILINE_STRINGS:
+            state = None  # unterminated single-line literal: reset at EOL
+        out.append(("".join(code), "".join(imp)))
+    return out
 
 
 _KIND_BY_KEYWORD = {
@@ -275,6 +410,11 @@ def _match_def(language: str, line: str):
             return len(m.group(1)), "property", m.group(2)
         return None
     if language == "Kotlin":
+        m = _KT_COMPANION.match(line)
+        if m:
+            # nameless companion scope → a frame literally named Companion,
+            # matching the reference's Foo.Companion.companionFoo FQNs
+            return len(m.group(1)), "object", "Companion"
         m = _KT_DEF.match(line)
         return (len(m.group(1)), m.group(2), m.group(3)) if m else None
     if language == "CSharp":
@@ -323,9 +463,10 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
     type_kws = {"class", "module", "interface", "enum", "record", "struct", "object", "impl"}
     stack: list[tuple[int, str, str]] = []  # (indent, name, keyword)
     byte_off = 0
-    pkg: str | None = None  # Java `package` declaration
+    pkg: str | None = None  # Java/Kotlin `package` declaration
     local_types: dict[str, str] = {}  # per-def local var → constant type
     ivar_types: dict[str, str] = {}  # per-file @ivar / field → type
+    class_supers: dict[str, str] = {}  # per-file class → superclass (super.x())
 
     def row(kind, name, parent, dtype, ipath, alias, ln, line, col, width,
             receiver_type=None, call_flavor=None):
@@ -337,9 +478,9 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
 
     def scope_names():
         names = [n for _, n, _ in stack]
-        if language == "Java":
-            # package declaration prefixes the scope (reference Java FQNs
-            # are package-based: com.example.app.Foo.bar); files in the
+        if language in ("Java", "Kotlin"):
+            # package declaration prefixes the scope (reference Java/Kotlin
+            # FQNs are package-based: com.example.app.Foo.bar); files in the
             # unnamed package fall back to the path-derived module prefix
             # so FQNs stay unique
             prefix = pkg if pkg else path.rsplit(".", 1)[0].replace("/", ".")
@@ -368,8 +509,21 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
             last = segs[-1]
             if recv in ("this", "self"):
                 rtype, flavor = enclosing_type(), "instance"
+            elif recv == "super":
+                # super.m() → the enclosing class's recorded superclass
+                # (kotlin `class Foo : Bar()`, the reference resolves the
+                # call into the parent hierarchy)
+                rtype, flavor = class_supers.get(enclosing_type() or ""), "instance"
             elif recv.startswith("@"):
                 rtype, flavor = ivar_types.get(recv[1:]), "instance"
+            elif (
+                language == "Kotlin"
+                and len(segs) >= 2
+                and re.fullmatch(r"[A-Z][A-Z0-9_]*", last)
+            ):
+                # Enum.ENUM_VALUE_1.enumMethod() — the enum CONSTANT's type
+                # is the enum class (the preceding segment)
+                rtype, flavor = segs[-2], "instance"
             elif last[0].isupper():
                 rtype, flavor = last, "singleton"
             elif len(segs) == 2 and segs[0] in ("this", "self"):
@@ -389,8 +543,12 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                 col, len(callee), receiver_type=rtype, call_flavor=flavor,
             )
 
-    for ln, line in enumerate(text.split("\n")):
-        line_bytes = len(line.encode("utf-8", "replace")) + 1
+    masked = _mask_text(language, text)
+    originals = text.split("\n")
+    for ln, (line, imp_line) in enumerate(masked):
+        # byte offsets always advance by the ORIGINAL line's encoded length —
+        # masking is char-preserving, not byte-preserving
+        line_bytes = len(originals[ln].encode("utf-8", "replace")) + 1
         if def_re is not None:
             m = def_re.match(line)
             if m and language == "Ruby":
@@ -426,6 +584,10 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                 pm = _JAVA_PKG.match(line)
                 if pm:
                     pkg = pm.group(1)
+            elif hit is None and language == "Kotlin":
+                pm = _KT_PKG.match(line)
+                if pm:
+                    pkg = pm.group(1)
         if hit:
             indent, kw, name = hit
             while stack and stack[-1][0] >= indent:
@@ -454,6 +616,7 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                     # Ruby superclass: unresolved receiver-typed calls climb
                     # the chain (UserModel.create → BaseModel.create)
                     sup = ts_ih.group(1).split(".")[-1]
+                    class_supers[name] = sup
                     yield row(
                         "inherits", sup, ".".join(scope_names()), None, None,
                         None, ln, line, ts_ih.start(1), len(ts_ih.group(1)),
@@ -464,13 +627,51 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                     # superclass clause → inheritance-chain entry
                     # (scope_resolver.rs:142-149); child = the chain incl.
                     # the class just pushed
+                    class_supers[name] = ih.group(1).split("::")[-1]
                     yield row(
                         "inherits", ih.group(1).split("::")[-1],
                         ".".join(scope_names()), None, None, None,
                         ln, line, ih.start(1), len(ih.group(1)),
                     )
+            if language == "Python" and kw == "class":
+                pih = _PY_INHERIT.match(line)
+                if pih:
+                    # `class A(B):` → inheritance-chain entry; receiver-typed
+                    # calls unresolved on A climb to B
+                    # (python/analyzer.rs:148-387 hierarchy lookup)
+                    class_supers[name] = pih.group(1).split(".")[-1]
+                    yield row(
+                        "inherits", pih.group(1).split(".")[-1],
+                        ".".join(scope_names()), None, None, None,
+                        ln, line, pih.start(1), len(pih.group(1)),
+                    )
+            if language == "Kotlin":
+                if name == "Companion" and kw == "object":
+                    # the class reaches its companion's members through the
+                    # lookup chain (reference resolves foo.companionFoo()
+                    # into Foo.Companion.companionFoo)
+                    if parent:
+                        yield row(
+                            "inherits", "Companion", parent, None, None,
+                            None, ln, line, 0, len("Companion"),
+                        )
+                elif kw in ("class", "interface", "object"):
+                    # LAST `: Type` on the line: constructor parameter
+                    # annotations (`class Foo(val x: Int) : Bar()`) precede
+                    # the supertype clause
+                    kih = None
+                    for kih in _KT_SUPER.finditer(line):
+                        pass
+                    if kih:
+                        sup = kih.group(1).split(".")[-1]
+                        class_supers[name] = sup
+                        yield row(
+                            "inherits", sup, ".".join(scope_names()), None,
+                            None, None, ln, line, kih.start(1),
+                            len(kih.group(1)),
+                        )
         elif brace is not None:
-            bim = brace[0].match(line)
+            bim = brace[0].match(imp_line)
             if bim:
                 # reference convention (java/tests.rs:292-303,
                 # find_calls_to_imported_symbol("java.util", "ArrayList")):
@@ -504,6 +705,28 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                             "call", cls, enc, None, None, None,
                             ln, line, col, len(cls),
                         )
+                elif language == "Kotlin":
+                    kl = _KT_LOCAL.match(line)
+                    if kl:
+                        t = None
+                        if kl.group(2):
+                            t = kl.group(2).split(".")[-1]
+                        elif kl.group(3):
+                            rhs = kl.group(3).strip()
+                            cm_ = _KT_CTOR_RHS.match(rhs)
+                            em_ = _KT_ENUM_RHS.match(rhs)
+                            if cm_:
+                                t = cm_.group(1).split(".")[-1]
+                            elif em_:
+                                t = em_.group(1).split(".")[-1]
+                        if t:
+                            # val in a fun body → local; top-level/class
+                            # property → file-scoped (like Java fields)
+                            if any(k == "fun" for _, _, k in stack):
+                                local_types[kl.group(1)] = t
+                            else:
+                                ivar_types[kl.group(1)] = t
+                    yield from receiver_calls(line, _TS_RECV_CALL, ln)
                 enclosing = ".".join(scope_names()) or None
                 for cm in _CALL.finditer(line):
                     callee = cm.group(1)
@@ -514,7 +737,7 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                         ln, line, cm.start(1), len(callee),
                     )
         else:
-            im = imp_re.match(line)
+            im = imp_re.match(imp_line)
             if im:
                 if language == "Python":
                     if im.group(1):  # from X import a, b
@@ -563,6 +786,16 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                     if iv:
                         ivar_types[iv.group(1)] = iv.group(2).split("::")[-1]
                     yield from receiver_calls(line, _RB_RECV_CALL, ln)
+                elif language == "Python":
+                    pla = _PY_LOCAL_ASSIGN.match(line)
+                    if pla:
+                        # constructor assignment types the local
+                        # (python/analyzer.rs:218-387 resolved-call path)
+                        local_types[pla.group(1)] = pla.group(2)
+                    psa = _PY_SELF_ASSIGN.match(line)
+                    if psa:
+                        ivar_types[psa.group(1)] = psa.group(2)
+                    yield from receiver_calls(line, _PY_RECV_CALL, ln)
                 elif language == "TypeScript":
                     tla = _TS_LOCAL_ASSIGN.match(line)
                     if tla:

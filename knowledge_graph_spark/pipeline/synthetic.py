@@ -24,12 +24,15 @@ a = i%7, b = i%3, g = i//2):
         def use_lib_{i}():     return lib_{i}()
         def pair_{g}_fn():     (name shared with the partner doc i^1)
         class Cls_{i}:  def meth_{i}(self): return fn_a_{i}()
+                        def meth_b_{i}(self): return self.meth_{i}()
         {i%3 ×}  def extra_{i}_{j}(): return fn_a_{i}()
 
 which exercises: dir hierarchy synthesis (D4), definition maps + hierarchy
 edges (D5/D6), unique-name CALLS, shared-name AMBIGUOUSLY_CALLS, and
-call-to-import resolution (D7), import-path candidate resolution to files
-and definitions (J9/D8), dense ids (D9), and — in the incremental variant —
+call-to-import resolution (D7), Python receiver-typed resolution
+(`self.meth_{i}()` → the enclosing class's method, python/analyzer.rs
+self-call semantics), import-path candidate resolution to files and
+definitions (J9/D8), dense ids (D9), and — in the incremental variant —
 delete/changed splice with id-head resume (M1-M3, ST5) and cross-file edge
 re-keying.
 """
@@ -65,6 +68,8 @@ def _file_text(i: int, i2: int, version: int = 1) -> str:
         f"class Cls_{i}:",
         f"    def meth_{i}(self):",
         f"        return fn_a_{i}()",
+        f"    def meth_b_{i}(self):",
+        f"        return self.meth_{i}()",
     ]
     for j in range(i % 3):
         lines += ["", f"def extra_{i}_{j}():", f"    return fn_a_{i}()"]
@@ -336,7 +341,7 @@ _CORPUS_CTE = """corpus AS (
   SELECT doc_id AS i,
          doc_id % 7 AS a, doc_id % 3 AS b,
          printf('pkg%d/sub%d/mod_%d.py', doc_id % 7, doc_id % 3, doc_id) AS path,
-         5 + doc_id % 3 AS n_defs,
+         6 + doc_id % 3 AS n_defs,
          lead(doc_id, 1, (SELECT min(doc_id) FROM documents))
            OVER (ORDER BY doc_id) AS i2,
          (CASE WHEN doc_id % 2 = 0 THEN doc_id + 1 ELSE doc_id - 1 END) AS partner
@@ -360,18 +365,19 @@ m(metric, value) AS (
   UNION ALL SELECT 'probe_file_id',
     (SELECT count(*) + 1 FROM corpus WHERE path < (SELECT path FROM probe))
   UNION ALL SELECT 'probe_meth_def_id',
-    (SELECT coalesce(sum(n_defs), 0) + 5 FROM corpus
+    (SELECT coalesce(sum(n_defs), 0) + 6 FROM corpus
      WHERE path < (SELECT path FROM probe))
   UNION ALL SELECT 'e_dir_contains_dir', (SELECT count(DISTINCT (a, b)) FROM corpus)
   UNION ALL SELECT 'e_dir_contains_file', (SELECT count(*) FROM corpus)
   UNION ALL SELECT 'e_file_defines', (SELECT sum(n_defs) FROM corpus)
   UNION ALL SELECT 'e_file_imports', (SELECT 2 * count(*) FROM corpus)
-  UNION ALL SELECT 'e_class_to_method', (SELECT count(*) FROM corpus)
-  -- def→def CALLS: meth→fn_a (1) + extras→fn_a (i%3) + cross-file
-  -- fn_a→fn_a_{i2}; a partner-less pair call (odd corpus tail) has one
-  -- candidate and lands here instead of AMBIGUOUSLY_CALLS
+  UNION ALL SELECT 'e_class_to_method', (SELECT 2 * count(*) FROM corpus)
+  -- def→def CALLS: meth→fn_a (1) + meth_b→meth via self-receiver (1) +
+  -- extras→fn_a (i%3) + cross-file fn_a→fn_a_{i2}; a partner-less pair
+  -- call (odd corpus tail) has one candidate and lands here instead of
+  -- AMBIGUOUSLY_CALLS
   UNION ALL SELECT 'e_calls_def_def',
-    (SELECT sum(2 + i % 3
+    (SELECT sum(3 + i % 3
                 + (CASE WHEN partner IN (SELECT i FROM corpus) THEN 0 ELSE 1 END))
      FROM corpus)
   -- use_lib body calls lib_{i}(): resolves to the same-file import
@@ -426,7 +432,7 @@ m(metric, value) AS (
   UNION ALL SELECT 'probe_file_id',
     (SELECT count(*) + 1 FROM k WHERE path < (SELECT path FROM probe))
   UNION ALL SELECT 'probe_meth_def_id',
-    (SELECT coalesce(sum(n_defs), 0) + 5 FROM k
+    (SELECT coalesce(sum(n_defs), 0) + 6 FROM k
      WHERE path < (SELECT path FROM probe))
   UNION ALL SELECT 'e_dir_contains_dir', (SELECT count(DISTINCT (a, b)) FROM k)
   UNION ALL SELECT 'e_dir_contains_file', (SELECT count(*) FROM k WHERE NOT is_del)
@@ -434,17 +440,17 @@ m(metric, value) AS (
     (SELECT sum(CASE WHEN is_del THEN 0
                      WHEN is_ch THEN n_defs + 1 ELSE n_defs END) FROM k)
   UNION ALL SELECT 'e_file_imports', (SELECT 2 * count(*) FROM k WHERE NOT is_del)
-  UNION ALL SELECT 'e_class_to_method', (SELECT count(*) FROM k WHERE NOT is_del)
-  -- unchanged: meth + extras + (cross-file unless next doc deleted) +
-  --            (pair self-edge stays AMBIGUOUS, counted below)
+  UNION ALL SELECT 'e_class_to_method', (SELECT 2 * count(*) FROM k WHERE NOT is_del)
+  -- unchanged: meth + meth_b (self-receiver) + extras + (cross-file unless
+  --            next doc deleted) + (pair self-edge stays AMBIGUOUS, below)
   -- changed (re-derived in fresh, which sees only changed files):
-  --   meth + extras + changed_{i} + pair-self (1 candidate ⇒ CALLS);
-  --   the cross-file call resolves to the import instead (counted below)
+  --   meth + meth_b + extras + changed_{i} + pair-self (1 candidate ⇒
+  --   CALLS); the cross-file call resolves to the import instead (below)
   UNION ALL SELECT 'e_calls_def_def',
     (SELECT sum(CASE
        WHEN is_del THEN 0
-       WHEN is_ch THEN 3 + i % 3
-       ELSE 1 + i % 3 + (CASE WHEN nxt_del THEN 0 ELSE 1 END)
+       WHEN is_ch THEN 4 + i % 3
+       ELSE 2 + i % 3 + (CASE WHEN nxt_del THEN 0 ELSE 1 END)
                       + (CASE WHEN partner IN (SELECT i FROM k) THEN 0 ELSE 1 END)
        END) FROM k)
   UNION ALL SELECT 'e_calls_def_imp',

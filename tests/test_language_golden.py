@@ -381,3 +381,245 @@ def test_ts_relative_import_resolution(ts_repo):
         .collect()
     }
     assert ("main.ts", "lib/user_management.ts") in fpairs, fpairs
+
+
+# ---- Kotlin: kotlin/tests.rs over fixtures/kotlin -------------------------
+# Mirrors crates/indexer/src/analysis/languages/kotlin/tests.rs (553 LoC):
+# constructor + instance + companion + inherited-interface resolution from
+# main, super-calls, inner classes, nested classes, enum constants, imported
+# types, and the same-name edge case. The when/if/try expression-type-
+# inference and extension-receiver tests are NOT mirrored (tree-sitter-only
+# semantics, documented analyzer gap).
+
+KOTLIN_MAIN = "/root/reference/fixtures/kotlin"
+
+
+@pytest.fixture(scope="module")
+def kotlin_main(spark):
+    return _index(spark, KOTLIN_MAIN)
+
+
+def test_kotlin_main_calls_foo_constructor_and_method(kotlin_main):
+    """kotlin/tests.rs:118-146: main → Foo() constructor and foo.foo()
+    instance method (local `val foo = Foo()` types the receiver)."""
+    pairs = _call_pairs(kotlin_main)
+    assert ("com.example.main", "com.example.foo.Foo") in pairs
+    assert ("com.example.main", "com.example.foo.Foo.foo") in pairs
+
+
+def test_kotlin_companion_method_resolution(kotlin_main):
+    """kotlin/tests.rs:147-156: foo.companionFoo() resolves into the
+    companion object — exact reference FQN Foo.Companion.companionFoo."""
+    pairs = _call_pairs(kotlin_main)
+    assert ("com.example.main", "com.example.foo.Foo.Companion.companionFoo") in pairs
+
+
+def test_kotlin_interface_method_through_inheritance(kotlin_main):
+    """kotlin/tests.rs:158-167: foo.baz() climbs Foo → Bar → Baz (interface)."""
+    pairs = _call_pairs(kotlin_main)
+    assert ("com.example.main", "com.example.foo.Baz.baz") in pairs
+
+
+def test_kotlin_super_call_to_parent(kotlin_main):
+    """kotlin/tests.rs:173-196: Foo.foo's super.bar() → Bar.bar."""
+    pairs = _call_pairs(kotlin_main)
+    assert ("com.example.foo.Foo.foo", "com.example.foo.Bar.bar") in pairs
+
+
+def test_kotlin_inner_class_calls(kotlin_main):
+    """kotlin/tests.rs:198-228: fooInFooBody() called from both Foo.foo and
+    Foo.InnerFoo.innerFoo."""
+    pairs = _call_pairs(kotlin_main)
+    assert ("com.example.foo.Foo.foo", "com.example.foo.Foo.fooInFooBody") in pairs
+    assert (
+        "com.example.foo.Foo.InnerFoo.innerFoo",
+        "com.example.foo.Foo.fooInFooBody",
+    ) in pairs
+
+
+def test_kotlin_logger_import_call(kotlin_main):
+    """kotlin/tests.rs:312-330 (find_calls_to_imported_symbol): logger.info()
+    where `val logger: Logger` and Logger is imported from org.slf4j."""
+    de = kotlin_main.edges["definition_relationships"]
+    impr = de.filter(F.col("target_table") == "imported_symbol_nodes")
+    d = kotlin_main.definitions.select("id", "fqn")
+    rows = (
+        impr.join(d.withColumnsRenamed({"id": "source_id", "fqn": "caller"}), "source_id")
+        .join(
+            kotlin_main.imports.select(
+                F.col("id").alias("target_id"), "name", "import_path"
+            ),
+            "target_id",
+        )
+        .select("caller", "import_path", "name")
+        .collect()
+    )
+    assert ("com.example.main", "org.slf4j", "Logger") in {
+        (r.caller, r.import_path, r.name) for r in rows
+    }
+
+
+def test_kotlin_nested_class_resolution(kotlin_main):
+    """kotlin/tests.rs:332-378: inferred (`val x = Parent.Child.GrandChild()`)
+    and typed (`val y: Parent.GrandChild`) nested receivers both resolve
+    their greet() — two same-name GrandChild classes make it ambiguous for
+    the regex analyzer, but both reference-asserted edges exist."""
+    pairs = _call_pairs(kotlin_main)
+    assert (
+        "com.example.main",
+        "com.example.nestedclasses.Parent.Child.GrandChild.greet",
+    ) in pairs
+    assert (
+        "com.example.main",
+        "com.example.nestedclasses.Parent.GrandChild.greet",
+    ) in pairs
+    # ctor edges for both nested classes
+    assert ("com.example.main", "com.example.nestedclasses.Parent.Child.GrandChild") in pairs
+    assert ("com.example.main", "com.example.nestedclasses.Parent.GrandChild") in pairs
+
+
+def test_kotlin_nested_super_call(kotlin_main):
+    """kotlin/tests.rs:345-357: Parent.GrandChild.greet's super.greet() →
+    Parent.Child.GrandChild.greet."""
+    pairs = _call_pairs(kotlin_main)
+    assert (
+        "com.example.nestedclasses.Parent.GrandChild.greet",
+        "com.example.nestedclasses.Parent.Child.GrandChild.greet",
+    ) in pairs
+
+
+def test_kotlin_enum_constant_method_calls(kotlin_main):
+    """kotlin/tests.rs:437-470: Enum.ENUM_VALUE_1.enumMethod() (constant
+    receiver) and enumValue.enumMethod2() (local typed by enum-constant
+    assignment) both resolve to the enum's methods."""
+    pairs = _call_pairs(kotlin_main)
+    assert ("com.example.main", "com.example.enums.Enum.enumMethod") in pairs
+    assert ("com.example.main", "com.example.enums.Enum.enumMethod2") in pairs
+
+
+def test_kotlin_same_name_filter_edge_case(kotlin_main):
+    """kotlin/tests.rs:399-421: ServerFilter.filter's super.filter() reaches
+    the top-level Filter interface's filter (same-name inner class makes the
+    candidate set ambiguous; the reference-asserted edge exists)."""
+    pairs = _call_pairs(kotlin_main)
+    assert (
+        "com.example.edgecases.filter.ServerFilter.filter",
+        "com.example.edgecases.filter.Filter.filter",
+    ) in pairs
+
+
+def test_kotlin_definition_fqns(kotlin_main):
+    """Package-based FQNs with Companion segments — schema parity spot
+    checks against the reference's asserted FQN strings."""
+    fqns = {r.fqn for r in kotlin_main.definitions.select("fqn").collect()}
+    for expected in (
+        "com.example.main",
+        "com.example.foo.Foo",
+        "com.example.foo.Foo.Companion",
+        "com.example.foo.Foo.Companion.companionFoo",
+        "com.example.foo.Foo.InnerFoo.innerFoo",
+        "com.example.operator.AnimalList.Companion.of",
+        "com.example.enums.Enum.enumMethod",
+        "com.example.entites.Person.getName",
+    ):
+        assert expected in fqns, expected
+
+
+# ---- comment / string masking negatives (all language families) -----------
+# The reference's tree-sitter parse never sees comments or literals as code;
+# the masking pre-pass must keep commented-out and quoted "code" out of the
+# entity stream.
+
+
+def _names(path, language, text):
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    return {(r[2], r[3]) for r in _extract_one(path, language, text)}
+
+
+def test_masking_python_negatives():
+    out = _names(
+        "m.py",
+        "Python",
+        "# def hidden(): pass\n"
+        "x = \"def sneaky(): pass\"\n"
+        "'''\n"
+        "class InDocstring:\n"
+        "    def in_docstring(self): pass\n"
+        "'''\n"
+        "s = 'User.find(1)'\n"
+        "def real():\n"
+        "    return x\n",
+    )
+    names = {n for _, n in out}
+    assert "real" in names
+    for bad in ("hidden", "sneaky", "InDocstring", "in_docstring", "find"):
+        assert bad not in names, bad
+
+
+def test_masking_ruby_negatives():
+    out = _names(
+        "m.rb",
+        "Ruby",
+        "# def hidden\n"
+        "=begin\n"
+        "def in_block\nend\n"
+        "=end\n"
+        "msg = \"User.find(\"\n"
+        "def real\nend\n",
+    )
+    names = {n for _, n in out}
+    assert "real" in names
+    for bad in ("hidden", "in_block", "find"):
+        assert bad not in names, bad
+
+
+def test_masking_typescript_negatives():
+    out = _names(
+        "m.ts",
+        "TypeScript",
+        "// function hidden() {}\n"
+        "/*\n"
+        "class InBlock {}\n"
+        "*/\n"
+        "const s = \"callMe()\";\n"
+        "const t = `function inTemplate() {}\n"
+        "more ${x} lines`;\n"
+        "function real() {}\n",
+    )
+    names = {n for _, n in out}
+    assert "real" in names
+    for bad in ("hidden", "InBlock", "callMe", "inTemplate"):
+        assert bad not in names, bad
+
+
+def test_masking_kotlin_java_negatives():
+    for path, lang in (("M.kt", "Kotlin"), ("M.java", "Java")):
+        out = _names(
+            path,
+            lang,
+            "// fun hidden() {}\n"
+            "/*\n"
+            "class InBlock {}\n"
+            "*/\n"
+            'val s = "callMe()"\n' if lang == "Kotlin" else
+            "// fun hidden() {}\n"
+            "/*\n"
+            "class InBlock {}\n"
+            "*/\n"
+            'String s = "callMe()";\n',
+        )
+        names = {n for _, n in out}
+        for bad in ("hidden", "InBlock", "callMe"):
+            assert bad not in names, (lang, bad)
+
+
+def test_masking_import_paths_survive():
+    """Imports read from string literals must still extract (the import
+    pass sees comment-masked, string-INTACT lines)."""
+    rb = _names("m.rb", "Ruby", "require 'user_service'\n")
+    assert ("import", "user_service") in rb
+    ts = _names(
+        "m.ts", "TypeScript", "import { Widget } from './lib/widget';\n"
+    )
+    assert ("import", "Widget") in ts
