@@ -940,6 +940,18 @@ def _q_debounce_jobs_stats(spark, sf_dir):  # ST1 ST4
     return debounce_jobs_stats(spark, sf_dir)
 
 
+def _q_workspace_index_stats(spark, sf_dir):  # S1-S3 S6-S8 M4 M5 D11 UDF-b
+    from knowledge_graph_spark.pipeline.synthetic import workspace_index_stats
+
+    return workspace_index_stats(spark, sf_dir)
+
+
+def _q_watcher_queue_stats(spark, sf_dir):  # ST2 ST3 ST6
+    from knowledge_graph_spark.pipeline.synthetic import watcher_queue_stats
+
+    return watcher_queue_stats(spark, sf_dir)
+
+
 def _q_approx_user_counts(spark, sf_dir):  # rows-only (HLL sketch)
     return A.approx_user_counts(read_table(spark, sf_dir, "events"))
 
@@ -972,18 +984,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calls_to_imported_symbol": _q_calls_to_imported_symbol,
         "repo_map": _q_repo_map,
         "degree_distribution": _q_degree_distribution,
-        # -- pipeline / incremental / streaming end-to-end (D/M/ST) --------
-        "pipeline_index_stats": _q_pipeline_index_stats,
-        "incremental_merge_stats": _q_incremental_merge_stats,
-        "debounce_jobs_stats": _q_debounce_jobs_stats,
-        # -- relational analytics ------------------------------------------
+        # -- relational analytics (run BEFORE the heavy pipeline family:
+        #    r2's event_type_stats 9.7x "regression" was session churn from
+        #    running right after it) ---------------------------------------
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
         "parts_not_recently_shipped": _q_parts_not_recently_shipped,
-        "order_priority_rollup": _q_order_priority_rollup,
         "event_type_stats": _q_event_type_stats,
-        "top_events_per_type": _q_top_events_per_type,
         "sql_passthrough": _q_sql_passthrough,
+        # -- pipeline / incremental / streaming / workspace end-to-end
+        #    (D/M/ST/S families) -------------------------------------------
+        "pipeline_index_stats": _q_pipeline_index_stats,
+        "incremental_merge_stats": _q_incremental_merge_stats,
+        "debounce_jobs_stats": _q_debounce_jobs_stats,
+        "workspace_index_stats": _q_workspace_index_stats,
+        "watcher_queue_stats": _q_watcher_queue_stats,
         # -- beyond-parity: text / dedup / similarity / sampling -----------
         "doc_stats": _q_doc_stats,
         "quality_score": _q_quality_score,
@@ -1011,6 +1026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== entries past the driver's 50-entry compare window ===========
         # oracle-backed variants whose operator ids are covered above;
         # pytest checks them against the same oracles at sf0.001
+        "order_priority_rollup": _q_order_priority_rollup,
+        "top_events_per_type": _q_top_events_per_type,
         "supplier_nation_rollup": _q_supplier_nation_rollup,
         "quality_percentiles": _q_quality_percentiles,
         "token_counts": _q_token_counts,
@@ -1203,6 +1220,8 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_index_stats": SY.PIPELINE_INDEX_STATS_SQL,
         "incremental_merge_stats": SY.INCREMENTAL_MERGE_STATS_SQL,
         "debounce_jobs_stats": SY.DEBOUNCE_JOBS_STATS_SQL,
+        "workspace_index_stats": SY.WORKSPACE_INDEX_STATS_SQL,
+        "watcher_queue_stats": SY.WATCHER_QUEUE_STATS_SQL,
         "k_core_sizes": o(
             K_CORE_SIZES_SQL.format(rounds=30), extra_ctes=_k_core_peel_sql(2, 30)
         ),

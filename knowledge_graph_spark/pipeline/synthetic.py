@@ -498,3 +498,298 @@ FROM ev
 GROUP BY project, CAST(floor(epoch(ts) / 3) AS BIGINT) * 3
 ORDER BY project, window_start_epoch
 """
+
+
+# ---------------------------------------------------------------------------
+# workspace_index_stats — S1 S2 S3 S6 S7 S8 M4 M5 D11 UDF-b driver-checked
+# ---------------------------------------------------------------------------
+
+WORKSPACE_MAX_DOCS = 80
+
+# fixed multi-language files (UDF-b: one per non-Python analyzer family),
+# each with hand-counted definitions/imports baked into the oracle
+_LANG_FILES = {
+    "app/user.rb": (
+        "# class Hidden (comment must not extract)\n"
+        "require 'json'\n"
+        "class User < Base\n"
+        "  def activate!\n"
+        "    Mailer.send_welcome\n"
+        "  end\n"
+        "end\n"
+    ),  # defs: User, activate! (2); imports: json (1)
+    "web/app.ts": (
+        "import { Widget } from './lib';\n"
+        "export class App {\n"
+        "  run(): void {\n"
+        "    this.start();\n"
+        "  }\n"
+        "  start(): void {\n"
+        "  }\n"
+        "}\n"
+    ),  # defs: App, run, start (3); imports: Widget (1)
+    "jvm/Main.kt": (
+        "package demo\n"
+        "import org.demo.Lib\n"
+        "class Tool {\n"
+        "    fun use() {\n"
+        "    }\n"
+        "}\n"
+        "fun main() {\n"
+        "}\n"
+    ),  # defs: Tool, use, main (3); imports: Lib (1)
+    "jvm/App.java": (
+        "package demo;\n"
+        "import java.util.List;\n"
+        "public class App {\n"
+        "    public void run() {\n"
+        "    }\n"
+        "}\n"
+    ),  # defs: App, run (2); imports: List (1)
+}
+_LANG_FILE_DEFS = 10
+_LANG_FILE_IMPORTS = 4
+
+
+def workspace_index_stats(
+    spark: SparkSession, sf_dir: str, max_docs: int = WORKSPACE_MAX_DOCS
+) -> DataFrame:
+    """End-to-end workspace orchestration over a REAL on-disk corpus:
+    the synthesized Python corpus plus one fixture file per other language
+    family is written to a temp directory, then indexed through the full
+    list_files (S1 enumeration + S2 bounded read) → extract → build →
+    parquet write → read-back (S3/S6/S7) path by the two-project
+    index_workspace loop (D11), with one registered project pointing at a
+    missing directory (error isolation). A second reindex pass overwrites
+    in place (S8 force-new / M4 / M5) — if overwrite appended instead of
+    replacing, every node count below would double and the hash would
+    fail. Emits (metric, value) rows with a closed-form documents oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from knowledge_graph_spark.graph.model import KnowledgeGraph
+    from knowledge_graph_spark.persist import checkpoint_and_release, persistent_rdd_ids
+    from knowledge_graph_spark.workspace import (
+        ERROR,
+        INDEXED,
+        WorkspaceManager,
+        index_workspace,
+    )
+
+    ids = sorted(_doc_ids(spark, sf_dir))[:max_docs]
+    nxt = {d: ids[(k + 1) % len(ids)] for k, d in enumerate(ids)}
+
+    before = persistent_rdd_ids(spark)
+    base = tempfile.mkdtemp(prefix="kg-ws-")
+    try:
+        ws_dir = os.path.join(base, "ws")
+        good = os.path.join(ws_dir, "proj_good")
+        bad = os.path.join(ws_dir, "proj_missing")  # never created
+        for i in ids:
+            p = os.path.join(good, _path_of(i))
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "w", encoding="utf-8") as f:
+                f.write(_file_text(i, nxt[i]))
+        for rel, content in _LANG_FILES.items():
+            p = os.path.join(good, rel)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "w", encoding="utf-8") as f:
+                f.write(content)
+
+        mgr = WorkspaceManager(os.path.join(base, "data"))
+        mgr.register_project(ws_dir, good)
+        mgr.register_project(ws_dir, bad)
+        ev1, _ = index_workspace(spark, mgr, ws_dir)
+        ev2, _ = index_workspace(spark, mgr, ws_dir, reindex=True)
+
+        infos = {p.project_path: p for p in mgr.list_all_projects()}
+        kg = KnowledgeGraph.read(spark, infos[good].graph_dir, "proj_good")
+        lang_counts = {
+            r["language"]: r["n"]
+            for r in kg.files.groupBy("language")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_files = kg.files.count()
+        n_defs = kg.definitions.count()
+        n_imps = kg.imports.count()
+
+        def _evc(events, etype, status):
+            return sum(1 for e in events if e["type"] == etype and e["status"] == status)
+
+        rows = [
+            ("n_file_nodes", n_files),
+            ("n_definition_nodes", n_defs),
+            ("n_imported_symbol_nodes", n_imps),
+            ("n_files_python", lang_counts.get("Python", 0)),
+            ("n_files_ruby", lang_counts.get("Ruby", 0)),
+            ("n_files_typescript", lang_counts.get("TypeScript", 0)),
+            ("n_files_kotlin", lang_counts.get("Kotlin", 0)),
+            ("n_files_java", lang_counts.get("Java", 0)),
+            ("n_projects_indexed", sum(1 for p in infos.values() if p.status == INDEXED)),
+            ("n_projects_error", sum(1 for p in infos.values() if p.status == ERROR)),
+            ("n_events_index_run", len(ev1)),
+            ("n_events_reindex_run", len(ev2)),
+            ("n_project_completed_events", _evc(ev1, "ProjectIndexing", "Completed")
+             + _evc(ev2, "ProjectReindexing", "Completed")),
+            ("n_project_failed_events", _evc(ev1, "ProjectIndexing", "Failed")
+             + _evc(ev2, "ProjectReindexing", "Failed")),
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    out = spark.createDataFrame(rows, "metric string, value long").orderBy("metric")
+    return checkpoint_and_release(spark, before, out)
+
+
+WORKSPACE_INDEX_STATS_SQL = (
+    "WITH "
+    + _CORPUS_CTE.replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {WORKSPACE_MAX_DOCS})",
+    )
+    + f""",
+m(metric, value) AS (
+  SELECT 'n_file_nodes', (SELECT count(*) + 4 FROM corpus)
+  UNION ALL SELECT 'n_definition_nodes',
+    (SELECT sum(n_defs) + {_LANG_FILE_DEFS} FROM corpus)
+  UNION ALL SELECT 'n_imported_symbol_nodes',
+    (SELECT 2 * count(*) + {_LANG_FILE_IMPORTS} FROM corpus)
+  UNION ALL SELECT 'n_files_python', (SELECT count(*) FROM corpus)
+  UNION ALL SELECT 'n_files_ruby', 1
+  UNION ALL SELECT 'n_files_typescript', 1
+  UNION ALL SELECT 'n_files_kotlin', 1
+  UNION ALL SELECT 'n_files_java', 1
+  UNION ALL SELECT 'n_projects_indexed', 1
+  UNION ALL SELECT 'n_projects_error', 1
+  -- per run: Workspace Started + Failed, Project Started x2, Completed,
+  -- Failed (executor.rs loop with error isolation)
+  UNION ALL SELECT 'n_events_index_run', 6
+  UNION ALL SELECT 'n_events_reindex_run', 6
+  UNION ALL SELECT 'n_project_completed_events', 2
+  UNION ALL SELECT 'n_project_failed_events', 2
+)
+SELECT metric, CAST(value AS BIGINT) AS value FROM m ORDER BY metric
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# watcher_queue_stats — ST2 ST3 ST6 driver-checked
+# ---------------------------------------------------------------------------
+
+WATCHER_MAX_EVENTS = 2000
+
+
+def watcher_queue_stats(
+    spark: SparkSession, sf_dir: str, max_events: int = WATCHER_MAX_EVENTS
+) -> DataFrame:
+    """The REAL streaming queue end-to-end: file events derived from the
+    events table are written as a JSON drop directory, consumed by
+    run_debounced_reindex (readStream → debounce window → foreachBatch job
+    worker, the reference's queue dispatcher/worker ST3) under an
+    availableNow trigger (the schedulable form of ST2's periodic reindex),
+    with a checkpoint. A SECOND run over the same checkpoint with no new
+    files must produce ZERO jobs (exactly-once dispatch). Lifecycle event
+    rows (ST6 vocabulary) are derived from the same job set. Emits
+    (metric, value) rows with a closed-form events oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from knowledge_graph_spark.persist import checkpoint_and_release, persistent_rdd_ids
+    from knowledge_graph_spark.streaming.watcher import (
+        debounced_jobs,
+        lifecycle_events,
+        run_debounced_reindex,
+    )
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(max_events)
+        .select(
+            F.concat(F.lit("proj"), (F.col("user_id") % 3)).alias("project"),
+            F.concat(F.lit("src/f"), (F.col("event_id") % 40), F.lit(".py")).alias("path"),
+            F.when(F.col("event_type") == "purchase", F.lit("deleted"))
+            .otherwise(F.lit("modified"))
+            .alias("change_type"),
+            F.col("ts").alias("event_time"),
+        )
+    )
+    before = persistent_rdd_ids(spark)
+    base = tempfile.mkdtemp(prefix="kg-watch-")
+    try:
+        watch_dir = os.path.join(base, "events")
+        # ONE json file -> one micro-batch -> each window emitted exactly once
+        ev.coalesce(1).write.json(watch_dir)
+        jobs_seen: list[tuple[str, int, int]] = []
+
+        def on_job(project, changed, deleted):
+            jobs_seen.append((project, len(changed), len(deleted)))
+
+        cp = os.path.join(base, "cp")
+        q = run_debounced_reindex(
+            spark, watch_dir, on_job, query_name="kg-watch-stats",
+            available_now=True, checkpoint_dir=cp,
+        )
+        q.awaitTermination()
+        run1 = list(jobs_seen)
+        jobs_seen.clear()
+        # rerun on the same checkpoint, no new files: exactly-once => 0 jobs
+        q2 = run_debounced_reindex(
+            spark, watch_dir, on_job, query_name="kg-watch-stats-rerun",
+            available_now=True, checkpoint_dir=cp,
+        )
+        q2.awaitTermination()
+        rerun = list(jobs_seen)
+
+        # ST6 lifecycle vocabulary from the batch twin of the same job set
+        n_started = lifecycle_events(debounced_jobs(ev)).count()
+
+        per_proj = {f"proj{k}": 0 for k in range(3)}
+        for p, _, _ in run1:
+            per_proj[p] = per_proj.get(p, 0) + 1
+        rows = [
+            ("n_jobs", len(run1)),
+            ("n_jobs_proj0", per_proj["proj0"]),
+            ("n_jobs_proj1", per_proj["proj1"]),
+            ("n_jobs_proj2", per_proj["proj2"]),
+            ("total_changed_paths", sum(c for _, c, _ in run1)),
+            ("total_deleted_paths", sum(d for _, _, d in run1)),
+            ("n_jobs_rerun_no_new_events", len(rerun)),
+            ("n_lifecycle_started_events", n_started),
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    out = spark.createDataFrame(rows, "metric string, value long").orderBy("metric")
+    return checkpoint_and_release(spark, before, out)
+
+
+WATCHER_QUEUE_STATS_SQL = f"""
+WITH ev AS (
+  SELECT printf('proj%d', user_id % 3) AS project,
+         printf('src/f%d.py', event_id % 40) AS path,
+         (CASE WHEN event_type = 'purchase' THEN 'deleted' ELSE 'modified' END)
+           AS change_type,
+         ts
+  FROM (SELECT * FROM events ORDER BY event_id LIMIT {WATCHER_MAX_EVENTS})
+),
+jobs AS (
+  SELECT project, CAST(floor(epoch(ts) / 3) AS BIGINT) AS w,
+         count(DISTINCT CASE WHEN change_type <> 'deleted' THEN path END) AS nc,
+         count(DISTINCT CASE WHEN change_type = 'deleted' THEN path END) AS nd
+  FROM ev GROUP BY 1, 2
+),
+m(metric, value) AS (
+  SELECT 'n_jobs', (SELECT count(*) FROM jobs)
+  UNION ALL SELECT 'n_jobs_proj0', (SELECT count(*) FROM jobs WHERE project = 'proj0')
+  UNION ALL SELECT 'n_jobs_proj1', (SELECT count(*) FROM jobs WHERE project = 'proj1')
+  UNION ALL SELECT 'n_jobs_proj2', (SELECT count(*) FROM jobs WHERE project = 'proj2')
+  UNION ALL SELECT 'total_changed_paths', (SELECT sum(nc) FROM jobs)
+  UNION ALL SELECT 'total_deleted_paths', (SELECT sum(nd) FROM jobs)
+  UNION ALL SELECT 'n_jobs_rerun_no_new_events', 0
+  UNION ALL SELECT 'n_lifecycle_started_events', (SELECT count(*) FROM jobs)
+)
+SELECT metric, CAST(value AS BIGINT) AS value FROM m ORDER BY metric
+"""
