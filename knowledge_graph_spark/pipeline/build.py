@@ -434,8 +434,11 @@ def build_graph_from_entities(
     #     case because its package dir IS its parent (interfile.rs:63-83);
     #   - a dots-only clause targets the package's `__init__.py`
     #     (interfile.rs:89-94);
-    #   - absolute imports try the repo root first, then the importing
-    #     file's own directory (interfile.rs:108-121);
+    #   - absolute imports resolve against get_root_dirs() — the repo root
+    #     plus every package's parent directory (compute_root_dirs,
+    #     types.rs:659-682) — and the importing file's own directory
+    #     (interfile.rs:108-121); candidate priority here is repo root,
+    #     importing dir, then package-parent roots;
     #   - per search path the module file precedes the package __init__
     #     (interfile.rs:144-150), and lookups are case-insensitive over the
     #     denormalized tree (interfile.rs:26-27,42).
@@ -509,15 +512,59 @@ def build_graph_from_entities(
             )
         ).alias("priority", "cand_path"),
     )
+    # additional absolute-import search roots: the parent dir of every
+    # package (grandparent of each __init__.py) — the reference's
+    # compute_root_dirs (types.rs:659-682) so `from package.module import X`
+    # resolves when the package lives under src/. Root-first priority is
+    # preserved: these rank AFTER the repo-root and importing-dir candidates
+    # (priorities 10/11 vs 0-5).
+    pkg_roots = (
+        file_nodes.filter(F.col("path").rlike(r".+/[^/]+/__init__\.py$"))
+        .select(
+            F.regexp_replace(F.col("path"), r"/[^/]+/__init__\.py$", "").alias(
+                "pkg_root"
+            )
+        )
+        .distinct()
+    )
+    cand_roots = (
+        imported.filter(_is_abs)
+        .select(
+            F.col("id").alias("imp_id"),
+            F.col("name").alias("imp_name"),
+            _abs_mod.alias("_mod"),
+        )
+        .join(F.broadcast(pkg_roots))
+        .select(
+            "imp_id",
+            "imp_name",
+            F.posexplode(
+                F.array(
+                    F.concat(F.col("pkg_root"), F.lit("/"), F.col("_mod"), F.lit(".py")),
+                    F.concat(
+                        F.col("pkg_root"), F.lit("/"), F.col("_mod"), F.lit("/__init__.py")
+                    ),
+                )
+            ).alias("p0", "cand_path"),
+        )
+        .select("imp_id", "imp_name", (F.col("p0") + F.lit(10)).alias("priority"), "cand_path")
+    )
+    cand = cand.unionByName(cand_roots)
+    # case-insensitivity is a PYTHON resolver property (the reference's
+    # denormalized tree, interfile.rs:26-27,42); .rb/.ts candidates match
+    # exactly. The window adds the matched path for a deterministic winner
+    # when two files differ only by case.
+    _cand_is_py = cand.cand_path.endswith(".py")
     resolved_file = (
         cand.join(
             file_nodes.select(F.col("id").alias("file_id"), "path"),
-            F.lower(cand.cand_path) == F.lower(F.col("path")),
+            (_cand_is_py & (F.lower(cand.cand_path) == F.lower(F.col("path"))))
+            | (~_cand_is_py & (cand.cand_path == F.col("path"))),
         )
         .withColumn(
             "rk",
             F.row_number().over(
-                Window.partitionBy("imp_id").orderBy("priority", "cand_path")
+                Window.partitionBy("imp_id").orderBy("priority", "cand_path", "path")
             ),
         )
         .filter(F.col("rk") == 1)

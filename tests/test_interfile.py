@@ -35,6 +35,10 @@ CORPUS = {
     # case-insensitive lookup (test_case_insensitive_matching)
     "rootmod.py": "from casetest import case_fn\nimport missing_module\n",
     "CaseTest.py": "def case_fn():\n    return 3\n",
+    # package-parent root: `from package.module import X` in tests/ with the
+    # package under src/ — compute_root_dirs (types.rs:659-682) adds src/ as
+    # a search root because src/package/__init__.py exists
+    "tests/test_main.py": "from package.module import ModClass\n",
     # module file beats package __init__ at the same search path
     # (interfile.rs:144-150 ordering)
     "prio.py": "import dual\n",
@@ -119,6 +123,17 @@ def test_relative_just_dots_targets_package_init(imp_file_pairs):
 
 def test_case_insensitive_matching(imp_file_pairs):
     assert ("rootmod.py", "casetest", "CaseTest.py") in imp_file_pairs
+
+
+def test_package_parent_root_resolution(imp_file_pairs):
+    """compute_root_dirs (types.rs:659-682): src/ is a search root because
+    src/package/__init__.py exists, so tests/test_main.py's absolute import
+    resolves into src/package/module.py."""
+    assert (
+        "tests/test_main.py",
+        "package.module",
+        "src/package/module.py",
+    ) in imp_file_pairs
 
 
 def test_module_file_beats_package_init(imp_file_pairs):
