@@ -230,6 +230,22 @@ FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
 WHERE a.p_partkey % 4 IN (1, 2)
 """
 
+# Per-file source-text inventory (path, line_no, line_text) — deterministic
+# "file contents" so context-snippet queries join REAL line text, the same
+# derivation on both engines. One line per (order, linenumber).
+_SQL_FILE_LINES = f"""
+SELECT 'orders/o' || l_orderkey || '.' || {_EXT_CASE_SQL} AS path,
+       CAST(l_linenumber AS INT) AS line_no,
+       CASE WHEN l_linenumber = 1
+            THEN 'class ' || replace(p_name, ' ', '_') || ':  # ' || lower(replace(p_type, ' ', '.'))
+            ELSE '    def ' || replace(p_name, ' ', '_') || '_' || l_linenumber
+                 || '(self): return ' || CAST(l_quantity AS BIGINT)
+       END AS line_text
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+"""
+
 _TABLE_SQL: dict[str, str] = {
     "directory_nodes": _SQL_DIR_NODES,
     "file_nodes": _SQL_FILE_NODES,
@@ -239,6 +255,7 @@ _TABLE_SQL: dict[str, str] = {
     "file_relationships": _SQL_FILE_EDGES,
     "definition_relationships": _SQL_DEF_EDGES,
     "imported_symbol_relationships": _SQL_IMP_EDGES,
+    "file_lines": _SQL_FILE_LINES,
 }
 
 #: CTE block for DuckDB oracles: ``f"WITH {GRAPH_CTES} SELECT ..."``.
@@ -271,10 +288,18 @@ def build_graph(spark: SparkSession, sf_dir: str) -> KnowledgeGraph:
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
     nodes: dict[str, DataFrame] = {}
     edges: dict[str, DataFrame] = {}
+    file_lines: DataFrame | None = None
     for name, sql in _TABLE_SQL.items():
         df = spark.sql(sql)
-        (nodes if name.endswith("_nodes") else edges)[name] = df
-    return KnowledgeGraph(spark, nodes, edges, repository_name="tpch")
+        if name == "file_lines":
+            file_lines = df
+        elif name.endswith("_nodes"):
+            nodes[name] = df
+        else:
+            edges[name] = df
+    return KnowledgeGraph(
+        spark, nodes, edges, repository_name="tpch", file_lines=file_lines
+    )
 
 
 def build_and_write(spark: SparkSession, sf_dir: str, out_dir: str) -> KnowledgeGraph:

@@ -36,6 +36,11 @@ class KnowledgeGraph:
     nodes: dict[str, DataFrame]
     edges: dict[str, DataFrame]
     repository_name: str = "repo"
+    # per-file line inventory (path, line_no, line_text) — the source text
+    # the reference's context-snippet enrichment reads back from disk
+    # (file_reader_utils.rs:1-252); here it is indexed alongside the graph
+    # so snippet assembly is a broadcast join, not driver file IO
+    file_lines: DataFrame | None = None
     _views_registered: bool = field(default=False, repr=False)
 
     # -- accessors ---------------------------------------------------------
@@ -71,6 +76,9 @@ class KnowledgeGraph:
 
         self.cache()
         dfs = list(self.nodes.values()) + list(self.edges.values())
+        if self.file_lines is not None:
+            self.file_lines = self.file_lines.cache()
+            dfs.append(self.file_lines)
         with ThreadPoolExecutor(parallelism) as ex:
             list(ex.map(lambda d: d.count(), dfs))
         return self
@@ -89,6 +97,8 @@ class KnowledgeGraph:
             df = self.nodes.get(k) if k in NODE_KEYS else self.edges.get(k)
             if df is not None:
                 df.createOrReplaceTempView(prefix + k)
+        if self.file_lines is not None:
+            self.file_lines.createOrReplaceTempView(prefix + "file_lines")
         self._views_registered = True
 
     def sql(self, query: str) -> DataFrame:
@@ -104,12 +114,18 @@ class KnowledgeGraph:
             write_parquet(df, f"{base_dir}/{k}")
         for k, df in self.edges.items():
             write_parquet(df, f"{base_dir}/{k}")
+        if self.file_lines is not None:
+            write_parquet(self.file_lines, f"{base_dir}/file_lines")
 
     @classmethod
     def read(cls, spark: SparkSession, base_dir: str, repository_name: str = "repo") -> "KnowledgeGraph":
+        import os
+
         nodes = {k: spark.read.parquet(f"{base_dir}/{k}") for k in NODE_KEYS}
         edges = {k: spark.read.parquet(f"{base_dir}/{k}") for k in EDGE_KEYS}
-        return cls(spark, nodes, edges, repository_name)
+        fl_dir = f"{base_dir}/file_lines"
+        file_lines = spark.read.parquet(fl_dir) if os.path.isdir(fl_dir) else None
+        return cls(spark, nodes, edges, repository_name, file_lines=file_lines)
 
     def cache(self) -> "KnowledgeGraph":
         for df in (*self.nodes.values(), *self.edges.values()):

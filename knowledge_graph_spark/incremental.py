@@ -166,7 +166,20 @@ def apply_file_changes(
         for r in rekeyed:
             df = df.unionByName(r)
         edges[ekey] = df
-    merged = KnowledgeGraph(spark, nodes, edges, base.repository_name)
+    # file-text inventory follows the same splice: drop touched files' lines,
+    # re-add the re-indexed (changed) files' fresh lines
+    merged_lines = None
+    if base.file_lines is not None:
+        merged_lines = base.file_lines.join(
+            F.broadcast(touched_df), "path", "left_anti"
+        )
+        if fresh.file_lines is not None:
+            merged_lines = merged_lines.unionByName(
+                fresh.file_lines.join(F.broadcast(touched_df), "path", "left_semi")
+            )
+    merged = KnowledgeGraph(
+        spark, nodes, edges, base.repository_name, file_lines=merged_lines
+    )
     return _splice_fresh_edges(spark, merged, fresh, touched_df)
 
 
@@ -261,4 +274,7 @@ def _splice_fresh_edges(
             out_edges[ekey] = existing.unionByName(add).dropDuplicates(
                 ["source_id", "target_id", "type", "source_start_byte"]
             )
-    return KnowledgeGraph(spark, merged.nodes, out_edges, merged.repository_name)
+    return KnowledgeGraph(
+        spark, merged.nodes, out_edges, merged.repository_name,
+        file_lines=merged.file_lines,
+    )

@@ -652,7 +652,17 @@ def build_graph_from_entities(
         "definition_relationships": definition_relationships,
         "imported_symbol_relationships": imported_symbol_relationships,
     }
-    kg = KnowledgeGraph(spark, nodes, edges, repository_name)
+    # per-file line inventory — REAL source text, so context-snippet queries
+    # (search_with_context / search_xml) join actual ±N lines instead of a
+    # definition-derived rendering (file_reader_utils.rs:1-252); line_no is
+    # 0-based, matching the extractor's start_line
+    file_lines = files.select(
+        "path",
+        F.posexplode(
+            F.split(F.decode(F.col("content"), "UTF-8"), "\n")
+        ).alias("line_no", "line_text"),
+    ).select("path", F.col("line_no").cast("int").alias("line_no"), "line_text")
+    kg = KnowledgeGraph(spark, nodes, edges, repository_name, file_lines=file_lines)
     # Spark's cache manager substitutes cached data by logical-plan equality:
     # a second index run over the same path would silently reuse THIS run's
     # cached content. The orchestrator must unpersist these after the graph

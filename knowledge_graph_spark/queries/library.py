@@ -389,23 +389,17 @@ def search_with_context(
     Reference: search_codebase_definitions.rs:233-255 +
     file_reader_utils.rs:1-252 — after the query, the MCP tool concurrently
     reads file chunks (10 s timeout) to attach code snippets to each result.
-    Here the enrichment is a join against the indexed per-line inventory
-    (one rendered line per definition of the file), so snippet assembly is
+    Here the enrichment is a join against the indexed per-file LINE
+    inventory (real source text, ``kg.file_lines``), so snippet assembly is
     part of the PLAN: a broadcast-hash join on file path (the ≤page_size hit
     set broadcasts) with the line-range predicate as join filter, then a
     sorted string-agg — no driver-side file IO, no timeout machinery, and
-    it scales with the hit count, not the corpus.
+    it scales with the hit count, not the corpus. Graphs without an indexed
+    line inventory fall back to a definition-derived rendering.
     """
     ctx = int(context_lines)
     hits = search_definitions(kg, terms, page, page_size)
-    lines = kg.definitions.select(
-        F.col("primary_file_path").alias("_path"),
-        F.col("start_line").alias("_line"),
-        F.col("fqn").alias("_fqn"),
-        F.format_string(
-            "%s %s @%d", "definition_type", "fqn", "start_line"
-        ).alias("_rendered"),
-    )
+    lines = _context_lines(kg)
     j = F.broadcast(hits).join(
         lines,
         (hits.primary_file_path == lines._path)
@@ -414,7 +408,7 @@ def search_with_context(
     )
     snippet = F.array_join(
         F.transform(
-            F.sort_array(F.collect_list(F.struct("_line", "_fqn", "_rendered"))),
+            F.sort_array(F.collect_list(F.struct("_line", "_rendered"))),
             lambda s: s["_rendered"],
         ),
         "\n",
@@ -423,6 +417,25 @@ def search_with_context(
         j.groupBy("fqn", "name", "definition_type", "primary_file_path", "start_line")
         .agg(snippet.alias("snippet"))
         .orderBy("fqn", "start_line")
+    )
+
+
+def _context_lines(kg: KnowledgeGraph) -> DataFrame:
+    """(_path, _line, _rendered) source of context snippets: the real
+    file-text line inventory when indexed, else the definition-inventory
+    rendering (legacy graphs with no stored content)."""
+    if kg.file_lines is not None:
+        return kg.file_lines.select(
+            F.col("path").alias("_path"),
+            F.col("line_no").alias("_line"),
+            F.col("line_text").alias("_rendered"),
+        )
+    return kg.definitions.select(
+        F.col("primary_file_path").alias("_path"),
+        F.col("start_line").alias("_line"),
+        F.format_string(
+            "%s %s @%d", "definition_type", "fqn", "start_line"
+        ).alias("_rendered"),
     )
 
 
@@ -436,12 +449,11 @@ SEARCH_WITH_CONTEXT_CTE = """hits AS (
 
 SEARCH_WITH_CONTEXT_SQL = """
 SELECT h.fqn, h.name, h.definition_type, h.primary_file_path, h.start_line,
-  string_agg(printf('%s %s @%d', d.definition_type, d.fqn, d.start_line),
-             chr(10) ORDER BY d.start_line, d.fqn) AS snippet
+  string_agg(l.line_text, chr(10) ORDER BY l.line_no, l.line_text) AS snippet
 FROM hits h
-JOIN definition_nodes d
-  ON d.primary_file_path = h.primary_file_path
- AND d.start_line BETWEEN h.start_line - {ctx} AND h.start_line + {ctx}
+JOIN file_lines l
+  ON l.path = h.primary_file_path
+ AND l.line_no BETWEEN h.start_line - {ctx} AND h.start_line + {ctx}
 GROUP BY 1, 2, 3, 4, 5
 ORDER BY h.fqn, h.start_line
 """

@@ -110,14 +110,12 @@ def search_definitions_xml(
         .limit(page_size)
     )
     ctx = int(context_lines)
-    lines = kg.definitions.select(
-        F.col("primary_file_path").alias("_path"),
-        F.col("start_line").alias("_line"),
-        F.col("fqn").alias("_fqn"),
-        F.format_string("%s %s @%d", "definition_type", "fqn", "start_line").alias(
-            "_rendered"
-        ),
-    )
+    from knowledge_graph_spark.queries.library import _context_lines
+
+    # real ±N source lines from the indexed file-text inventory
+    # (file_reader_utils.rs:1-252), falling back to the definition-derived
+    # rendering for graphs without stored content
+    lines = _context_lines(kg)
     j = F.broadcast(hits).join(
         lines,
         (hits.primary_file_path == lines._path)
@@ -126,7 +124,7 @@ def search_definitions_xml(
     )
     snippet = F.array_join(
         F.transform(
-            F.sort_array(F.collect_list(F.struct("_line", "_fqn", "_rendered"))),
+            F.sort_array(F.collect_list(F.struct("_line", "_rendered"))),
             lambda s: s["_rendered"],
         ),
         "\n",
@@ -266,12 +264,12 @@ FROM (
   FROM (
     SELECT h.fqn, h.name, h.definition_type, h.primary_file_path,
            h.start_line, h.end_line,
-           string_agg(printf('%s %s @%d', d.definition_type, d.fqn, d.start_line),
-                      chr(10) ORDER BY d.start_line, d.fqn) AS snippet
+           string_agg(l.line_text, chr(10) ORDER BY l.line_no, l.line_text)
+             AS snippet
     FROM hits h
-    JOIN definition_nodes d
-      ON d.primary_file_path = h.primary_file_path
-     AND d.start_line BETWEEN h.start_line - {ctx} AND h.start_line + {ctx}
+    JOIN file_lines l
+      ON l.path = h.primary_file_path
+     AND l.line_no BETWEEN h.start_line - {ctx} AND h.start_line + {ctx}
     GROUP BY 1, 2, 3, 4, 5, 6
   ) e
 ) a

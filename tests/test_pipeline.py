@@ -377,3 +377,38 @@ def test_gitignore_negation_cannot_reinclude_under_excluded_dir(spark, tmp_path)
         p.write_text(content)
     got = {r.relative_path for r in list_files(spark, str(root)).collect()}
     assert got == {"src/main.py"}
+
+
+def test_search_with_context_real_source_lines(spark, tmp_path):
+    """file_lines carries REAL source text: the context snippet around a hit
+    contains the actual neighboring lines of the file, not a rendering
+    (file_reader_utils.rs:1-252 parity)."""
+    from knowledge_graph_spark.pipeline.indexer import index_repository
+    from knowledge_graph_spark.queries.library import search_with_context
+
+    src = (
+        "# leading comment\n"
+        "import os\n"
+        "\n"
+        "def target_fn():\n"
+        "    return 42\n"
+    )
+    p = tmp_path / "repo" / "m.py"
+    p.parent.mkdir(parents=True)
+    p.write_text(src)
+    kg, _ = index_repository(spark, str(tmp_path / "repo"))
+    row = search_with_context(kg, ["target_fn"], context_lines=1).collect()[0]
+    assert row.snippet == "\ndef target_fn():\n    return 42"
+
+
+def test_file_lines_write_read_roundtrip(spark, tmp_path):
+    from knowledge_graph_spark.pipeline.indexer import index_repository
+
+    p = tmp_path / "repo" / "m.py"
+    p.parent.mkdir(parents=True)
+    p.write_text("def f():\n    return 1\n")
+    out = str(tmp_path / "out")
+    kg, _ = index_repository(spark, str(tmp_path / "repo"), out_dir=out)
+    assert kg.file_lines is not None
+    texts = [r.line_text for r in kg.file_lines.orderBy("line_no").collect()]
+    assert texts[0] == "def f():" and texts[1] == "    return 1"
