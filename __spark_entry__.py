@@ -877,7 +877,7 @@ def _media(spark, sf_dir):
     return synthesize_media(read_table(spark, sf_dir, "documents"))
 
 
-def _q_media_decode_stats(spark, sf_dir):  # rows-only (mapInPandas stub)
+def _q_media_decode_stats(spark, sf_dir):  # real PPM decode + KGMM stub
     from knowledge_graph_spark.beyond.multimodal import decode_metadata
 
     return (
@@ -892,12 +892,38 @@ def _q_media_decode_stats(spark, sf_dir):  # rows-only (mapInPandas stub)
     )
 
 
-def _q_media_frame_sample(spark, sf_dir):  # rows-only
+# Oracle twin of the decode: images are real PPMs (w=doc%96+8, h=doc%12+4,
+# payload w*h*3 pixel bytes); audio/video carry the KGMM header + utf-8 text
+MEDIA_DECODE_STATS_SQL = """
+SELECT kind, CAST(count(*) AS BIGINT) AS n, CAST(max(width) AS INT) AS max_width,
+       CAST(sum(payload) AS BIGINT) AS total_payload
+FROM (
+  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 96 + 8 AS INT)
+              ELSE CAST(doc_id % 640 + 16 AS INT) END AS width,
+         CASE WHEN doc_id % 3 = 0 THEN (doc_id % 96 + 8) * (doc_id % 12 + 4) * 3
+              ELSE octet_length(encode(text)) END AS payload
+  FROM documents
+) m
+GROUP BY kind ORDER BY kind
+"""
+
+
+def _q_media_frame_sample(spark, sf_dir):  # oracle-backed (closed-form)
     from knowledge_graph_spark.beyond.multimodal import frame_sample
 
     return frame_sample(_media(spark, sf_dir), every_n=10).orderBy(
         "media_id", "frame_idx"
     )
+
+
+MEDIA_FRAME_SAMPLE_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(f AS INT) AS frame_idx
+FROM documents
+CROSS JOIN (SELECT * FROM generate_series(0, 110, 10) AS g(f)) t
+WHERE doc_id % 3 = 2 AND f <= doc_id % 120
+ORDER BY media_id, frame_idx
+"""
 
 
 def _q_media_resize_stats(spark, sf_dir):  # rows-only (mapInPandas stub)
@@ -1236,4 +1262,6 @@ def oracle_sql() -> dict[str, str]:
         "import_chain_resolution": o(
             IMPORT_CHAIN_SQL, extra_ctes=IMPORT_CHAIN_CTE, recursive=True
         ),
+        "media_decode_stats": MEDIA_DECODE_STATS_SQL,
+        "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
     }

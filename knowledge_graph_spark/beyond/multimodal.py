@@ -3,10 +3,13 @@ typed metadata (north-star component).
 
 The Spark-side plumbing is real: schema, partition-friendly batch shapes,
 Arrow-batched ``mapInPandas`` UDF signatures identical to what a production
-decode would use. The actual codec step is STUBBED — this container ships no
-image/audio libraries — behind ``decoder=`` hooks: the default deterministic
-fake parses our synthetic header; passing ``decoder="pillow"`` (etc.) raises
-``NotImplementedError`` with the swap instructions.
+decode would use. The IMAGE path is a REAL codec: binary PPM (P6) files are
+synthesized with actual pixel bytes, and decode/resize parse and
+nearest-neighbor-resample them in pure Python (no external libs needed for
+this format). Audio/video remain STUBBED behind the synthetic KGMM header —
+this container ships no audio/video libraries — with ``decoder=`` hooks:
+passing ``decoder="pillow"`` (etc.) raises ``NotImplementedError`` with the
+swap instructions.
 
 At 100 TB: binary payloads dominate row size — media tables are stored one
 row per asset with metadata in columns so pruning (`select` without `data`)
@@ -51,7 +54,14 @@ _MAGIC = b"KGMM"  # synthetic header: KGMM | kind(1B) | width u16 | height u16 |
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Deterministic fake media derived from the documents table — gives the
-    pipeline real binary payloads with parseable headers for tests/benches."""
+    pipeline real binary payloads with parseable headers for tests/benches.
+
+    IMAGE rows are REAL binary PPM (P6) files — a valid, externally-viewable
+    format with actual pixel bytes (w = doc_id%96+8, h = doc_id%12+4, every
+    pixel channel the same doc-derived byte), so the decode/resize path
+    below operates on a genuine container, not just the KGMM fake. Audio
+    and video keep the synthetic KGMM header (no dependency-free container
+    is that simple for them)."""
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
@@ -64,13 +74,41 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
         F.encode(F.lpad((F.col("doc_id") % 480 + 16).cast("string"), 5, "0"), "utf-8"),
         F.encode(F.lpad((F.col("doc_id") % 120 + 1).cast("string"), 5, "0"), "utf-8"),
     )
+    w_img = (F.col("doc_id") % 96 + 8).cast("string")
+    h_img = (F.col("doc_id") % 12 + 4).cast("string")
+    ppm = F.encode(
+        F.concat(
+            F.lit("P6\n"), w_img, F.lit(" "), h_img, F.lit("\n255\n"),
+            # pixel bytes: printable ASCII (1 byte/char under UTF-8)
+            F.expr(
+                "repeat(char(32 + doc_id % 64), "
+                "CAST((doc_id % 96 + 8) * (doc_id % 12 + 4) * 3 AS INT))"
+            ),
+        ),
+        "utf-8",
+    )
+    data = F.when(kind == "image", ppm).otherwise(
+        F.concat(header, F.encode(F.col("text"), "utf-8"))
+    )
+    mime = F.when(kind == "image", F.lit("image/x-portable-pixmap")).otherwise(
+        F.concat(F.lit("x-kg/"), kind)
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
-        F.concat(F.lit("x-kg/"), kind).alias("mime"),
-        F.concat(header, F.encode(F.col("text"), "utf-8")).alias("data"),
+        mime.alias("mime"),
+        data.alias("data"),
         F.col("doc_id").alias("source_doc_id"),
     )
+
+
+def _parse_ppm(b: bytes) -> tuple[int, int, int]:
+    """(width, height, pixel_offset) of a binary P6 PPM. Raises on garbage —
+    callers treat that as an undecodable asset."""
+    nl1 = b.index(b"\n", 3)
+    w, h = (int(x) for x in b[3:nl1].split())
+    nl2 = b.index(b"\n", nl1 + 1)  # maxval line
+    return w, h, nl2 + 1
 
 
 DECODED_SCHEMA = StructType(
@@ -86,12 +124,14 @@ DECODED_SCHEMA = StructType(
 
 
 def decode_metadata(media: DataFrame, decoder: str = "synthetic") -> DataFrame:
-    """Decode step (STUB): parse typed metadata out of the binary column.
+    """Decode step: parse typed metadata out of the binary column.
 
-    ``decoder='synthetic'`` parses the KGMM header (deterministic fake).
-    Any real codec name raises NotImplementedError — swap in a Pillow/ffmpeg
-    batch decode with the identical mapInPandas signature; the Spark plan,
-    batch shape, and output schema do not change.
+    The default decoder handles two containers: REAL binary PPM (P6) images
+    — an actual pure-Python parse of the header and pixel payload — and the
+    synthetic KGMM header for audio/video (this container ships no
+    audio/video libraries). Any other codec name raises NotImplementedError
+    — swap in a Pillow/ffmpeg batch decode with the identical mapInPandas
+    signature; the Spark plan, batch shape, and output schema do not change.
     """
     if decoder != "synthetic":
         raise NotImplementedError(
@@ -105,6 +145,13 @@ def decode_metadata(media: DataFrame, decoder: str = "synthetic") -> DataFrame:
             out = []
             for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
                 b = bytes(data)
+                if b.startswith(b"P6"):
+                    try:
+                        w, h, off = _parse_ppm(b)
+                        out.append((mid, kind, w, h, 1, len(b) - off))
+                    except (ValueError, IndexError):
+                        out.append((mid, kind, None, None, None, len(b)))
+                    continue
                 if not b.startswith(_MAGIC):
                     out.append((mid, kind, None, None, None, len(b)))
                     continue
@@ -189,6 +236,30 @@ def resize_media(
             rows = []
             for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
                 b = bytes(data)
+                if b.startswith(b"P6"):
+                    # REAL image resize: nearest-neighbor resample of actual
+                    # PPM pixel bytes, re-encoded as a valid smaller PPM
+                    try:
+                        w, h, off = _parse_ppm(b)
+                    except (ValueError, IndexError):
+                        rows.append((mid, kind, None, None, b, False))
+                        continue
+                    if w <= max_width:
+                        rows.append((mid, kind, w, h, b, False))
+                        continue
+                    nw = max_width
+                    nh = max(1, (h * max_width) // w)
+                    px = b[off:]
+                    out_px = bytearray()
+                    for y2 in range(nh):
+                        sy = y2 * h // nh
+                        for x2 in range(nw):
+                            sx = x2 * w // nw
+                            p = (sy * w + sx) * 3
+                            out_px += px[p : p + 3]
+                    nb = f"P6\n{nw} {nh}\n255\n".encode() + bytes(out_px)
+                    rows.append((mid, kind, nw, nh, nb, True))
+                    continue
                 if kind == "audio" or not b.startswith(_MAGIC):
                     rows.append((mid, kind, None, None, b, False))
                     continue
