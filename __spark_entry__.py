@@ -46,8 +46,6 @@ ROWS_ONLY = {
     "ivf_ann",
     "pagerank_top20",
     "label_prop_communities",
-    "media_decode_stats",
-    "media_frame_sample",
     "media_resize_stats",
     "approx_user_counts",
 }

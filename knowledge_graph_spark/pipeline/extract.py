@@ -112,8 +112,8 @@ _JAVA_PKG = re.compile(r"^\s*package\s+([\w.]+)\s*;")
 # `Type name = ...` / `private Type name;` declarations give locals and
 # fields their static type (generics stripped)
 _JAVA_VAR_DECL = re.compile(
-    r"^\s*(?:(?:public|private|protected|final|static|var)\s+)*"
-    r"([A-Z][\w]*)(?:<[^>]*>)?\s+([a-z]\w*)\s*[=;]"
+    r"^\s*(?:(?:public|private|protected|final|static|var|readonly|internal)\s+)*"
+    r"([A-Z][\w]*)(?:<[^>]*>)?\s+([_a-z]\w*)\s*[=;]"
 )
 _JV_RECV_CALL = re.compile(r"([A-Za-z_$][\w$]*)\.([a-z]\w*)\s*\(")
 # `new Outer.Inner()` / `new ArrayList<String>()` — constructor calls the
@@ -234,6 +234,18 @@ _CS_METHOD = re.compile(
     r"override\s+|async\s+|sealed\s+|extern\s+)+[\w<>\[\],\s?]+\s+([A-Za-z_][\w]*)\s*\("
 )
 _CS_IMPORT = re.compile(r"^\s*using\s+(?:static\s+)?([\w.]+)\s*;")
+# C# receiver calls: methods are PascalCase (`user.Activate()`); receiver
+# may be dotted; constructor matches (`new Foo.Bar(`) are skipped inside
+# receiver_calls via the new-prefix guard
+_CS_RECV_CALL = re.compile(
+    r"((?:[A-Za-z_][\w]*\.)*[A-Za-z_][\w]*)\.([A-Z]\w*)\s*\("
+)
+# `var x = new User(...)` / `User x = new User(...)` → local/field type
+_CS_LOCAL_NEW = re.compile(
+    r"^\s*(?:var\s+|[A-Z]\w*(?:<[^>]*>)?\s+)([_a-z]\w*)\s*=\s*new\s+([A-Z][\w.]*)"
+)
+# `class Foo : Bar` base-type clause (first supertype)
+_CS_BASE = re.compile(r":\s*([A-Z][\w.]*)")
 _RS_DEF = re.compile(
     r"^(\s*)(?:pub(?:\([\w:]+\))?\s+)?(?:async\s+)?(?:unsafe\s+)?(fn|struct|enum|trait|mod)\s+([A-Za-z_][\w]*)"
 )
@@ -245,9 +257,18 @@ _RS_IMPL = re.compile(
     r"^(\s*)impl(?:<[^>]*>)?\s+(?:[\w:<>]+\s+for\s+)?([A-Za-z_][\w]*)(?:<[^>]*>)?\s*(?:\{|$)"
 )
 _RS_IMPORT = re.compile(r"^\s*(?:pub\s+)?use\s+([\w:]+)")
-# bare-name call: NOT preceded by '.' — a dotted call is a receiver call and
-# must resolve through the receiver's type, never by bare name
-_CALL = re.compile(r"(?<![.\w])([A-Za-z_][A-Za-z0-9_]*)\s*\(")
+# Rust: `let x = Type::new()` / `let x: Type = ...` types the local;
+# `Type::assoc_fn()` associated calls resolve into the impl'd type
+_RS_LET = re.compile(
+    r"^\s*let\s+(?:mut\s+)?([a-z_]\w*)\s*"
+    r"(?::\s*&?(?:mut\s+)?([A-Z]\w*)(?:<[^>]*>)?)?"
+    r"\s*=\s*(?:([A-Z]\w*)\s*::)?"
+)
+_RS_ASSOC_CALL = re.compile(r"([A-Z]\w*)\s*::\s*([a-z_]\w*!?)\s*\(")
+# bare-name call: NOT preceded by '.' or ':' — a dotted (or Rust `::`-path)
+# call is a receiver call and must resolve through the receiver's type,
+# never by bare name
+_CALL = re.compile(r"(?<![.\w:])([A-Za-z_][A-Za-z0-9_]*)\s*\(")
 _KEYWORDS = {
     "if", "for", "while", "return", "def", "class", "function", "switch", "catch",
     "print", "super", "new", "import", "require", "elif", "unless", "until", "puts",
@@ -501,7 +522,13 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
             return
         for cm in regex.finditer(line):
             recv, callee = cm.group(1), cm.group(2)
-            if callee in _KEYWORDS:
+            # `new` is call noise everywhere EXCEPT Rust, where `Type::new()`
+            # is the canonical constructor associated fn
+            if callee in _KEYWORDS and not (language == "Rust" and callee == "new"):
+                continue
+            # constructor syntax (`new Foo.Bar(`) is a ctor call, emitted by
+            # the _JV_NEW pass — not a receiver-method call on Foo
+            if re.search(r"\bnew\s+[\w.]*$", line[: cm.start(1)]):
                 continue
             # dotted receiver paths (TS `UserManagement.User.x`, Ruby
             # `A::B.x`) resolve through the LAST path segment
@@ -509,10 +536,10 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
             last = segs[-1]
             if recv in ("this", "self"):
                 rtype, flavor = enclosing_type(), "instance"
-            elif recv == "super":
-                # super.m() → the enclosing class's recorded superclass
-                # (kotlin `class Foo : Bar()`, the reference resolves the
-                # call into the parent hierarchy)
+            elif recv in ("super", "base"):
+                # super.m() / C# base.M() → the enclosing class's recorded
+                # superclass (kotlin `class Foo : Bar()`, C# `class Foo :
+                # Bar`; the reference resolves into the parent hierarchy)
                 rtype, flavor = class_supers.get(enclosing_type() or ""), "instance"
             elif recv.startswith("@"):
                 rtype, flavor = ivar_types.get(recv[1:]), "instance"
@@ -645,6 +672,15 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                         ".".join(scope_names()), None, None, None,
                         ln, line, pih.start(1), len(pih.group(1)),
                     )
+            if language == "CSharp" and kw in ("class", "interface", "struct", "record"):
+                csb = _CS_BASE.search(line)
+                if csb:
+                    sup = csb.group(1).split(".")[-1]
+                    class_supers[name] = sup
+                    yield row(
+                        "inherits", sup, ".".join(scope_names()), None, None,
+                        None, ln, line, csb.start(1), len(csb.group(1)),
+                    )
             if language == "Kotlin":
                 if name == "Companion" and kw == "object":
                     # the class reaches its companion's members through the
@@ -705,6 +741,34 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                             "call", cls, enc, None, None, None,
                             ln, line, col, len(cls),
                         )
+                elif language == "CSharp":
+                    in_method = any(k == "method" for _, _, k in stack)
+                    cn = _CS_LOCAL_NEW.match(line)
+                    if cn:
+                        t = cn.group(2).split(".")[-1]
+                        (local_types if in_method else ivar_types)[cn.group(1)] = t
+                    else:
+                        vd = _JAVA_VAR_DECL.match(line)
+                        if vd:
+                            (local_types if in_method else ivar_types)[
+                                vd.group(2)
+                            ] = vd.group(1)
+                    yield from receiver_calls(line, _CS_RECV_CALL, ln)
+                    enc_cs = ".".join(scope_names()) or None
+                    for nm_ in _JV_NEW.finditer(line):
+                        cls = nm_.group(1).replace(" ", "").split(".")[-1]
+                        col = nm_.end(1) - len(cls)
+                        ctor_cols.add(col)
+                        yield row(
+                            "call", cls, enc_cs, None, None, None,
+                            ln, line, col, len(cls),
+                        )
+                elif language == "Rust":
+                    rl = _RS_LET.match(line)
+                    if rl and (rl.group(2) or rl.group(3)):
+                        local_types[rl.group(1)] = rl.group(2) or rl.group(3)
+                    yield from receiver_calls(line, _JV_RECV_CALL, ln)
+                    yield from receiver_calls(line, _RS_ASSOC_CALL, ln)
                 elif language == "Kotlin":
                     kl = _KT_LOCAL.match(line)
                     if kl:

@@ -623,3 +623,101 @@ def test_masking_import_paths_survive():
         "m.ts", "TypeScript", "import { Widget } from './lib/widget';\n"
     )
     assert ("import", "Widget") in ts
+
+
+# ---- C# / Rust receiver-typed call resolution (synthetic fixtures) --------
+# The reference ships no C#/Rust fixture repos; these synthetic corpora
+# assert the same resolution semantics the analyzer families share:
+# constructor/let-typed locals, base/assoc calls, inheritance climb.
+
+CSHARP_CORPUS = {
+    "App/Services/UserService.cs": (
+        "using System;\n"
+        "namespace App.Services;\n"
+        "public class BaseService {\n"
+        "    public void Log() {\n"
+        "    }\n"
+        "}\n"
+        "public class UserService : BaseService {\n"
+        "    private readonly UserRepo _repo;\n"
+        "    public void Activate() {\n"
+        "        var user = new UserModel();\n"
+        "        user.Validate();\n"
+        "        _repo.Save();\n"
+        "        base.Log();\n"
+        "    }\n"
+        "}\n"
+    ),
+    "App/Models/UserModel.cs": (
+        "namespace App.Models;\n"
+        "public class UserModel {\n"
+        "    public void Validate() {\n"
+        "    }\n"
+        "}\n"
+        "public class UserRepo {\n"
+        "    public void Save() {\n"
+        "    }\n"
+        "}\n"
+    ),
+}
+
+RUST_CORPUS = {
+    "src/user.rs": (
+        "pub struct User;\n"
+        "impl User {\n"
+        "    pub fn new() -> Self {\n"
+        "        User\n"
+        "    }\n"
+        "    pub fn activate(&self) {\n"
+        "    }\n"
+        "}\n"
+    ),
+    "src/main.rs": (
+        "use crate::user::User;\n"
+        "fn main() {\n"
+        "    let u = User::new();\n"
+        "    u.activate();\n"
+        "}\n"
+    ),
+}
+
+
+def _index_corpus(spark, tmp_path_factory, corpus, name):
+    root = tmp_path_factory.mktemp(name)
+    for rel, content in corpus.items():
+        p = root / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(content)
+    return _index(spark, str(root))
+
+
+@pytest.fixture(scope="module")
+def csharp_repo(spark, tmp_path_factory):
+    return _index_corpus(spark, tmp_path_factory, CSHARP_CORPUS, "cs-repo")
+
+
+@pytest.fixture(scope="module")
+def rust_repo(spark, tmp_path_factory):
+    return _index_corpus(spark, tmp_path_factory, RUST_CORPUS, "rs-repo")
+
+
+def test_csharp_receiver_resolution(csharp_repo):
+    pairs = _call_pairs(csharp_repo)
+    by_name = {(c.split(".")[-2], c.split(".")[-1], t.split(".")[-1]) for c, t in pairs}
+    # var-typed local -> cross-file instance method
+    assert ("UserService", "Activate", "Validate") in by_name, sorted(pairs)
+    # field-typed receiver (_repo: UserRepo)
+    assert ("UserService", "Activate", "Save") in by_name, sorted(pairs)
+    # base.Log() climbs to BaseService.Log
+    assert ("UserService", "Activate", "Log") in by_name, sorted(pairs)
+    # constructor call edge to the class
+    assert ("UserService", "Activate", "UserModel") in by_name, sorted(pairs)
+
+
+def test_rust_receiver_resolution(rust_repo):
+    pairs = _call_pairs(rust_repo)
+    by_name = {(c.split(".")[-1], t.split(".")[-1]) for c, t in pairs}
+    # Type::assoc call resolves into the impl'd type
+    assert ("main", "new") in by_name, sorted(pairs)
+    # let-typed local (`let u = User::new()`) -> instance method
+    assert ("main", "activate") in by_name, sorted(pairs)
