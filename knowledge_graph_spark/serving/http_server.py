@@ -1,0 +1,380 @@
+"""HTTP serving shell — the reference's desktop server surface on stdlib.
+
+Reference mapping (crates/http-server-desktop + crates/mcp):
+- Graph endpoints (endpoints/graph/*.rs):
+    GET /api/graph/stats/{ws}/{proj}            → graph_stats.rs:71-150
+    GET /api/graph/initial/{ws}/{proj}          → graph_initial.rs:99-153
+    GET /api/graph/search/{ws}/{proj}?search_term=&limit= → graph_search.rs
+    GET /api/graph/neighbors/{ws}/{proj}/{node_type}/{node_id}?limit=
+                                                → graph_neighbors.rs:96-170
+  Path params are URL-encoded workspace/project paths (decode_url_param!).
+- Workspace CRUD (workspace_list.rs / workspace_index.rs /
+  workspace_delete.rs): GET /api/workspace/list, POST /api/workspace/index,
+  POST /api/workspace/delete.
+- /api/health, /api/info (health.rs, info.rs).
+- GET /api/events → SSE replay of lifecycle events (events.rs; event-bus
+  vocabulary) — each event one ``data:`` frame, stream closes after replay
+  (the reference holds it open; a finite replay keeps the shell testable
+  without a background reactor).
+- MCP tools (mcp/src/tools/available_tools_service.rs:41-121, all 8):
+  POST /api/mcp/{tool} with a JSON argument object; the response mirrors
+  each tool's output shape (search_codebase_definitions returns the full
+  XML + pagination + system-message contract from queries/shaping.py).
+
+Architecture: the server is a thin driver-side shell — every request maps
+to the SAME query-library DataFrame functions the batch surface uses, so
+"serving" adds no second query engine. Collects are bounded by the
+endpoints' own LIMIT contracts (50-500 rows, graph_initial.rs per-category
+caps). A production deployment would put this behind Spark Connect with a
+shared SparkSession exactly like this shell holds one.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+from knowledge_graph_spark.graph.model import KnowledgeGraph
+from knowledge_graph_spark.queries import library as L
+from knowledge_graph_spark.queries import shaping as SHAPE
+from knowledge_graph_spark.workspace import WorkspaceManager, index_workspace
+
+SERVER_NAME = "knowledge-graph-spark"
+SERVER_VERSION = "0.3.0"
+
+MCP_TOOLS = (
+    "list_projects",
+    "search_codebase_definitions",
+    "index_project",
+    "get_references",
+    "import_usage",
+    "get_definition",
+    "read_definitions",
+    "repo_map",
+)
+
+_NODE_TABLE_BY_TYPE = {
+    "DirectoryNode": "directory_nodes",
+    "FileNode": "file_nodes",
+    "DefinitionNode": "definition_nodes",
+    "ImportedSymbolNode": "imported_symbol_nodes",
+}
+
+
+class GraphService:
+    """Driver-side state: one SparkSession + workspace manager + a cached
+    KnowledgeGraph per project (the reference's Arc<Database> per path,
+    kuzu/database.rs:34-74)."""
+
+    def __init__(self, spark, manager: WorkspaceManager) -> None:
+        self.spark = spark
+        self.manager = manager
+        self._graphs: dict[str, KnowledgeGraph] = {}
+        self.events: list[dict] = []  # ST6 bus replay buffer
+        self._lock = threading.Lock()
+
+    # -- project graph resolution ------------------------------------------
+    def project_info(self, ws: str, proj: str):
+        return self.manager.get_project_info(ws, proj)
+
+    def kg(self, ws: str, proj: str) -> KnowledgeGraph | None:
+        info = self.project_info(ws, proj)
+        if info is None:
+            return None
+        with self._lock:
+            cached = self._graphs.get(info.graph_dir)
+            if cached is not None:
+                return cached
+        try:
+            g = KnowledgeGraph.read(self.spark, info.graph_dir, "served")
+        except Exception:
+            return None  # not indexed yet
+        with self._lock:
+            self._graphs[info.graph_dir] = g
+        return g
+
+    def invalidate(self, graph_dir: str) -> None:
+        with self._lock:
+            self._graphs.pop(graph_dir, None)
+
+    def on_event(self, ev: dict) -> None:
+        self.events.append(ev)
+
+    # -- endpoint bodies -----------------------------------------------------
+    def stats(self, ws: str, proj: str) -> dict | None:
+        kg = self.kg(ws, proj)
+        if kg is None:
+            return None
+        rows = {
+            (r.table_name, r["type"]): r.n
+            for r in L.graph_stats(kg).collect()
+        }
+        node_counts = {
+            "directory_count": rows.get(("directory_nodes", ""), 0),
+            "file_count": rows.get(("file_nodes", ""), 0),
+            "definition_count": rows.get(("definition_nodes", ""), 0),
+            "imported_symbol_count": rows.get(("imported_symbol_nodes", ""), 0),
+        }
+        rel_counts: dict[str, int] = {}
+        for (tab, typ), n in rows.items():
+            if typ:
+                rel_counts[tab] = rel_counts.get(tab, 0) + n
+        info = self.project_info(ws, proj)
+        return {
+            "total_nodes": sum(node_counts.values()),
+            "total_relationships": sum(rel_counts.values()),
+            "node_counts": node_counts,
+            "relationship_counts": rel_counts,
+            "project_info": _project_json(info),
+        }
+
+    def initial(self, ws: str, proj: str) -> dict | None:
+        kg = self.kg(ws, proj)
+        if kg is None:
+            return None
+        nodes = [
+            {"node_type": r.node_type, "id": str(r.id), "label": r.label}
+            for r in L.initial_graph(kg).collect()
+        ]
+        return {"nodes": nodes, "project_info": _project_json(self.project_info(ws, proj))}
+
+    def search(self, ws: str, proj: str, term: str, limit: int) -> dict | None:
+        kg = self.kg(ws, proj)
+        if kg is None:
+            return None
+        nodes = [
+            {
+                "node_type": r.node_type,
+                "id": str(r.id),
+                "label": r.name,
+                "properties": {
+                    "path": r.path,
+                    "fqn": r.fqn,
+                    "start_line": r.start_line,
+                },
+            }
+            for r in L.search_nodes(kg, term, limit=limit).collect()
+        ]
+        return {"nodes": nodes, "project_info": _project_json(self.project_info(ws, proj))}
+
+    def neighbors(
+        self, ws: str, proj: str, node_type: str, node_id: int, limit: int
+    ) -> dict | None:
+        kg = self.kg(ws, proj)
+        table = _NODE_TABLE_BY_TYPE.get(node_type)
+        if kg is None or table is None:
+            return None
+        rows = L.neighbors(kg, table, node_id, limit=limit).collect()
+        nodes = [
+            {
+                "node_type": r.neighbor_type,
+                "id": str(r.neighbor_id),
+                "label": r.neighbor_label,
+            }
+            for r in rows
+        ]
+        rels = [
+            {
+                "relationship_type": r.rel_type,
+                "source_id": str(node_id) if r.direction == "out" else str(r.neighbor_id),
+                "target_id": str(r.neighbor_id) if r.direction == "out" else str(node_id),
+            }
+            for r in rows
+        ]
+        return {
+            "nodes": nodes,
+            "relationships": rels,
+            "project_info": _project_json(self.project_info(ws, proj)),
+        }
+
+    def workspace_list(self) -> dict:
+        out = []
+        for ws in self.manager.list_workspace_folders():
+            projects = [
+                _project_json(p)
+                for p in self.manager.list_all_projects()
+                if p.workspace_folder_path == ws
+            ]
+            out.append({"workspace_folder_path": ws, "projects": projects})
+        return {"workspace_folders": out}
+
+    def workspace_index(self, ws: str) -> dict:
+        if ws not in self.manager.workspaces:
+            self.manager.register_workspace_folder(ws)
+        events, stats = index_workspace(
+            self.spark, self.manager, ws, on_event=self.on_event
+        )
+        for p in self.manager.list_all_projects():
+            if p.workspace_folder_path == ws:
+                self.invalidate(p.graph_dir)
+        return {
+            "status": "completed",
+            "projects_indexed": sorted(stats),
+            "n_events": len(events),
+        }
+
+    def workspace_delete(self, ws: str) -> dict:
+        ok = self.manager.remove_workspace_folder(ws)
+        return {"status": "deleted" if ok else "not_found"}
+
+    # -- MCP tool dispatch ---------------------------------------------------
+    def mcp(self, tool: str, args: dict) -> dict:
+        if tool == "list_projects":
+            return {
+                "projects": [_project_json(p) for p in self.manager.list_all_projects()]
+            }
+        if tool == "index_project":
+            proj = args["project_path"]
+            info = self.manager.get_project_for_file(proj)
+            ws = info.workspace_folder_path if info else args.get(
+                "workspace_folder_path", proj
+            )
+            self.manager.register_project(ws, proj)
+            return self.workspace_index(ws)
+        # every remaining tool needs a resolved project graph
+        ws, proj = args["workspace_folder_path"], args["project_path"]
+        kg = self.kg(ws, proj)
+        if kg is None:
+            return {"error": "project not indexed"}
+        if tool == "search_codebase_definitions":
+            row = SHAPE.search_definitions_xml(
+                kg,
+                args["search_terms"],
+                page=int(args.get("page", 1)),
+                project_path=proj,
+            ).collect()[0]
+            return {
+                "xml": row.xml,
+                "next_page": row.next_page,
+                "n_results": row.n_results,
+                "system_message": row.system_message,
+            }
+        if tool == "get_references":
+            rows = L.get_references(
+                kg, args["symbol_name"], page=int(args.get("page", 1))
+            ).collect()
+            return {"references": [r.asDict() for r in rows]}
+        if tool == "import_usage":
+            rows = L.import_usage(kg, args["import_paths"]).collect()
+            return {"usages": [r.asDict() for r in rows]}
+        if tool == "get_definition":
+            rows = L.definition_at(
+                kg, args["file_path"], int(args["line"]), int(args["column"])
+            ).collect()
+            return {"definitions": [r.asDict() for r in rows]}
+        if tool == "read_definitions":
+            reqs = [(d["name"], d["file_path"]) for d in args["definitions"]]
+            rows = L.read_definitions(kg, reqs).collect()
+            return {"definitions": [r.asDict() for r in rows]}
+        if tool == "repo_map":
+            rows = L.repo_map(kg, args.get("path_prefix", "")).collect()
+            return {"entries": [r.asDict() for r in rows]}
+        return {"error": f"unknown tool '{tool}'", "available": list(MCP_TOOLS)}
+
+
+def _project_json(info) -> dict | None:
+    if info is None:
+        return None
+    return {
+        "workspace_folder_path": info.workspace_folder_path,
+        "project_path": info.project_path,
+        "project_hash": info.project_hash,
+        "status": info.status,
+        "error_message": info.error_message,
+    }
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: GraphService  # injected by make_server
+
+    def log_message(self, fmt, *a):  # silence default stderr chatter
+        pass
+
+    def _json(self, code: int, payload) -> None:
+        body = json.dumps(payload).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _not_found(self) -> None:
+        self._json(404, {"status": "not found"})
+
+    def do_GET(self) -> None:  # noqa: N802 (stdlib casing)
+        try:
+            url = urlparse(self.path)
+            parts = [unquote(p) for p in url.path.strip("/").split("/")]
+            q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            if parts[:2] == ["api", "health"]:
+                return self._json(200, {"status": "ok"})
+            if parts[:2] == ["api", "info"]:
+                return self._json(
+                    200, {"name": SERVER_NAME, "version": SERVER_VERSION}
+                )
+            if parts[:3] == ["api", "workspace", "list"]:
+                return self._json(200, self.service.workspace_list())
+            if parts[:2] == ["api", "events"]:
+                # SSE replay (finite): one data frame per lifecycle event
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.end_headers()
+                for ev in list(self.service.events):
+                    self.wfile.write(f"data: {json.dumps(ev)}\n\n".encode())
+                return None
+            if parts[:2] == ["api", "graph"] and len(parts) >= 5:
+                kind, ws, proj = parts[2], parts[3], parts[4]
+                if kind == "stats":
+                    out = self.service.stats(ws, proj)
+                elif kind == "initial":
+                    out = self.service.initial(ws, proj)
+                elif kind == "search":
+                    out = self.service.search(
+                        ws, proj, q.get("search_term", ""), int(q.get("limit", 100))
+                    )
+                elif kind == "neighbors" and len(parts) >= 7:
+                    out = self.service.neighbors(
+                        ws, proj, parts[5], int(parts[6]), int(q.get("limit", 100))
+                    )
+                else:
+                    out = None
+                return self._json(200, out) if out is not None else self._not_found()
+            return self._not_found()
+        except Exception as exc:  # noqa: BLE001 — endpoint error contract (500)
+            return self._json(500, {"status": f"error: {exc}"})
+
+    def do_POST(self) -> None:  # noqa: N802
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            args = json.loads(self.rfile.read(n) or b"{}")
+            parts = [unquote(p) for p in urlparse(self.path).path.strip("/").split("/")]
+            if parts[:3] == ["api", "workspace", "index"]:
+                return self._json(
+                    200, self.service.workspace_index(args["workspace_folder_path"])
+                )
+            if parts[:3] == ["api", "workspace", "delete"]:
+                return self._json(
+                    200, self.service.workspace_delete(args["workspace_folder_path"])
+                )
+            if parts[:2] == ["api", "mcp"] and len(parts) == 3:
+                return self._json(200, self.service.mcp(parts[2], args))
+            return self._not_found()
+        except KeyError as exc:
+            return self._json(400, {"status": f"missing parameter: {exc}"})
+        except Exception as exc:  # noqa: BLE001
+            return self._json(500, {"status": f"error: {exc}"})
+
+
+def make_server(spark, manager: WorkspaceManager, port: int = 0) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; port 0 binds an ephemeral port.
+
+    Start with ``threading.Thread(target=srv.serve_forever).start()`` and
+    stop with ``srv.shutdown()`` — the test suite drives it exactly so.
+    """
+    service = GraphService(spark, manager)
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
+    srv.service = service  # type: ignore[attr-defined]
+    return srv

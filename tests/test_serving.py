@@ -1,0 +1,207 @@
+"""HTTP serving shell tests — the reference's endpoint + MCP tool surface
+(http-server-desktop endpoints/, mcp/tools/available_tools_service.rs)
+driven end-to-end over a real indexed workspace."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+from urllib.parse import quote
+
+import pytest
+
+CORPUS = {
+    "app/models/user.py": (
+        "class User:\n"
+        "    def activate(self):\n"
+        "        return notify_user()\n"
+        "\n"
+        "def notify_user():\n"
+        "    return 1\n"
+    ),
+    "app/main.py": (
+        "from app.models.user import User\n"
+        "def run():\n"
+        "    u = User()\n"
+        "    u.activate()\n"
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    from knowledge_graph_spark.serving.http_server import make_server
+    from knowledge_graph_spark.workspace import WorkspaceManager
+
+    ws_root = tmp_path_factory.mktemp("served-ws")
+    proj = ws_root / "proj"
+    for rel, content in CORPUS.items():
+        p = proj / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(content)
+    mgr = WorkspaceManager(str(tmp_path_factory.mktemp("served-data")))
+    mgr.register_project(str(ws_root), str(proj))
+    srv = make_server(spark, mgr, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def get(path):
+        with urllib.request.urlopen(base + path, timeout=120) as r:
+            return r.status, json.loads(r.read())
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            base + path,
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return r.status, json.loads(r.read())
+
+    # index through the endpoint itself (workspace_index.rs analog)
+    status, out = post("/api/workspace/index", {"workspace_folder_path": str(ws_root)})
+    assert status == 200 and out["status"] == "completed", out
+    yield {"get": get, "post": post, "ws": str(ws_root), "proj": str(proj), "base": base}
+    srv.shutdown()
+
+
+def _pp(served):
+    return f"/{quote(served['ws'], safe='')}/{quote(served['proj'], safe='')}"
+
+
+def test_health_and_info(served):
+    assert served["get"]("/api/health")[1] == {"status": "ok"}
+    assert served["get"]("/api/info")[1]["name"] == "knowledge-graph-spark"
+
+
+def test_workspace_list(served):
+    _, out = served["get"]("/api/workspace/list")
+    ws = out["workspace_folders"][0]
+    assert ws["workspace_folder_path"] == served["ws"]
+    assert ws["projects"][0]["status"] == "indexed"
+
+
+def test_graph_stats_endpoint(served):
+    _, out = served["get"]("/api/graph/stats" + _pp(served))
+    nc = out["node_counts"]
+    assert nc["file_count"] == 2
+    # User, activate, notify_user, run = 4 definitions
+    assert nc["definition_count"] == 4
+    assert nc["imported_symbol_count"] == 1
+    assert out["total_nodes"] == sum(nc.values())
+    assert out["total_relationships"] > 0
+    assert out["project_info"]["status"] == "indexed"
+
+
+def test_graph_initial_and_search(served):
+    _, out = served["get"]("/api/graph/initial" + _pp(served))
+    types = {n["node_type"] for n in out["nodes"]}
+    assert {"DirectoryNode", "FileNode", "DefinitionNode", "ImportedSymbolNode"} <= types
+    _, s = served["get"]("/api/graph/search" + _pp(served) + "?search_term=user")
+    labels = {n["label"] for n in s["nodes"]}
+    assert "notify_user" in labels, labels
+
+
+def test_graph_neighbors_endpoint(served):
+    # find the User class node id via search, then expand
+    _, s = served["get"]("/api/graph/search" + _pp(served) + "?search_term=User")
+    node = next(n for n in s["nodes"] if n["node_type"] == "DefinitionNode"
+                and n["label"] == "User")
+    _, out = served["get"](
+        "/api/graph/neighbors" + _pp(served) + f"/DefinitionNode/{node['id']}"
+    )
+    labels = {n["label"] for n in out["nodes"]}
+    # CLASS_TO_METHOD edge to activate, FILE_DEFINES from the file
+    assert any("activate" in l for l in labels), labels
+    assert len(out["relationships"]) == len(out["nodes"])
+
+
+def test_events_sse_replay(served):
+    """Lifecycle events captured during indexing replay as SSE data frames
+    (events.rs SSE endpoint; event-bus vocabulary)."""
+    with urllib.request.urlopen(served["base"] + "/api/events", timeout=60) as r:
+        assert r.headers["Content-Type"] == "text/event-stream"
+        frames = [
+            json.loads(line[len("data: "):])
+            for line in r.read().decode().split("\n")
+            if line.startswith("data: ")
+        ]
+    types = {(e["type"], e["status"]) for e in frames}
+    assert ("WorkspaceIndexing", "Started") in types, types
+    assert ("ProjectIndexing", "Completed") in types, types
+    assert ("WorkspaceIndexing", "Completed") in types, types
+
+
+def test_mcp_list_projects_and_search(served):
+    _, out = served["post"]("/api/mcp/list_projects", {})
+    assert out["projects"][0]["project_path"] == served["proj"]
+    _, s = served["post"](
+        "/api/mcp/search_codebase_definitions",
+        {
+            "workspace_folder_path": served["ws"],
+            "project_path": served["proj"],
+            "search_terms": ["notify"],
+        },
+    )
+    assert s["n_results"] == 1
+    assert "<ToolResponse>" in s["xml"] and "notify_user" in s["xml"]
+    assert "Decision Framework" in s["system_message"]
+
+
+def test_mcp_get_definition_and_read_definitions(served):
+    _, d = served["post"](
+        "/api/mcp/get_definition",
+        {
+            "workspace_folder_path": served["ws"],
+            "project_path": served["proj"],
+            "file_path": "app/models/user.py",
+            "line": 1,
+            "column": 8,
+        },
+    )
+    assert isinstance(d["definitions"], list)
+    _, rd = served["post"](
+        "/api/mcp/read_definitions",
+        {
+            "workspace_folder_path": served["ws"],
+            "project_path": served["proj"],
+            "definitions": [{"name": "notify_user", "file_path": "app/models/user.py"}],
+        },
+    )
+    assert [r["name"] for r in rd["definitions"]] == ["notify_user"]
+
+
+def test_mcp_repo_map_and_references(served):
+    _, rm = served["post"](
+        "/api/mcp/repo_map",
+        {
+            "workspace_folder_path": served["ws"],
+            "project_path": served["proj"],
+        },
+    )
+    assert any("user.py" in e.get("primary_file_path", "") for e in rm["entries"])
+    _, refs = served["post"](
+        "/api/mcp/get_references",
+        {
+            "workspace_folder_path": served["ws"],
+            "project_path": served["proj"],
+            "symbol_name": "User",
+        },
+    )
+    assert isinstance(refs["references"], list)
+
+
+def test_unknown_routes(served):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        served["get"]("/api/nope")
+    assert e.value.code == 404
+    _, out = served["post"](
+        "/api/mcp/unknown_tool",
+        {"workspace_folder_path": served["ws"], "project_path": served["proj"]},
+    )
+    assert "unknown tool" in out.get("error", "")
