@@ -82,7 +82,7 @@ ENTITY_SCHEMA = StructType(
     ]
 )
 
-_PY_DEF = re.compile(r"^(\s*)(def|class)\s+([A-Za-z_][A-Za-z0-9_]*)")
+_PY_DEF = re.compile(r"^(\s*)(?:async\s+)?(def|class)\s+([A-Za-z_][A-Za-z0-9_]*)")
 # `from` clause accepts leading dots (relative imports: `from .foo import x`,
 # `from .. import y`) — interfile.rs:48-96 resolves them against the
 # importing file's package; the dots are preserved in import_path so the
@@ -91,6 +91,9 @@ _PY_IMPORT = re.compile(
     r"^\s*(?:from\s+(\.+[\w.]*|[A-Za-z_][\w.]*)\s+import\s+([A-Za-z_*][\w]*(?:\s*,\s*[\w]+)*)(?:\s+as\s+(\w+))?"
     r"|import\s+([A-Za-z_][\w.]*)(?:\s+as\s+(\w+))?)"
 )
+# `from X import (` — parenthesized name list, usually spanning lines; the
+# names are collected up to the closing paren with per-name `as` aliases
+_PY_IMPORT_OPEN = re.compile(r"^\s*from\s+(\.+[\w.]*|[A-Za-z_][\w.]*)\s+import\s*\(")
 _RB_DEF = re.compile(r"^(\s*)(def|class|module)\s+(self\.)?([A-Za-z_][A-Za-z0-9_?!]*)")
 _RB_IMPORT = re.compile(r"^\s*require(?:_relative)?\s+['\"]([^'\"]+)['\"]")
 # `class Foo < Bar` superclass clause — feeds the inheritance chain the
@@ -137,6 +140,15 @@ _TS_METHOD = re.compile(
     r"^(\s*)(?:(?:public|private|protected|static|readonly|override|abstract|async)\s+)*"
     r"(?:(get|set)\s+)?([A-Za-z_$][\w$]*)\s*\(.*\{\s*$"
 )
+# method HEAD without the body brace: params still open at EOL, or closed
+# with an optional return type — the `{` arrives on a continuation line
+# (multi-line signatures / Allman braces). Confirmed against the next few
+# masked lines before emitting.
+_TS_METHOD_HEAD = re.compile(
+    r"^(\s*)(?:(?:public|private|protected|static|readonly|override|abstract|async)\s+)*"
+    r"(?:(get|set)\s+)?([A-Za-z_$][\w$]*)\s*\((?:[^)]*\)\s*(?::[^={;]*)?)?\s*$"
+)
+_TS_METHOD_CONT = re.compile(r"\)\s*(?::[^={;]*)?\s*\{")
 # `class Foo extends Bar` superclass clause → inheritance-chain entry, the
 # same chain-climbing method lookup as Ruby (`UserModel.create` resolving to
 # BaseModel.create in the reference's TS fixture)
@@ -161,6 +173,11 @@ _TS_FIELD_TYPE = re.compile(
 _TS_IMPORT = re.compile(
     r"^\s*import\s+(?:([\w$]+)\s*,?\s*)?(?:\{([^}]*)\}\s*)?from\s+['\"]([^'\"]+)['\"]"
 )
+# named-import brace still open at EOL (`import {` / `import Def, {`):
+# continuation lines are joined until the `from '...'` clause appears, then
+# the single-line regex re-runs on the joined text
+_TS_IMPORT_OPEN = re.compile(r"^\s*import\s+(?:[\w$]+\s*,\s*)?\{[^}]*$")
+_TS_IMPORT_FROM = re.compile(r"from\s*['\"]")
 # const/let/var binding of an arrow function — the dominant definition form
 # in modern TS; the reference's tree-sitter grammar extracts these as
 # functions alongside `function` declarations
@@ -199,7 +216,11 @@ _KT_DEF = re.compile(
     r"^(\s*)(?:data\s+|open\s+|sealed\s+|abstract\s+|final\s+|private\s+|public\s+"
     r"|protected\s+|internal\s+|suspend\s+|override\s+|operator\s+|inner\s+"
     r"|inline\s+|tailrec\s+|external\s+|enum\s+|annotation\s+)*"
-    r"(class|interface|object|fun)\s+([A-Za-z_][\w]*)"
+    r"(class|interface|object|fun)\s+(?:<[^>]*>\s+)?"
+    # extension receiver (`fun String.capitalizeWords()`, possibly dotted /
+    # generic) is NOT part of the reference FQN — kotlin/tests.rs:495 expects
+    # `com.example.extensions.printValue` for `fun ExtendMe.printValue()`
+    r"(?:[A-Z][\w.]*(?:<[^>]*>)?\.)?([A-Za-z_][\w]*)"
 )
 _KT_IMPORT = re.compile(r"^\s*import\s+([\w.]+)")
 # Kotlin extras (kotlin/tests.rs parity): package declaration (no ';'),
@@ -217,6 +238,50 @@ _KT_LOCAL = re.compile(
 )
 _KT_CTOR_RHS = re.compile(r"^([A-Z][\w.]*)(?:<[^>]*>)?\s*\(")
 _KT_ENUM_RHS = re.compile(r"^([A-Z][\w.]*)\.([A-Z][A-Z0-9_]*)\s*$")
+# `val x = when/if/try ...` — branch-expression RHS; the local's type is the
+# first constructor the branches produce, and call resolution climbs the
+# inheritance chain from there (kotlin/tests.rs:232-308: `when { "admin" ->
+# Admin(); else -> User() }` + person.getName() resolves Person.getName)
+_KT_EXPR_RHS = re.compile(r"^(?:when|if|try)\b")
+_KT_EXPR_CTOR = re.compile(r"(?<![\w.])([A-Z]\w*)(?:<[^>]*>)?\s*\(")
+# expression-bodied function: `fun f(...) = <expr>` / `fun f(...): T = <expr>`
+_KT_FUN_EXPR = re.compile(r"\)\s*(?::\s*[\w.<>?]+\s*)?=\s*(.+)$")
+# Kotlin receiver call, `?.` safe-call tolerated on every hop
+_KT_RECV_CALL = re.compile(
+    r"((?:[A-Za-z_$][\w$]*\??\.)*[A-Za-z_$][\w$]*)\??\.([A-Za-z_$][\w$]*)\s*\("
+)
+# `f(args).method()` — receiver is a local function call; its type comes
+# from the expression-bodied return inference (kotlin/tests.rs:258-282)
+_KT_FUNRET_RECV = re.compile(
+    r"(?<![.\w])([a-z_]\w*)\s*\(([^()]*)\)\s*\??\.\s*([A-Za-z_]\w*)\s*\("
+)
+
+
+def _kt_expr_ctor(rhs: str, masked: list, ln: int) -> str | None:
+    """Constructor types a when/if/try expression produces, scanning
+    continuation lines while the brace block stays open; `throw X(...)`
+    constructors are not values and never type the expression. Multiple
+    distinct branch types come back pipe-joined — the build stage resolves
+    the set to its least common supertype through the inherits closure,
+    the reference's branch-expression inference (kotlin/tests.rs:232-308:
+    `when {.. -> Admin(); else -> User()}` + .getName() →
+    Person.getName, the common supertype's method)."""
+    texts = [rhs]
+    depth = rhs.count("{") - rhs.count("}")
+    if depth > 0:
+        for nxt, _ in masked[ln + 1 : ln + 40]:
+            texts.append(nxt)
+            depth += nxt.count("{") - nxt.count("}")
+            if depth <= 0:
+                break
+    seen: list[str] = []
+    for t in texts:
+        for m in _KT_EXPR_CTOR.finditer(t):
+            if re.search(r"\bthrow\s+$", t[: m.start(1)]):
+                continue
+            if m.group(1) not in seen:
+                seen.append(m.group(1))
+    return "|".join(seen) if seen else None
 # Python receiver-typed calls (python/analyzer.rs:148-387): self.method()
 # → enclosing class, locals typed by constructor assignment
 # (`x = ClassName(...)`), self-attribute types from `self.x = ClassName()`,
@@ -246,6 +311,19 @@ _CS_LOCAL_NEW = re.compile(
 )
 # `class Foo : Bar` base-type clause (first supertype)
 _CS_BASE = re.compile(r":\s*([A-Z][\w.]*)")
+# property HEAD with the accessor block on a continuation line (Allman
+# braces — the dominant C# style): modifiers + type + PascalCase name at
+# EOL; confirmed iff the next lines open `{ get/set/init` before anything
+# else, so multi-line method heads / stray type names never match
+_CS_PROP_HEAD = re.compile(
+    r"^(\s*)(?:public\s+|private\s+|protected\s+|internal\s+|static\s+|virtual\s+|override\s+|abstract\s+)+"
+    r"[\w<>\[\],\s?]+\s+([A-Z][\w]*)\s*$"
+)
+_CS_PROP_CONT = re.compile(r"^\{\s*(?:\[[^\]]*\]\s*)?(?:get|set|init)\b")
+# `namespace App.Services;` (file-scoped) or `namespace App.Services {` —
+# the namespace is the leading FQN part (csharp.rs:301 treats
+# namespace+type as top-level; CSharpFqnPartType::Namespace)
+_CS_NS = re.compile(r"^\s*namespace\s+([\w.]+)")
 _RS_DEF = re.compile(
     r"^(\s*)(?:pub(?:\([\w:]+\))?\s+)?(?:async\s+)?(?:unsafe\s+)?(fn|struct|enum|trait|mod)\s+([A-Za-z_][\w]*)"
 )
@@ -488,6 +566,7 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
     local_types: dict[str, str] = {}  # per-def local var → constant type
     ivar_types: dict[str, str] = {}  # per-file @ivar / field → type
     class_supers: dict[str, str] = {}  # per-file class → superclass (super.x())
+    fun_ret_types: dict[str, str] = {}  # Kotlin expression-bodied fun → type
 
     def row(kind, name, parent, dtype, ipath, alias, ln, line, col, width,
             receiver_type=None, call_flavor=None):
@@ -506,6 +585,11 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
             # so FQNs stay unique
             prefix = pkg if pkg else path.rsplit(".", 1)[0].replace("/", ".")
             names = prefix.split(".") + names
+        elif language == "CSharp" and pkg:
+            # C# FQNs lead with the namespace when one is declared
+            # (csharp.rs:301); no declaration → bare type-rooted FQN
+            # (fqn.len()==1 is top-level there too)
+            names = pkg.split(".") + names
         return names
 
     def enclosing_type() -> str | None:
@@ -593,6 +677,22 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                     hit, name_col = (len(am.group(1)), "function", am.group(2)), None
                 else:
                     mm = _TS_METHOD.match(line)
+                    if mm is None:
+                        hm = _TS_METHOD_HEAD.match(line)
+                        if hm and hm.group(3) not in _KEYWORDS:
+                            # signature continues on following lines: accept
+                            # iff the params close and a `{` opens within the
+                            # next few masked lines (before any `;`/`=`)
+                            joined = line
+                            for nxt_line, _ in masked[ln + 1 : ln + 5]:
+                                joined += " " + nxt_line.strip()
+                            probe = joined[hm.end(3):]
+                            if (
+                                _TS_METHOD_CONT.search(probe)
+                                and ";" not in probe.split("{", 1)[0]
+                                and "=" not in probe.split("{", 1)[0]
+                            ):
+                                mm = hm
                     if mm and mm.group(3) not in _KEYWORDS:
                         # only a class/interface body hosts methods: find the
                         # innermost frame that would survive this indent
@@ -607,7 +707,19 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
         else:
             hit = _match_def(language, line)
             name_col = None
-            if hit is None and language == "Java":
+            if hit is None and language == "CSharp":
+                nm = _CS_NS.match(line)
+                if nm:
+                    pkg = nm.group(1)
+                pm = _CS_PROP_HEAD.match(line)
+                if pm:
+                    nxt = [
+                        s for s in
+                        (l.strip() for l, _ in masked[ln + 1 : ln + 4]) if s
+                    ]
+                    if nxt and _CS_PROP_CONT.match(" ".join(nxt)):
+                        hit = (len(pm.group(1)), "property", pm.group(2))
+            elif hit is None and language == "Java":
                 pm = _JAVA_PKG.match(line)
                 if pm:
                     pkg = pm.group(1)
@@ -682,6 +794,14 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                         None, ln, line, csb.start(1), len(csb.group(1)),
                     )
             if language == "Kotlin":
+                if kw == "fun":
+                    fe = _KT_FUN_EXPR.search(line)
+                    if fe:
+                        # expression-bodied fun: infer the return type so
+                        # `f(args).method()` receivers resolve through it
+                        rt = _kt_expr_ctor(fe.group(1).strip(), masked, ln)
+                        if rt:
+                            fun_ret_types[name] = rt
                 if name == "Companion" and kw == "object":
                     # the class reaches its companion's members through the
                     # lookup chain (reference resolves foo.companionFoo()
@@ -783,6 +903,9 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                                 t = cm_.group(1).split(".")[-1]
                             elif em_:
                                 t = em_.group(1).split(".")[-1]
+                            elif _KT_EXPR_RHS.match(rhs):
+                                # when/if/try expression: first branch ctor
+                                t = _kt_expr_ctor(rhs, masked, ln)
                         if t:
                             # val in a fun body → local; top-level/class
                             # property → file-scoped (like Java fields)
@@ -790,7 +913,18 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                                 local_types[kl.group(1)] = t
                             else:
                                 ivar_types[kl.group(1)] = t
-                    yield from receiver_calls(line, _TS_RECV_CALL, ln)
+                    yield from receiver_calls(line, _KT_RECV_CALL, ln)
+                    enc_kt = ".".join(scope_names()) or None
+                    if enc_kt:
+                        for fm in _KT_FUNRET_RECV.finditer(line):
+                            rt = fun_ret_types.get(fm.group(1))
+                            if rt and fm.group(3) not in _KEYWORDS:
+                                yield row(
+                                    "call", fm.group(3), enc_kt, None, None,
+                                    None, ln, line, fm.start(3),
+                                    len(fm.group(3)), receiver_type=rt,
+                                    call_flavor="instance",
+                                )
                 enclosing = ".".join(scope_names()) or None
                 for cm in _CALL.finditer(line):
                     callee = cm.group(1)
@@ -802,6 +936,35 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                     )
         else:
             im = imp_re.match(imp_line)
+            if im is None and language == "Python":
+                po = _PY_IMPORT_OPEN.match(imp_line)
+                if po:
+                    # parenthesized (usually multi-line) name list: join
+                    # continuation lines up to the closing paren and emit
+                    # one import row per name, honoring per-name aliases
+                    joined = imp_line.split("(", 1)[1]
+                    if ")" not in joined:
+                        for _nxt, nxt_imp in masked[ln + 1 : ln + 64]:
+                            joined += " " + nxt_imp.strip()
+                            if ")" in nxt_imp:
+                                break
+                    for nm in joined.split(")", 1)[0].split(","):
+                        seg = [s.strip() for s in nm.split(" as ")]
+                        if seg[0]:
+                            yield row(
+                                "import", seg[0], None, None, po.group(1),
+                                seg[1] if len(seg) > 1 else None,
+                                ln, line, 0, len(line),
+                            )
+                    byte_off += line_bytes
+                    continue
+            if im is None and language == "TypeScript" and _TS_IMPORT_OPEN.match(imp_line):
+                joined = imp_line
+                for _nxt, nxt_imp in masked[ln + 1 : ln + 64]:
+                    joined += " " + nxt_imp.strip()
+                    if _TS_IMPORT_FROM.search(nxt_imp):
+                        break
+                im = imp_re.match(joined)
             if im:
                 if language == "Python":
                     if im.group(1):  # from X import a, b

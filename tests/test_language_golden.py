@@ -721,3 +721,199 @@ def test_rust_receiver_resolution(rust_repo):
     assert ("main", "new") in by_name, sorted(pairs)
     # let-typed local (`let u = User::new()`) -> instance method
     assert ("main", "activate") in by_name, sorted(pairs)
+
+
+# ---- multi-line signatures (tree-sitter parses these; line regexes must
+# ---- confirm the body brace on a continuation line before emitting) --------
+
+
+def test_ts_multiline_method_signatures():
+    out = _names(
+        "svc.ts",
+        "TypeScript",
+        "class UserService {\n"
+        "  findUser(\n"
+        "    id: number,\n"
+        "    opts: QueryOpts,\n"
+        "  ): Promise<User | null> {\n"
+        "    return id;\n"
+        "  }\n"
+        "\n"
+        "  allmanBrace(): void\n"
+        "  {\n"
+        "    return;\n"
+        "  }\n"
+        "\n"
+        "  abstract declOnly(\n"
+        "    x: number,\n"
+        "  ): void;\n"
+        "\n"
+        "  fieldArrow = (\n"
+        "    a: number,\n"
+        "  ) => a + 1;\n"
+        "}\n",
+    )
+    defs = {n for k, n in out if k == "definition"}
+    assert "findUser" in defs, sorted(out)
+    assert "allmanBrace" in defs, sorted(out)
+    # signature-only declarations and field arrows are NOT method definitions
+    assert "declOnly" not in defs, sorted(out)
+    assert "fieldArrow" not in defs, sorted(out)
+
+
+def test_ts_multiline_not_confused_by_calls():
+    # a multi-line CALL at class-body depth must not become a method: the
+    # continuation probe requires ')' then '{' with no ';'/'=' between
+    out = _names(
+        "calls.ts",
+        "TypeScript",
+        "registerHandler(\n"
+        "  onEvent,\n"
+        ");\n"
+        "class C {\n"
+        "  real() {\n"
+        "    dispatch(\n"
+        "      payload,\n"
+        "    );\n"
+        "  }\n"
+        "}\n",
+    )
+    defs = {n for k, n in out if k == "definition"}
+    assert defs == {"C", "real"}, sorted(out)
+
+
+def test_csharp_allman_properties():
+    out = _names(
+        "Counter.cs",
+        "CSharp",
+        "public class Counter\n"
+        "{\n"
+        "    private int _count;\n"
+        "\n"
+        "    public int Count\n"
+        "    {\n"
+        "        get { return _count; }\n"
+        "        set { _count = value; }\n"
+        "    }\n"
+        "\n"
+        "    public string Name\n"
+        "    {\n"
+        "        get;\n"
+        "        init;\n"
+        "    }\n"
+        "\n"
+        "    public int Inline { get; set; }\n"
+        "\n"
+        "    public void DoWork()\n"
+        "    {\n"
+        "        var x = _count;\n"
+        "    }\n"
+        "}\n",
+    )
+    defs = {n for k, n in out if k == "definition"}
+    assert {"Counter", "Count", "Name", "Inline", "DoWork"} <= defs, sorted(out)
+
+
+def test_python_parenthesized_multiline_imports():
+    out = {
+        (r[2], r[3], r[6], r[7])
+        for r in __import__(
+            "knowledge_graph_spark.pipeline.extract", fromlist=["_extract_one"]
+        )._extract_one(
+            "m.py",
+            "Python",
+            "from pkg.mod import (\n"
+            "    alpha,\n"
+            "    beta as b,\n"
+            ")\n"
+            "from one_line import (x, y as z)\n"
+            "from .rel import (\n"
+            "    thing,\n"
+            ")\n",
+        )
+    }
+    assert ("import", "alpha", "pkg.mod", None) in out, sorted(out)
+    assert ("import", "beta", "pkg.mod", "b") in out, sorted(out)
+    assert ("import", "x", "one_line", None) in out, sorted(out)
+    assert ("import", "y", "one_line", "z") in out, sorted(out)
+    # relative base keeps its dots for the build-stage candidate join
+    assert ("import", "thing", ".rel", None) in out, sorted(out)
+
+
+def test_ts_multiline_named_imports():
+    out = {
+        (r[2], r[3], r[6], r[7])
+        for r in __import__(
+            "knowledge_graph_spark.pipeline.extract", fromlist=["_extract_one"]
+        )._extract_one(
+            "m.ts",
+            "TypeScript",
+            "import {\n"
+            "  UserModel,\n"
+            "  BaseModel as BM,\n"
+            "} from './models';\n"
+            "import Default, {\n"
+            "  helper,\n"
+            "} from './util';\n",
+        )
+    }
+    assert ("import", "UserModel", "./models", None) in out, sorted(out)
+    assert ("import", "BaseModel", "./models", "BM") in out, sorted(out)
+    assert ("import", "Default", "./util", None) in out, sorted(out)
+    assert ("import", "helper", "./util", None) in out, sorted(out)
+
+
+def test_csharp_namespace_fqn_prefix():
+    out = {
+        (r[2], r[3], r[4])
+        for r in __import__(
+            "knowledge_graph_spark.pipeline.extract", fromlist=["_extract_one"]
+        )._extract_one(
+            "Svc.cs",
+            "CSharp",
+            "namespace App.Services;\n"
+            "public class UserService {\n"
+            "    public void Activate() {\n"
+            "    }\n"
+            "}\n",
+        )
+    }
+    assert ("definition", "UserService", "App.Services") in out, sorted(out)
+    assert ("definition", "Activate", "App.Services.UserService") in out, sorted(out)
+
+
+def test_kotlin_extension_function_names():
+    out = _names(
+        "Ext.kt",
+        "Kotlin",
+        "package com.example.extensions\n"
+        "\n"
+        "fun ExtendMe.printValue(): Unit {\n"
+        "}\n"
+        "\n"
+        "fun <T> genericFn(x: T) {\n"
+        "}\n"
+        "\n"
+        "async_guard = 0\n",
+    )
+    defs = {n for k, n in out if k == "definition"}
+    # the receiver is not the definition name (kotlin/tests.rs:495 expects
+    # com.example.extensions.printValue for `fun ExtendMe.printValue()`)
+    assert "printValue" in defs, sorted(out)
+    assert "genericFn" in defs, sorted(out)
+    assert "ExtendMe" not in defs, sorted(out)
+
+
+def test_python_async_def():
+    out = _names(
+        "m.py",
+        "Python",
+        "async def fetch():\n"
+        "    return 1\n"
+        "\n"
+        "class Svc:\n"
+        "    async def run(self):\n"
+        "        return fetch()\n",
+    )
+    defs = {n for k, n in out if k == "definition"}
+    assert {"fetch", "Svc", "run"} <= defs, sorted(out)
