@@ -354,6 +354,65 @@ def build_graph_from_entities(
     # skip the 4-round chase entirely — it would add ~8 joins of empties to
     # every downstream plan otherwise
     has_recv = not recv_calls.isEmpty()
+
+    # branch-typed receivers ("Admin|User", pipe-joined by the extractor's
+    # when/if/try expression scan) resolve to the set's LEAST COMMON
+    # ANCESTOR through the inherits closure — the reference's
+    # resolve_common_ancestor_type (kotlin/expression_resolver.rs:325-384,
+    # 1560-1640): walk the FIRST branch's ancestor chain in BFS order and
+    # pick the first type that every other branch also reaches and that
+    # names a known definition. All set algebra — explode branches, join a
+    # bounded-depth ancestor closure, count distinct branches per candidate.
+    has_multi = has_recv and not recv_calls.filter(
+        F.col("receiver_type").contains("|")
+    ).isEmpty()
+    if has_multi:
+        single = recv_calls.filter(~F.col("receiver_type").contains("|"))
+        multi = recv_calls.filter(F.col("receiver_type").contains("|"))
+        _key = ["call_file", "caller_id", "start_byte"]
+        br = multi.select(
+            *_key,
+            F.posexplode(F.split("receiver_type", r"\|")).alias("_bi", "_btype"),
+        )
+        k_of = br.groupBy(*_key).agg(F.countDistinct("_bi").alias("_k"))
+        # ancestor closure, identity at depth 0, superclass hops ≤ 4 (the
+        # same bound as the per-receiver chase below)
+        anc = br.select(*_key, "_bi", F.col("_btype").alias("_anc"), F.lit(0).alias("_depth"))
+        cur_anc = anc
+        for _d in range(1, 5):
+            cur_anc = (
+                cur_anc.join(F.broadcast(inherits), cur_anc["_anc"] == inherits["child"])
+                .drop("_anc", "child")
+                .withColumnsRenamed({"parent": "_anc"})
+                .withColumn("_depth", F.lit(_d))
+            )
+            anc = anc.unionByName(cur_anc.select(*anc.columns))
+        # candidate must name a definition that HAS members (the reference
+        # additionally requires definition_nodes contains the fqn —
+        # containers-with-members is the subset resolution can succeed on)
+        containers = typed_targets.select(F.col("tcontainer").alias("_anc")).distinct()
+        common = (
+            anc.join(F.broadcast(containers), "_anc")
+            .groupBy(*_key, "_anc")
+            .agg(
+                F.countDistinct("_bi").alias("_nb"),
+                F.min(F.when(F.col("_bi") == 0, F.col("_depth"))).alias("_d0"),
+            )
+            .join(k_of, _key)
+            .filter((F.col("_nb") == F.col("_k")) & F.col("_d0").isNotNull())
+        )
+        _w = Window.partitionBy(*_key).orderBy("_d0", "_anc")
+        lca = (
+            common.withColumn("_rn", F.row_number().over(_w))
+            .filter(F.col("_rn") == 1)
+            .select(*_key, F.col("_anc").alias("_lca"))
+        )
+        recv_calls = single.unionByName(
+            multi.join(lca, _key)
+            .drop("receiver_type")
+            .withColumnRenamed("_lca", "receiver_type")
+            .select(*multi.columns)
+        )
     recv_resolved = None
     cur = recv_calls
     for _depth in range(4 if has_recv else 0):  # type itself + 3 superclass hops

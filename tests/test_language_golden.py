@@ -387,9 +387,9 @@ def test_ts_relative_import_resolution(ts_repo):
 # Mirrors crates/indexer/src/analysis/languages/kotlin/tests.rs (553 LoC):
 # constructor + instance + companion + inherited-interface resolution from
 # main, super-calls, inner classes, nested classes, enum constants, imported
-# types, and the same-name edge case. The when/if/try expression-type-
-# inference and extension-receiver tests are NOT mirrored (tree-sitter-only
-# semantics, documented analyzer gap).
+# types, and the same-name edge case, plus when/if/try branch-type unification
+# to the least common ancestor. The extension-receiver tests are NOT
+# mirrored (tree-sitter-only semantics, documented analyzer gap).
 
 KOTLIN_MAIN = "/root/reference/fixtures/kotlin"
 
@@ -523,6 +523,42 @@ def test_kotlin_definition_fqns(kotlin_main):
         "com.example.entites.Person.getName",
     ):
         assert expected in fqns, expected
+
+
+def test_kotlin_when_expression_type_inference(kotlin_main):
+    """kotlin/tests.rs:232-256: `val person = when {.. -> Admin(); else ->
+    User()}` then person.getName() — the branch-type set {Admin, User}
+    unifies to its least common ancestor Person
+    (expression_resolver.rs:352-363,1560-1599) and resolves
+    Person.getName."""
+    pairs = _call_pairs(kotlin_main)
+    assert (
+        "com.example.when.whenTypeInference",
+        "com.example.entites.Person.getName",
+    ) in pairs
+
+
+def test_kotlin_if_expression_type_inference(kotlin_main):
+    """kotlin/tests.rs:258-282: expression-bodied `fun ifTypeInference(..) =
+    if (..) Admin() else User()`; the call-site receiver
+    `ifTypeInference(config).getName()` types through the inferred return
+    set and unifies to Person.getName."""
+    pairs = _call_pairs(kotlin_main)
+    assert (
+        "com.example.if.usageOfIfTypeInference",
+        "com.example.entites.Person.getName",
+    ) in pairs
+
+
+def test_kotlin_try_expression_type_inference(kotlin_main):
+    """kotlin/tests.rs:284-308: `val result = try { .. Admin() .. User() }
+    catch (..) { null }` — throw X(..) ctors never type the expression;
+    result?.getName() unifies {Admin, User} → Person.getName."""
+    pairs = _call_pairs(kotlin_main)
+    assert (
+        "com.example.try.tryTypeInference",
+        "com.example.entites.Person.getName",
+    ) in pairs
 
 
 # ---- comment / string masking negatives (all language families) -----------
