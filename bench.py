@@ -79,17 +79,21 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "graph_build+query_library_total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "graph_build+query_library_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # compact separators keep the line inside the driver's tail-capture
+    # window so it parses; the pretty copy lands in BENCH_LOCAL.json
+    print(json.dumps(payload, separators=(",", ":")))
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BENCH_LOCAL.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError:
+        pass
     spark.stop()
 
 

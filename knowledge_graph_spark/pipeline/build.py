@@ -163,6 +163,10 @@ def build_graph_from_entities(
         # the immediately-enclosing scope name for receiver-typed matching
         F.concat_ws(".", F.col("parent_chain"), F.col("name")).alias("_scope_key"),
         F.element_at(F.split(F.col("parent_chain"), r"\."), -1).alias("_container"),
+        # Kotlin extension-function receiver (`fun ExtendMe.f()` → ExtendMe):
+        # receiver-typed calls resolve into the extension as if it were a
+        # member of the receiver type (kotlin/tests.rs:482-516)
+        F.col("receiver_type").alias("_ext_receiver"),
     )
     definitions = assign_dense_ids(
         definitions, ["primary_file_path", "primary_start_byte", "primary_end_byte"]
@@ -342,6 +346,17 @@ def build_graph_from_entities(
         .otherwise(F.lit("instance"))
         .alias("tflavor"),
     ).filter(F.col("tcontainer").isNotNull())
+    # extension functions join the receiver type's member set (the FQN stays
+    # receiver-free): `extendMe.printValue()` with extendMe : ExtendMe hits
+    # `fun ExtendMe.printValue()` wherever it is defined
+    typed_targets = typed_targets.unionByName(
+        definitions.filter(F.col("_ext_receiver").isNotNull()).select(
+            F.col("id").alias("target_id"),
+            F.col("name").alias("tcallee"),
+            F.col("_ext_receiver").alias("tcontainer"),
+            F.lit("instance").alias("tflavor"),
+        )
+    )
     inherits = (
         entities.filter(F.col("kind") == "inherits")
         .select(
@@ -354,6 +369,39 @@ def build_graph_from_entities(
     # skip the 4-round chase entirely — it would add ~8 joins of empties to
     # every downstream plan otherwise
     has_recv = not recv_calls.isEmpty()
+
+    # property-hop receivers ("ExtendMe#reversed" from `x.prop.method()`
+    # with x typed): resolve prop through the global extension/member map —
+    # the property's result type becomes the receiver
+    # (kotlin/tests.rs:517-538: extendMe.reversed.printValue() via the
+    # cross-file extension property typed ExtendMe)
+    has_hop = has_recv and not recv_calls.filter(
+        F.col("receiver_type").contains("#")
+    ).isEmpty()
+    if has_hop:
+        plain = recv_calls.filter(~F.col("receiver_type").contains("#"))
+        hop = recv_calls.filter(F.col("receiver_type").contains("#"))
+        ext_members = (
+            entities.filter(F.col("kind") == "ext_member")
+            .select(
+                F.col("receiver_type").alias("_mcont"),
+                F.col("name").alias("_mname"),
+                F.col("member_type").alias("_mtype"),
+            )
+            .distinct()
+        )
+        hop = (
+            hop.withColumn("_hcont", F.split("receiver_type", "#")[0])
+            .withColumn("_hattr", F.split("receiver_type", "#")[1])
+            .join(
+                F.broadcast(ext_members),
+                (F.col("_hcont") == F.col("_mcont"))
+                & (F.col("_hattr") == F.col("_mname")),
+            )
+            .drop("receiver_type", "_hcont", "_hattr", "_mcont", "_mname")
+            .withColumnRenamed("_mtype", "receiver_type")
+        )
+        recv_calls = plain.unionByName(hop.select(*plain.columns))
 
     # branch-typed receivers ("Admin|User", pipe-joined by the extractor's
     # when/if/try expression scan) resolve to the set's LEAST COMMON

@@ -79,6 +79,13 @@ ENTITY_SCHEMA = StructType(
         StructField("end_byte", LongType(), True),
         StructField("receiver_type", StringType(), True),
         StructField("call_flavor", StringType(), True),
+        # extension-member typing (Kotlin): on a definition row,
+        # receiver_type holds the extension receiver (`fun ExtendMe.f()` →
+        # ExtendMe); on a kind="ext_member" row, member_type holds the
+        # member's inferred result type so the build can hop
+        # `x.prop.method()` through the property's type
+        # (kotlin/tests.rs:482-553, extension functions + properties)
+        StructField("member_type", StringType(), True),
     ]
 )
 
@@ -255,6 +262,22 @@ _KT_RECV_CALL = re.compile(
 _KT_FUNRET_RECV = re.compile(
     r"(?<![.\w])([a-z_]\w*)\s*\(([^()]*)\)\s*\??\.\s*([A-Za-z_]\w*)\s*\("
 )
+# extension function receiver: `fun ExtendMe.printValue()` — the receiver
+# type is recorded on the definition row so receiver-typed calls resolve
+# into it; the FQN stays receiver-free (kotlin/tests.rs:482-516 asserts
+# com.example.extensions.printValue / com.example.extensions.utils.reverse)
+_KT_EXT_FUN = re.compile(
+    r"\bfun\s+(?:<[^>]*>\s+)?([A-Z][\w.]*)(?:<[^>]*>)?\.[A-Za-z_]\w*\s*\("
+)
+# extension property head (`val ExtendMe.extend` / `val ExtendMe.x: T`) with
+# the getter on the same or following line; the property's result type lets
+# the build hop `x.prop.method()` through it (kotlin/tests.rs:517-538)
+_KT_EXT_PROP = re.compile(
+    r"^\s*(?:private\s+|internal\s+|public\s+)*(?:val|var)\s+"
+    r"([A-Z][\w.]*)(?:<[^>]*>)?\.([A-Za-z_]\w*)\s*"
+    r"(?::\s*([A-Za-z_][\w.]*)(?:<[^>]*>)?\s*\??)?\s*$"
+)
+_KT_GETTER = re.compile(r"^\s*get\(\)\s*=\s*(.+)$")
 
 
 def _kt_expr_ctor(rhs: str, masked: list, ln: int) -> str | None:
@@ -569,11 +592,11 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
     fun_ret_types: dict[str, str] = {}  # Kotlin expression-bodied fun → type
 
     def row(kind, name, parent, dtype, ipath, alias, ln, line, col, width,
-            receiver_type=None, call_flavor=None):
+            receiver_type=None, call_flavor=None, member_type=None):
         return (
             path, language, kind, name, parent, dtype, ipath, alias,
             ln, ln, col, col + width, byte_off + col, byte_off + col + width,
-            receiver_type, call_flavor,
+            receiver_type, call_flavor, member_type,
         )
 
     def scope_names():
@@ -607,8 +630,15 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
         for cm in regex.finditer(line):
             recv, callee = cm.group(1), cm.group(2)
             # `new` is call noise everywhere EXCEPT Rust, where `Type::new()`
-            # is the canonical constructor associated fn
-            if callee in _KEYWORDS and not (language == "Rust" and callee == "new"):
+            # is the canonical constructor associated fn; print/puts are
+            # BARE-call noise only — a receiver-qualified x.print() is a
+            # real method call (kotlin/tests.rs:541-551 asserts
+            # externalType.print() → the ExternalType.print extension)
+            if (
+                callee in _KEYWORDS
+                and callee not in ("print", "puts")
+                and not (language == "Rust" and callee == "new")
+            ):
                 continue
             # constructor syntax (`new Foo.Bar(`) is a ctor call, emitted by
             # the _JV_NEW pass — not a receiver-method call on Foo
@@ -640,6 +670,18 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
             elif len(segs) == 2 and segs[0] in ("this", "self"):
                 # `this.field.m()` — the field's declared type
                 rtype, flavor = ivar_types.get(last), "instance"
+            elif (
+                language == "Kotlin"
+                and len(segs) == 2
+                and (local_types.get(segs[0]) or ivar_types.get(segs[0]))
+            ):
+                # `x.prop.method()` with x typed: one property hop, encoded
+                # Type#prop — the build resolves prop through the global
+                # extension/member map (kotlin/tests.rs:517-538,
+                # extendMe.reversed.printValue() via the cross-file
+                # extension property's result type)
+                base = local_types.get(segs[0]) or ivar_types.get(segs[0])
+                rtype, flavor = base + "#" + last, "instance"
             elif len(segs) == 1:
                 # locals first, then fields (Java fields are bare names)
                 rtype = local_types.get(recv) or ivar_types.get(recv)
@@ -727,6 +769,34 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                 pm = _KT_PKG.match(line)
                 if pm:
                     pkg = pm.group(1)
+                ep = _KT_EXT_PROP.match(line)
+                if ep:
+                    # extension property: record (receiver, name, result
+                    # type) as an ext_member typing row — NOT a definition
+                    # node; the reference's tests only assert the EDGES the
+                    # property's type enables (kotlin/tests.rs:517-538)
+                    ptype = ep.group(3).split(".")[-1] if ep.group(3) else None
+                    if ptype is None:
+                        for off in range(1, 4):
+                            if ln + off >= len(masked):
+                                break
+                            gm = _KT_GETTER.match(masked[ln + off][0])
+                            if gm:
+                                rhs = gm.group(1).strip()
+                                cm_ = _KT_CTOR_RHS.match(rhs)
+                                if cm_:
+                                    ptype = cm_.group(1).split(".")[-1]
+                                elif _KT_EXPR_RHS.match(rhs):
+                                    ptype = _kt_expr_ctor(rhs, masked, ln + off)
+                                break
+                    if ptype:
+                        yield row(
+                            "ext_member", ep.group(2),
+                            ".".join(scope_names()) or None, None, None,
+                            None, ln, line, ep.start(2), len(ep.group(2)),
+                            receiver_type=ep.group(1).split(".")[-1],
+                            member_type=ptype,
+                        )
         if hit:
             indent, kw, name = hit
             while stack and stack[-1][0] >= indent:
@@ -743,9 +813,18 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                 local_types.clear()  # new method scope: locals reset
             parent = ".".join(scope_names()) or None
             col = name_col if name_col is not None else max(line.find(name), 0)
+            ext_recv = None
+            if language == "Kotlin" and kw == "fun":
+                em = _KT_EXT_FUN.search(line)
+                if em:
+                    # extension function: FQN is receiver-free, but the
+                    # receiver type rides on the row so x.f() calls with
+                    # x : ExtendMe resolve into this definition
+                    ext_recv = em.group(1).split(".")[-1]
             yield row(
                 "definition", name, parent, _kind_name(language, kw, name),
                 None, None, ln, line, col, len(name),
+                receiver_type=ext_recv,
             )
             stack.append((indent, name, kw))
             if language == "TypeScript" and kw == "class":

@@ -550,6 +550,42 @@ def test_kotlin_if_expression_type_inference(kotlin_main):
     ) in pairs
 
 
+def test_kotlin_extension_functions_and_properties(kotlin_main):
+    """kotlin/tests.rs:482-553: extension functions resolve as members of
+    their receiver type with receiver-free FQNs; extension-property result
+    types carry one member hop (extendMe.reversed.printValue() resolves
+    through the cross-file property typed ExtendMe)."""
+    pairs = _call_pairs(kotlin_main)
+    # fun ExtendMe.printValue(), same-file receiver-typed call
+    assert (
+        "com.example.extensions.callToExtensions",
+        "com.example.extensions.printValue",
+    ) in pairs
+    # fun ExtendMe.reverse() in utils, wildcard-imported
+    assert (
+        "com.example.extensions.callToImportedExtensions",
+        "com.example.extensions.utils.reverse",
+    ) in pairs
+    # extendMe.extend.printValue() → ExtendMeFromProperty.printValue via the
+    # extension property's getter type
+    assert (
+        "com.example.extensions.callToExtensions",
+        "com.example.extensions.entities.ExtendMeFromProperty.printValue",
+    ) in pairs
+    # extendMe.reversed.printValue() → ExtendMe.printValue via the
+    # cross-file extension property typed ExtendMe
+    assert (
+        "com.example.extensions.callToImportedExtensions",
+        "com.example.extensions.printValue",
+    ) in pairs
+    # externalType.print() → the ExternalType.print extension (print is not
+    # bare-call noise when receiver-qualified)
+    assert (
+        "com.example.extensions.imported.callToImported",
+        "com.example.extensions.imported.print",
+    ) in pairs
+
+
 def test_kotlin_try_expression_type_inference(kotlin_main):
     """kotlin/tests.rs:284-308: `val result = try { .. Admin() .. User() }
     catch (..) { null }` — throw X(..) ctors never type the expression;
