@@ -976,6 +976,12 @@ def _q_watcher_queue_stats(spark, sf_dir):  # ST2 ST3 ST6
     return watcher_queue_stats(spark, sf_dir)
 
 
+def _q_kotlin_resolution_stats(spark, sf_dir):  # D2/D7 Kotlin resolver pins
+    from knowledge_graph_spark.pipeline.synthetic import kotlin_resolution_stats
+
+    return kotlin_resolution_stats(spark, sf_dir)
+
+
 def _q_approx_user_counts(spark, sf_dir):  # rows-only (HLL sketch)
     return A.approx_user_counts(read_table(spark, sf_dir, "events"))
 
@@ -1007,7 +1013,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "callers_of": _q_callers_of,
         "calls_to_imported_symbol": _q_calls_to_imported_symbol,
         "repo_map": _q_repo_map,
-        "degree_distribution": _q_degree_distribution,
         # -- relational analytics (run BEFORE the heavy pipeline family:
         #    r2's event_type_stats 9.7x "regression" was session churn from
         #    running right after it) ---------------------------------------
@@ -1023,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debounce_jobs_stats": _q_debounce_jobs_stats,
         "workspace_index_stats": _q_workspace_index_stats,
         "watcher_queue_stats": _q_watcher_queue_stats,
+        "kotlin_resolution_stats": _q_kotlin_resolution_stats,
         # -- beyond-parity: text / dedup / similarity / sampling -----------
         "doc_stats": _q_doc_stats,
         "quality_score": _q_quality_score,
@@ -1050,6 +1056,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== entries past the driver's 50-entry compare window ===========
         # oracle-backed variants whose operator ids are covered above;
         # pytest checks them against the same oracles at sf0.001
+        # (degree_distribution is the second G3 representative — graph_stats
+        # keeps that id green in-window; its slot pins the Kotlin resolver)
+        "degree_distribution": _q_degree_distribution,
         "order_priority_rollup": _q_order_priority_rollup,
         "top_events_per_type": _q_top_events_per_type,
         "supplier_nation_rollup": _q_supplier_nation_rollup,
@@ -1246,6 +1255,7 @@ def oracle_sql() -> dict[str, str]:
         "debounce_jobs_stats": SY.DEBOUNCE_JOBS_STATS_SQL,
         "workspace_index_stats": SY.WORKSPACE_INDEX_STATS_SQL,
         "watcher_queue_stats": SY.WATCHER_QUEUE_STATS_SQL,
+        "kotlin_resolution_stats": SY.KOTLIN_RESOLUTION_STATS_SQL,
         "k_core_sizes": o(
             K_CORE_SIZES_SQL.format(rounds=30), extra_ctes=_k_core_peel_sql(2, 30)
         ),

@@ -367,17 +367,30 @@ def build_graph_from_entities(
     )
     # short-circuit: corpora without receiver-typed calls (pure Python/TS)
     # skip the 4-round chase entirely — it would add ~8 joins of empties to
-    # every downstream plan otherwise
-    has_recv = not recv_calls.isEmpty()
+    # every downstream plan otherwise. ONE aggregation over the cached
+    # pre-join entity rows decides all three branches — receiver_type is an
+    # extraction-time column, so probing it must not pull the
+    # definitions/dense-id lineage the post-join `calls` frame carries
+    # (three separate isEmpty() probes here cost ~5x on the build-heavy
+    # pipeline queries)
+    _rt = F.col("receiver_type")
+    _flags = (
+        entities.filter((F.col("kind") == "call") & _rt.isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("nr"),
+            F.count(F.when(_rt.contains("#"), 1)).alias("nh"),
+            F.count(F.when(_rt.contains("|"), 1)).alias("nm"),
+        )
+        .first()
+    )
+    has_recv = _flags["nr"] > 0
 
     # property-hop receivers ("ExtendMe#reversed" from `x.prop.method()`
     # with x typed): resolve prop through the global extension/member map —
     # the property's result type becomes the receiver
     # (kotlin/tests.rs:517-538: extendMe.reversed.printValue() via the
     # cross-file extension property typed ExtendMe)
-    has_hop = has_recv and not recv_calls.filter(
-        F.col("receiver_type").contains("#")
-    ).isEmpty()
+    has_hop = _flags["nh"] > 0
     if has_hop:
         plain = recv_calls.filter(~F.col("receiver_type").contains("#"))
         hop = recv_calls.filter(F.col("receiver_type").contains("#"))
@@ -411,9 +424,7 @@ def build_graph_from_entities(
     # pick the first type that every other branch also reaches and that
     # names a known definition. All set algebra — explode branches, join a
     # bounded-depth ancestor closure, count distinct branches per candidate.
-    has_multi = has_recv and not recv_calls.filter(
-        F.col("receiver_type").contains("|")
-    ).isEmpty()
+    has_multi = _flags["nm"] > 0
     if has_multi:
         single = recv_calls.filter(~F.col("receiver_type").contains("|"))
         multi = recv_calls.filter(F.col("receiver_type").contains("|"))
@@ -461,6 +472,14 @@ def build_graph_from_entities(
             .withColumnRenamed("_lca", "receiver_type")
             .select(*multi.columns)
         )
+    if has_hop or has_multi:
+        # the hop/LCA rewrites embed the recv_calls subplan several times
+        # each, and the 4-round chase below re-embeds the result ~8 more —
+        # left un-truncated the physical plan grows multiplicatively (a
+        # 3-file corpus took 140 s). The rewritten frame is a small subset
+        # of call rows; pin it and let the chase build on the materialized
+        # RDD, the same lineage-cut dense-id assignment uses.
+        recv_calls = recv_calls.localCheckpoint(eager=True)
     recv_resolved = None
     cur = recv_calls
     for _depth in range(4 if has_recv else 0):  # type itself + 3 superclass hops

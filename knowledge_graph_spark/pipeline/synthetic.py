@@ -793,3 +793,163 @@ m(metric, value) AS (
 )
 SELECT metric, CAST(value AS BIGINT) AS value FROM m ORDER BY metric
 """
+
+
+# ---------------------------------------------------------------------------
+# kotlin_resolution_stats — D2/D7 Kotlin semantics driver-checked
+# ---------------------------------------------------------------------------
+
+# Fixed Kotlin mini-corpus exercising the resolver paths the reference's
+# kotlin/tests.rs asserts: package FQNs, interface inheritance, when-branch
+# type unification to the least common ancestor
+# (expression_resolver.rs:352-363,1560-1599), extension functions with
+# receiver-free FQNs, extension-property result types carrying one member
+# hop, and cross-file constructor resolution. Every metric below is a
+# hand-counted constant (the corpus is fixed), so the oracle is closed-form
+# — the same strategy as the reference's fixture tests (kotlin/tests.rs
+# asserting exact FQN sets over fixtures/kotlin).
+_KT_CORPUS = {
+    "entities/Person.kt": (
+        "package corp.entities\n"
+        "\n"
+        "interface Person {\n"
+        "    fun getName(): String\n"
+        "}\n"
+        "\n"
+        "class User : Person {\n"
+        "    override fun getName(): String {\n"
+        "        return \"user\"\n"
+        "    }\n"
+        "}\n"
+        "\n"
+        "class Admin : Person {\n"
+        "    override fun getName(): String {\n"
+        "        return \"admin\"\n"
+        "    }\n"
+        "}\n"
+    ),
+    "app/Main.kt": (
+        "package corp.app\n"
+        "\n"
+        "import corp.entities.Admin\n"
+        "import corp.entities.Person\n"
+        "import corp.entities.User\n"
+        "\n"
+        "class Config {\n"
+        "    val kind: String = \"a\"\n"
+        "}\n"
+        "\n"
+        "fun pick(cfg: Config) {\n"
+        "    val p = when (cfg.kind) {\n"
+        "        \"admin\" -> Admin()\n"
+        "        else -> User()\n"
+        "    }\n"
+        "    p.getName()\n"
+        "}\n"
+        "\n"
+        "fun direct() {\n"
+        "    val u = User()\n"
+        "    u.getName()\n"
+        "}\n"
+    ),
+    "ext/Ext.kt": (
+        "package corp.ext\n"
+        "\n"
+        "import corp.entities.User\n"
+        "\n"
+        "fun User.shout() {\n"
+        "    return\n"
+        "}\n"
+        "\n"
+        "val User.twin\n"
+        "    get() = User()\n"
+        "\n"
+        "fun useExt() {\n"
+        "    val u = User()\n"
+        "    u.shout()\n"
+        "    u.twin.shout()\n"
+        "}\n"
+    ),
+}
+
+
+def kotlin_resolution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index the fixed Kotlin mini-corpus through the REAL pipeline
+    (list_files → extract → build) and emit exact resolution metrics:
+
+    - ``n_calls_person_getname`` = 1 pins when-branch LCA unification
+      (``p`` typed {Admin, User} → Person → Person.getName);
+    - ``n_calls_ext_shout`` = 2 pins extension-function membership AND the
+      extension-property hop (u.shout() + u.twin.shout());
+    - ``n_calls_user_ctor`` = 4 pins cross-file constructor resolution
+      (two ctor calls in app/, one in the ext getter, one in useExt);
+    - the node/edge totals pin FQN assembly and hierarchy synthesis.
+
+    The corpus is fixed, so the oracle is the hand-counted constant set —
+    independent of scale factor by construction."""
+    import os
+    import shutil
+    import tempfile
+
+    from knowledge_graph_spark.persist import checkpoint_and_release, persistent_rdd_ids
+    from knowledge_graph_spark.pipeline.build import build_graph_from_entities
+    from knowledge_graph_spark.pipeline.extract import extract_entities, list_files
+
+    before = persistent_rdd_ids(spark)
+    base = tempfile.mkdtemp(prefix="kg-kt-")
+    try:
+        for rel, content in _KT_CORPUS.items():
+            p = os.path.join(base, rel)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "w", encoding="utf-8") as f:
+                f.write(content)
+        files = list_files(spark, base)
+        kg = build_graph_from_entities(spark, files, extract_entities(files), "kt-corpus")
+
+        defs = kg.definitions.select(F.col("id").alias("target_id"), "fqn")
+        de = kg.edges["definition_relationships"]
+        # ONE action over the (deep) resolution plan — per-metric counts
+        # would recompute the whole chase/LCA/hop pipeline each time
+        rel = [
+            (r["type"], r["fqn"])
+            for r in de.filter(F.col("type").isin("CALLS", "AMBIGUOUSLY_CALLS"))
+            .join(defs, "target_id")
+            .select("type", "fqn")
+            .collect()
+        ]
+        n_calls = sum(1 for t, _ in rel if t == "CALLS")
+
+        def _n_to(fqn: str) -> int:
+            return sum(1 for t, f in rel if t == "CALLS" and f == fqn)
+
+        rows = [
+            ("n_files", kg.files.count()),
+            ("n_dirs", kg.directories.count()),
+            ("n_defs", kg.definitions.count()),
+            ("n_imports", kg.imports.count()),
+            ("n_calls_edges", n_calls),
+            ("n_ambiguous_edges", len(rel) - n_calls),
+            ("n_calls_person_getname", _n_to("corp.entities.Person.getName")),
+            ("n_calls_ext_shout", _n_to("corp.ext.shout")),
+            ("n_calls_user_ctor", _n_to("corp.entities.User")),
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    out = spark.createDataFrame(rows, "metric string, value long").orderBy("metric")
+    return checkpoint_and_release(spark, before, out)
+
+
+KOTLIN_RESOLUTION_STATS_SQL = """
+WITH m(metric, value) AS (
+  SELECT 'n_files', 3
+  UNION ALL SELECT 'n_dirs', 3
+  UNION ALL SELECT 'n_defs', 11
+  UNION ALL SELECT 'n_imports', 4
+  UNION ALL SELECT 'n_calls_edges', 9
+  UNION ALL SELECT 'n_ambiguous_edges', 0
+  UNION ALL SELECT 'n_calls_person_getname', 1
+  UNION ALL SELECT 'n_calls_ext_shout', 2
+  UNION ALL SELECT 'n_calls_user_ctor', 4
+)
+SELECT metric, CAST(value AS BIGINT) AS value FROM m ORDER BY metric
+"""
