@@ -502,10 +502,12 @@ def pagerank_exact(
     base = (15 * (scale // n)) // 100
     r = nodes.select("node", F.lit(scale // n).cast("long").alias("rank"))
     for _ in range(iterations):
-        dang = (
-            r.join(deg, r.node == deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("d"))
-            .collect()[0]["d"]
+        # dangling mass folded in as a broadcast 1-row frame — the same
+        # integer recurrence, but the scalar never round-trips through the
+        # driver and each iteration is ONE action (the eager checkpoint)
+        # instead of a collect + a checkpoint
+        dang_df = r.join(deg, r.node == deg.src, "left_anti").agg(
+            F.expr(f"coalesce(sum(rank), CAST(0 AS BIGINT)) DIV {n}").alias("dang_per")
         )
         contribs = (
             ed.join(r, ed.src == r.node)
@@ -516,9 +518,10 @@ def pagerank_exact(
         )
         r = (
             nodes.join(contribs, "node", "left_outer")
+            .crossJoin(F.broadcast(dang_df))
             .selectExpr(
                 "node",
-                f"CAST({base} + (85 * (coalesce(s, CAST(0 AS BIGINT)) + {dang // n}))"
+                f"CAST({base} + (85 * (coalesce(s, CAST(0 AS BIGINT)) + dang_per))"
                 " DIV 100 AS BIGINT) AS rank",
             )
             .localCheckpoint(eager=True)
