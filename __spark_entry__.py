@@ -336,6 +336,21 @@ def _q_doc_stats(spark, sf_dir):
     return T.doc_stats(read_table(spark, sf_dir, "documents"))
 
 
+def _q_gopher_filter(spark, sf_dir):
+    return T.gopher_filter(read_table(spark, sf_dir, "documents"))
+
+
+def _q_decontaminate(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    # evaluation set: the 20-token prefix of every doc_id % 97 doc — a
+    # deterministic stand-in for test questions quoted in training text
+    test = docs.filter(F.col("doc_id") % 97 == 0).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 20)).alias("text"),
+    )
+    return D.decontaminate(docs, test, n=8)
+
+
 def _q_quality_score(spark, sf_dir):
     return T.quality_score(read_table(spark, sf_dir, "documents"))
 
@@ -1080,6 +1095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_running_total": _q_user_value_running_total,
         "deterministic_sample": _q_deterministic_sample,
         "embedding_near_dup": _q_embedding_near_dup,
+        "gopher_filter": _q_gopher_filter,
+        "decontaminate": _q_decontaminate,
         # rows-only: probabilistic / iterative / stub (see ROWS_ONLY)
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_buckets": _q_simhash_buckets,
@@ -1230,6 +1247,11 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": D.NGRAM_JACCARD_PAIRS_SQL.format(
             nm1=2, threshold=0.5, max_doc_freq=1000
         ),
+        "gopher_filter": T.GOPHER_FILTER_SQL.format(
+            min_words=40, min_unique_frac=0.5, min_stopword_frac=0.02,
+            min_mean_word_len=3.0, max_mean_word_len=10.0,
+        ),
+        "decontaminate": D.DECONTAMINATE_SQL.format(prefix=20, nm1=7),
         "cosine_topk": SIM.COSINE_TOPK_SQL.format(k=10),
         "embedding_near_dup": SIM.EMBEDDING_NEAR_DUP_SQL.format(threshold=0.35),
         "dedup_clusters": D._clusters_sql().format(threshold=0.35),

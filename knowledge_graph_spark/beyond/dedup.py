@@ -141,6 +141,65 @@ ORDER BY doc_a, doc_b
 """
 
 
+def decontaminate(docs: DataFrame, test_docs: DataFrame, n: int = 8) -> DataFrame:
+    """Test-set decontamination: flag training documents sharing any word
+    n-gram with a held-out evaluation set (the n-gram-overlap protocol used
+    to scrub benchmark leakage from LLM training corpora).
+
+    Scale shape: the evaluation set is tiny relative to a 100 TB corpus, so
+    its shingle index is BROADCAST; the train side streams through one
+    explode + broadcast-hash join + one shuffle for the per-doc rollup. No
+    self-join, no all-pairs — cost is linear in corpus size.
+
+    Returns (doc_id, n_hit_shingles, n_test_docs) for contaminated docs.
+    """
+    from knowledge_graph_spark.persist import checkpoint_and_release, persistent_rdd_ids
+
+    spark = docs.sparkSession
+    before = persistent_rdd_ids(spark)
+    test_sh = test_docs.select(
+        F.col("doc_id").alias("test_doc"), F.explode(_shingles(n)).alias("shingle")
+    )
+    train_sh = docs.select("doc_id", F.explode(_shingles(n)).alias("shingle"))
+    out = (
+        train_sh.join(F.broadcast(test_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_shingles"),
+            F.countDistinct("test_doc").alias("n_test_docs"),
+        )
+        .orderBy("doc_id")
+    )
+    return checkpoint_and_release(spark, before, out)
+
+
+# Oracle: the evaluation set is the 20-token prefix of every doc_id % 97
+# doc — a deterministic stand-in for "test questions quoted inside training
+# documents"; sources and their planted duplicates are flagged by
+# construction.
+DECONTAMINATE_SQL = """
+WITH test AS (
+  SELECT doc_id AS test_doc,
+         string_split(text, ' ')[1:{prefix}] AS toks
+  FROM documents WHERE doc_id % 97 = 0
+),
+tsh AS (
+  SELECT test_doc, unnest(list_distinct([array_to_string(toks[i:i+{nm1}], ' ')
+             for i in range(1, greatest(len(toks) - {nm1}, 1) + 1)])) AS shingle
+  FROM test
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+{nm1}], ' ')
+             for i in range(1, greatest(len(toks) - {nm1}, 1) + 1)])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+)
+SELECT doc_id, count(DISTINCT shingle) AS n_hit_shingles,
+       count(DISTINCT test_doc) AS n_test_docs
+FROM sh JOIN tsh USING (shingle)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 64) -> DataFrame:
     """MinHash signatures: per permutation i, min over shingles of
     xxhash64(shingle, seed=i). JVM-side hashing, one explode + groupBy."""

@@ -89,6 +89,69 @@ FROM documents ORDER BY doc_id
 """
 
 
+def gopher_filter(
+    docs: DataFrame,
+    min_words: int = 40,
+    min_unique_frac: float = 0.5,
+    min_stopword_frac: float = 0.02,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+) -> DataFrame:
+    """Gopher-style document quality rules (the repetition/shape filter
+    family from the Gopher/MassiveText data pipeline): word count window,
+    unique-word fraction (repetition proxy), stopword presence, and mean
+    word length band — each emitted per document with the combined
+    pass/fail flag. All JVM-side array expressions; one narrow pass, no
+    shuffle beyond the final sort."""
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    uniq = F.size(F.array_distinct(toks)).cast("double") / n_words
+    stop = (
+        F.size(F.filter(toks, lambda t: (t == "a") | (t == "the"))).cast("double")
+        / n_words
+    )
+    # single-space tokenization makes total word chars = len(text) - spaces
+    mwl = (F.length("text") - n_words + 1).cast("double") / n_words
+    passes = (
+        (n_words >= min_words)
+        & (uniq >= min_unique_frac)
+        & (stop >= min_stopword_frac)
+        & mwl.between(min_mean_word_len, max_mean_word_len)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(uniq, 6).alias("frac_unique_words"),
+        F.round(stop, 6).alias("stopword_frac"),
+        passes.cast("int").alias("passes"),
+    ).orderBy("doc_id")
+
+
+GOPHER_FILTER_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+           / len(string_split(text, ' ')) AS mwl,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS uniq,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the'))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop
+  FROM documents
+)
+SELECT doc_id, n_words,
+       round(mwl, 6) AS mean_word_len,
+       round(uniq, 6) AS frac_unique_words,
+       round(stop, 6) AS stopword_frac,
+       CAST(CASE WHEN n_words >= {min_words} AND uniq >= {min_unique_frac}
+                  AND stop >= {min_stopword_frac}
+                  AND mwl BETWEEN {min_mean_word_len} AND {max_mean_word_len}
+            THEN 1 ELSE 0 END AS INT) AS passes
+FROM m ORDER BY doc_id
+"""
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """N-gram-heuristic language ID (marker-token frequency) with agreement
     check against the labeled ``lang`` column, rolled up per language."""

@@ -257,3 +257,42 @@ def test_ngram_jaccard_stop_shingle_bound_prunes(spark):
     # same corpus unbounded: the stop shingle connects everything
     unbounded = ngram_jaccard_pairs(docs, n=3, threshold=0.1, max_doc_freq=None)
     assert unbounded.count() > 1
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A train doc quoting a test doc's 8-gram is flagged with the right
+    hit counts; disjoint docs are not."""
+    from knowledge_graph_spark.beyond.dedup import decontaminate
+
+    words = "q1 q2 q3 q4 q5 q6 q7 q8"  # one exact 8-gram
+    train = spark.createDataFrame(
+        [
+            (1, f"intro {words} outro filler filler"),  # quotes the test set
+            (2, "totally unrelated text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame([(100, words)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in decontaminate(train, test, n=8).collect()}
+    assert set(rows) == {1}
+    assert rows[1].n_hit_shingles == 1 and rows[1].n_test_docs == 1
+
+
+def test_gopher_filter_rules(spark):
+    """Each rule fails the doc it should: repetition (low unique fraction),
+    shortness, and missing stopwords."""
+    from knowledge_graph_spark.beyond.text import gopher_filter
+
+    good = "the a " + " ".join(f"word{i}" for i in range(60))
+    repeated = "the " + " ".join("dup" for _ in range(60))
+    short = "the tiny doc"
+    no_stop = " ".join(f"word{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, good), (2, repeated), (3, short), (4, no_stop)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_filter(df).collect()}
+    assert out[1].passes == 1
+    assert out[2].passes == 0 and out[2].frac_unique_words < 0.1
+    assert out[3].passes == 0 and out[3].n_words == 3
+    assert out[4].passes == 0 and out[4].stopword_frac == 0.0
