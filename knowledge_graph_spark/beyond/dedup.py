@@ -152,16 +152,13 @@ def decontaminate(docs: DataFrame, test_docs: DataFrame, n: int = 8) -> DataFram
     self-join, no all-pairs — cost is linear in corpus size.
 
     Returns (doc_id, n_hit_shingles, n_test_docs) for contaminated docs.
+    Fully lazy — no intermediate is pinned, so there is nothing to release.
     """
-    from knowledge_graph_spark.persist import checkpoint_and_release, persistent_rdd_ids
-
-    spark = docs.sparkSession
-    before = persistent_rdd_ids(spark)
     test_sh = test_docs.select(
         F.col("doc_id").alias("test_doc"), F.explode(_shingles(n)).alias("shingle")
     )
     train_sh = docs.select("doc_id", F.explode(_shingles(n)).alias("shingle"))
-    out = (
+    return (
         train_sh.join(F.broadcast(test_sh), "shingle")
         .groupBy("doc_id")
         .agg(
@@ -170,7 +167,6 @@ def decontaminate(docs: DataFrame, test_docs: DataFrame, n: int = 8) -> DataFram
         )
         .orderBy("doc_id")
     )
-    return checkpoint_and_release(spark, before, out)
 
 
 # Oracle: the evaluation set is the 20-token prefix of every doc_id % 97

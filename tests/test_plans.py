@@ -180,3 +180,26 @@ def test_search_xml_wellformed_and_broadcast(parquet_kg):
     assert row["next_page"] == 2
     assert root.find("next-page").text == "2"
     assert "Decision Framework:" in row["system_message"]
+
+
+def test_decontaminate_broadcasts_test_side(spark):
+    """The eval-set shingle index must be the BROADCAST side — a shuffled
+    join here would co-partition the whole corpus by shingle for nothing."""
+    from knowledge_graph_spark.beyond.dedup import decontaminate
+
+    train = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id long, text string")
+    test = spark.createDataFrame([(9, "a b c d e f g h")], "doc_id long, text string")
+    plan = _plan(decontaminate(train, test, n=8))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_gopher_filter_is_single_narrow_pass(spark):
+    """All rules are per-row array expressions: no join, and the only
+    exchange is the final sort's range partitioning."""
+    from knowledge_graph_spark.beyond.text import gopher_filter
+    from knowledge_graph_spark.io import read_table
+
+    plan = _plan(gopher_filter(read_table(spark, SF_SMALL, "documents")))
+    assert "Join" not in plan, plan[:2000]
+    assert _exchange_count(plan) <= 1, plan[:2000]
