@@ -134,25 +134,31 @@ def apply_file_changes(
         # scope each anti-join with the pair discriminator (ids are dense
         # per node table, a bare id match would delete across tables)
         df = df.join(
-            dropped_ids[src_tab].withColumnRenamed("id", "source_id"),
+            F.broadcast(dropped_ids[src_tab].withColumnRenamed("id", "source_id")),
             "source_id",
             "left_anti",
         )
         rekeyed: list[DataFrame] = []
         for dst_tab in set(dst_tabs):
-            # exceptAll matches by POSITION, and a named join moves its key
-            # column to the front — realign to df's column order or the
-            # subtraction silently removes nothing
+            # a doomed edge is exactly one whose (target_table, target_id)
+            # hits the dropped-id set, so removing them is a BROADCAST
+            # anti-join on that small set — never an exceptAll, which would
+            # shuffle the full edge table per target-table pass (the
+            # changed-file set is small by design at any corpus size)
+            dropped = F.broadcast(
+                dropped_ids[dst_tab].withColumnRenamed("id", "_drop_id")
+            )
             doomed_edges = (
                 df.filter(F.col("target_table") == dst_tab)
-                .join(
-                    dropped_ids[dst_tab].withColumnRenamed("id", "target_id"),
-                    "target_id",
-                    "left_semi",
-                )
+                .join(dropped, F.col("target_id") == F.col("_drop_id"), "left_semi")
                 .select(*df.columns)
             )
-            df = df.exceptAll(doomed_edges)
+            df = df.join(
+                dropped,
+                (F.col("target_table") == dst_tab)
+                & (F.col("target_id") == F.col("_drop_id")),
+                "left_anti",
+            )
             remap = remaps.get(dst_tab)
             if remap is not None:
                 rekeyed.append(

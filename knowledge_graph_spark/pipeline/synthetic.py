@@ -293,7 +293,7 @@ def incremental_merge_stats(
         spark, fresh_files, extract_entities(fresh_files), "synth"
     )
     # materialize: the splice references every fresh table several times
-    # (anti-joins, exceptAll, remap joins) — without pinning, each reference
+    # (anti-joins, remap joins) — without pinning, each reference
     # re-runs the whole upstream DAG
     fresh.materialize()
     merged = apply_file_changes(

@@ -147,3 +147,15 @@ def test_cross_file_edges_rekeyed_to_surviving_targets(incremental_case):
         merged.imports.select(F.col("id").alias("target_id")), "target_id", "left_anti"
     )
     assert dangling.count() == 0
+
+
+def test_splice_plan_is_broadcast_anti_join_not_except(incremental_case):
+    """Doomed-edge removal must stay a broadcast anti-join on the dropped-id
+    set: an Except(All) here shuffles the FULL edge table per target-table
+    pass, which does not survive a 100x corpus."""
+    _, merged, _, _ = incremental_case
+    plan = merged.edges["definition_relationships"]._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Except" not in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
