@@ -118,6 +118,16 @@ _RB_LOCAL_ASSIGN = re.compile(
 _RB_IVAR_ASSIGN = re.compile(
     r"^\s*@(\w+)\s*=\s*([A-Z]\w*(?:::\w+)*)\.(?:new|create\w*|find\w*|build\w*)\b"
 )
+# assignment whose RHS is a single bare (parenless) identifier — in Ruby that
+# is a method call on self unless the name is a known local variable
+# (`profile = get_profile` calls the enclosing class's get_profile;
+# ruby/tests.rs:939-961 test_ruby_conditional_method_calls asserts the edge)
+_RB_BARE_RHS = re.compile(r"^\s*@?\w+\s*=\s*([a-z_]\w*[?!]?)\s*$")
+# any plain `name = …` marks `name` as a local, suppressing the bare-RHS
+# call rule for later `x = name` lines in the same method
+_RB_ANY_LOCAL = re.compile(r"^\s*([a-z_]\w*)\s*=[^=]")
+# RHS names that are literals/receivers, never self-calls
+_RB_BARE_NOISE = {"true", "false", "nil", "self"}
 _JAVA_PKG = re.compile(r"^\s*package\s+([\w.]+)\s*;")
 # `Type name = ...` / `private Type name;` declarations give locals and
 # fields their static type (generics stripped)
@@ -200,9 +210,17 @@ _JAVA_TYPE = re.compile(
     r"(class|interface|enum|record)\s+([A-Za-z_$][\w$]*)"
 )
 _JAVA_METHOD = re.compile(
-    r"^(\s*)(?:public\s+|private\s+|protected\s+|static\s+|final\s+|abstract\s+|synchronized\s+)+"
+    r"^(\s*)(?:public\s+|private\s+|protected\s+|static\s+|final\s+|abstract\s+"
+    r"|synchronized\s+|default\s+)+"
     r"[\w<>\[\],\s]+\s+([a-z][\w$]*)\s*\("
 )
+# `extends X` / `implements A, B` clauses on a Java type declaration line —
+# both feed the inheritance chain the reference climbs for member lookup
+# (java/tests.rs:339-359: super.apply() in ServerFilter.Filter resolves
+# through `extends ServerFilter` into `implements Filter`'s default method).
+# Searched on a generics-stripped copy so `<T extends Bound>` never matches.
+_JAVA_EXTENDS = re.compile(r"\bextends\s+([A-Z][\w.]*)")
+_JAVA_IMPLEMENTS = re.compile(r"\bimplements\s+([A-Z][\w.,\s]*)")
 _JAVA_IMPORT = re.compile(r"^\s*import\s+(?:static\s+)?([\w.]+?)(?:\.\*)?\s*;")
 # constructor (Java + C#): access modifier(s), then the PascalCase type name
 # directly followed by '(' — no return type, so the method regexes miss it
@@ -587,6 +605,7 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
     byte_off = 0
     pkg: str | None = None  # Java/Kotlin `package` declaration
     local_types: dict[str, str] = {}  # per-def local var → constant type
+    local_names: set[str] = set()  # per-def assigned locals (Ruby bare-RHS)
     ivar_types: dict[str, str] = {}  # per-file @ivar / field → type
     class_supers: dict[str, str] = {}  # per-file class → superclass (super.x())
     fun_ret_types: dict[str, str] = {}  # Kotlin expression-bodied fun → type
@@ -698,6 +717,22 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
 
     masked = _mask_text(language, text)
     originals = text.split("\n")
+    # Instance-variable typing is CLASS-level, not stream-order: an ivar
+    # assigned in a later-defined method (`@user = User.find(...)` inside a
+    # before_action helper) types receivers in methods defined above it.
+    # The reference's type map collects these in its own pass
+    # (ruby/type_map.rs; python/analyzer.rs:148-218), so pre-scan the masked
+    # lines; in-stream assignments below still update flow-order.
+    if language == "Ruby":
+        for _pl, _ in masked:
+            _pv = _RB_IVAR_ASSIGN.match(_pl)
+            if _pv:
+                ivar_types.setdefault(_pv.group(1), _pv.group(2).split("::")[-1])
+    elif language == "Python":
+        for _pl, _ in masked:
+            _pv = _PY_SELF_ASSIGN.match(_pl)
+            if _pv:
+                ivar_types.setdefault(_pv.group(1), _pv.group(2))
     for ln, (line, imp_line) in enumerate(masked):
         # byte offsets always advance by the ORIGINAL line's encoded length —
         # masking is char-preserving, not byte-preserving
@@ -811,6 +846,7 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                 continue
             if kw in ("def", "def_self", "method", "function", "fun"):
                 local_types.clear()  # new method scope: locals reset
+                local_names.clear()
             parent = ".".join(scope_names()) or None
             col = name_col if name_col is not None else max(line.find(name), 0)
             ext_recv = None
@@ -863,6 +899,29 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                         ".".join(scope_names()), None, None, None,
                         ln, line, pih.start(1), len(pih.group(1)),
                     )
+            if language == "Java" and kw in ("class", "interface", "enum", "record"):
+                # generics-stripped copy: `<T extends Bound>` must not match
+                decl = re.sub(r"<[^<>]*>", "", line)
+                sups: list[str] = []
+                jex = _JAVA_EXTENDS.search(decl)
+                if jex:
+                    sups.append(jex.group(1).split(".")[-1])
+                jim = _JAVA_IMPLEMENTS.search(decl)
+                if jim:
+                    for part in jim.group(1).split(","):
+                        part = part.strip()
+                        if part and part[0].isupper():
+                            sups.append(part.split(".")[-1])
+                if sups:
+                    # super.m() resolves against the FIRST clause (the
+                    # extends class when present); the chain-climb lookup
+                    # in the build sees every clause as an inherits row
+                    class_supers[name] = sups[0]
+                    for sup in sups:
+                        yield row(
+                            "inherits", sup, ".".join(scope_names()), None,
+                            None, None, ln, line, 0, len(sup),
+                        )
             if language == "CSharp" and kw in ("class", "interface", "struct", "record"):
                 csb = _CS_BASE.search(line)
                 if csb:
@@ -1091,6 +1150,22 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                     iv = _RB_IVAR_ASSIGN.match(line)
                     if iv:
                         ivar_types[iv.group(1)] = iv.group(2).split("::")[-1]
+                    br = _RB_BARE_RHS.match(line)
+                    if (
+                        br
+                        and br.group(1) not in local_names
+                        and br.group(1) not in _KEYWORDS
+                        and br.group(1) not in _RB_BARE_NOISE
+                    ):
+                        enc_rb = ".".join(scope_names()) or None
+                        if enc_rb:
+                            yield row(
+                                "call", br.group(1), enc_rb, None, None, None,
+                                ln, line, br.start(1), len(br.group(1)),
+                            )
+                    al = _RB_ANY_LOCAL.match(line)
+                    if al:
+                        local_names.add(al.group(1))
                     yield from receiver_calls(line, _RB_RECV_CALL, ln)
                 elif language == "Python":
                     pla = _PY_LOCAL_ASSIGN.match(line)

@@ -989,3 +989,195 @@ def test_python_async_def():
     )
     defs = {n for k, n in out if k == "definition"}
     assert {"fetch", "Svc", "run"} <= defs, sorted(out)
+
+
+# ---- Round-3 additions: the remaining ruby/tests.rs + java/tests.rs
+# assertions not yet mirrored ------------------------------------------------
+
+
+def _call_pairs_loc(kg) -> dict[tuple[str, str], tuple[int, int]]:
+    """(caller_fqn, callee_fqn) → (source_start_line, source_end_line)."""
+    de = kg.edges["definition_relationships"]
+    refs = de.filter(
+        F.col("type").isin(["CALLS", "AMBIGUOUSLY_CALLS"])
+        & (F.col("target_table") == "definition_nodes")
+    )
+    d = kg.definitions.select("id", "fqn")
+    rows = (
+        refs.join(d.withColumnsRenamed({"id": "source_id", "fqn": "caller"}), "source_id")
+        .join(d.withColumnsRenamed({"id": "target_id", "fqn": "callee"}), "target_id")
+        .select("caller", "callee", "source_start_line", "source_end_line")
+        .collect()
+    )
+    return {
+        (r.caller, r.callee): (r.source_start_line, r.source_end_line) for r in rows
+    }
+
+
+def test_ruby_chained_method_call_resolution(ruby_refs):
+    """ruby/tests.rs:326-384: User#get_profile calls Profile.find_by_user_id;
+    User#update_profile calls get_profile (bare parenless RHS call)."""
+    pairs = _call_pairs(ruby_refs)
+    assert ("User#get_profile", "Profile::find_by_user_id") in pairs, sorted(
+        p for p in pairs if p[0] == "User#get_profile"
+    )
+    assert ("User#update_profile", "User#get_profile") in pairs, sorted(
+        p for p in pairs if p[0] == "User#update_profile"
+    )
+
+
+def test_ruby_cross_file_reference_resolution(ruby_refs):
+    """ruby/tests.rs:387-443: main.rb classes calling model/service methods
+    across files — Application → User.create_with_profile, TestUtilities →
+    Profile.create_default and NotificationService.notify_all."""
+    pairs = _call_pairs(ruby_refs)
+    assert (
+        "Application#test_user_creation_flow",
+        "User::create_with_profile",
+    ) in pairs, sorted(p for p in pairs if p[0].startswith("Application"))
+    assert ("TestUtilities::create_test_data", "Profile::create_default") in pairs
+    assert (
+        "TestUtilities::send_bulk_notifications",
+        "NotificationService::notify_all",
+    ) in pairs
+
+
+def test_ruby_instance_variable_resolution(ruby_refs):
+    """ruby/tests.rs:734-752: @user typed by `@user = User.find(...)` in the
+    before_action helper find_user — defined BELOW show in the file — still
+    resolves @user.get_profile in show (class-level ivar typing)."""
+    pairs = _call_pairs(ruby_refs)
+    assert ("UsersController#show", "User#get_profile") in pairs, sorted(
+        p for p in pairs if p[0] == "UsersController#show"
+    )
+
+
+def test_ruby_constant_resolution(ruby_refs):
+    """ruby/tests.rs:756-784: constant receivers resolve to singleton
+    methods — User::create_with_profile and Profile::create_default both
+    have callers."""
+    pairs = _call_pairs(ruby_refs)
+    assert any(c == "User::create_with_profile" for _, c in pairs)
+    assert any(c == "Profile::create_default" for _, c in pairs)
+
+
+def test_ruby_nested_method_calls(ruby_refs):
+    """ruby/tests.rs:788-816: NotificationService::notify calls its own
+    build_notification / determine_delivery_method / log_notification."""
+    pairs = _call_pairs(ruby_refs)
+    for callee in (
+        "NotificationService::build_notification",
+        "NotificationService::determine_delivery_method",
+        "NotificationService::log_notification",
+    ):
+        assert ("NotificationService::notify", callee) in pairs, sorted(
+            p for p in pairs if p[0] == "NotificationService::notify"
+        )
+
+
+def test_ruby_cross_service_calls(ruby_refs):
+    """ruby/tests.rs:820-848: service-to-service — notify →
+    EmailService::send_notification; User#send_welcome_email →
+    EmailService::send_welcome."""
+    pairs = _call_pairs(ruby_refs)
+    assert ("NotificationService::notify", "EmailService::send_notification") in pairs
+    assert ("User#send_welcome_email", "EmailService::send_welcome") in pairs
+
+
+def test_ruby_private_method_calls(ruby_refs):
+    """ruby/tests.rs:852-882: User#activate! calls SOMETHING (bang-method
+    defs + bare calls), and the private send_notification →
+    NotificationService::notify."""
+    pairs = _call_pairs(ruby_refs)
+    assert any(a == "User#activate!" for a, _ in pairs), sorted(
+        a for a, _ in pairs if "activate" in a
+    )
+    assert ("User#send_notification", "NotificationService::notify") in pairs
+
+
+def test_ruby_block_and_iterator_calls(ruby_refs):
+    """ruby/tests.rs:908-935: bare calls inside `each do |x|` blocks still
+    belong to the enclosing method — send_batch_notifications and
+    notify_all both call notify."""
+    pairs = _call_pairs(ruby_refs)
+    assert (
+        "NotificationService::send_batch_notifications",
+        "NotificationService::notify",
+    ) in pairs
+    assert ("NotificationService::notify_all", "NotificationService::notify") in pairs
+
+
+def test_ruby_conditional_method_calls(ruby_refs):
+    """ruby/tests.rs:939-961: `profile = get_profile` then
+    `profile.update(...) if profile` — the get_profile call resolves; the
+    reference documents profile.update (framework method) as unresolved."""
+    pairs = _call_pairs(ruby_refs)
+    assert ("User#update_profile", "User#get_profile") in pairs
+
+
+def test_ruby_method_resolution_accuracy(ruby_refs):
+    """ruby/tests.rs:964-1018: the five precision assertions in one."""
+    pairs = _call_pairs(ruby_refs)
+    assert ("User#send_welcome_email", "EmailService::send_welcome") in pairs
+    assert (
+        "NotificationService::notify",
+        "NotificationService::build_notification",
+    ) in pairs
+    assert ("User#send_notification", "NotificationService::notify") in pairs
+    assert ("UsersController#show", "User#get_profile") in pairs
+    assert any(c == "Profile::create_default" for _, c in pairs)
+
+
+def test_java_same_class_name_in_same_package(java_main):
+    """java/tests.rs:339-359: nested `class Filter extends ServerFilter`
+    (same simple name as the package's Filter interface) — super.apply()
+    climbs extends→implements into the interface's default apply."""
+    pairs = _call_pairs(java_main)
+    assert (
+        "com.example.filter.ServerFilter.Filter.apply",
+        "com.example.filter.Filter.apply",
+    ) in pairs, sorted(p for p in pairs if "ilter" in p[0])
+
+
+def test_java_call_relationship_has_location(java_main):
+    """java/tests.rs:362-461: exact 0-based source lines on CALLS edges —
+    Main.main → Application.run via `await(() -> super.run())` at line 21,
+    → Outer.make at 24, → imported ArrayList ctor at 41."""
+    locs = _call_pairs_loc(java_main)
+    assert locs.get(
+        ("com.example.app.Main.main", "com.example.app.Application.run")
+    ) == (21, 21), {k: v for k, v in locs.items() if k[0].endswith("Main.main")}
+    assert locs.get(("com.example.app.Main.main", "com.example.util.Outer.make")) == (
+        24,
+        24,
+    )
+    de = java_main.edges["definition_relationships"]
+    imp = (
+        de.filter(
+            (F.col("type") == "CALLS")
+            & (F.col("target_table") == "imported_symbol_nodes")
+        )
+        .join(
+            java_main.imports.select(
+                F.col("id").alias("target_id"),
+                F.col("name").alias("imp_name"),
+                F.col("import_path").alias("imp_path"),
+            ),
+            "target_id",
+        )
+        .select("imp_path", "imp_name", "source_start_line")
+        .collect()
+    )
+    rows = {(r.imp_path, r.imp_name): r.source_start_line for r in imp}
+    assert rows.get(("java.util", "ArrayList")) == 41, rows
+
+
+def test_java_reference_to_deep_nested_class(java_main):
+    """java/tests.rs:464-486: InnerInnerHelpers.innerInnerDoHelp →
+    (super.innerDoHelp()) → Helpers.InnerHelpers.innerDoHelp, two levels of
+    nesting deep."""
+    pairs = _call_pairs(java_main)
+    assert (
+        "com.example.helpers.Helpers.InnerInnerHelpers.innerInnerDoHelp",
+        "com.example.helpers.Helpers.InnerHelpers.innerDoHelp",
+    ) in pairs, sorted(p for p in pairs if "Helpers" in p[0])
