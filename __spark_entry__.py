@@ -351,6 +351,12 @@ def _q_decontaminate(spark, sf_dir):
     return D.decontaminate(docs, test, n=8)
 
 
+def _q_dup_ngram_stats(spark, sf_dir):
+    return D.dup_ngram_stats(
+        read_table(spark, sf_dir, "documents"), n=8, min_df=2, max_frac_pct=30
+    )
+
+
 def _q_quality_score(spark, sf_dir):
     return T.quality_score(read_table(spark, sf_dir, "documents"))
 
@@ -1097,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "gopher_filter": _q_gopher_filter,
         "decontaminate": _q_decontaminate,
+        "dup_ngram_stats": _q_dup_ngram_stats,
         # rows-only: probabilistic / iterative / stub (see ROWS_ONLY)
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_buckets": _q_simhash_buckets,
@@ -1252,6 +1259,9 @@ def oracle_sql() -> dict[str, str]:
             min_mean_word_len=3.0, max_mean_word_len=10.0,
         ),
         "decontaminate": D.DECONTAMINATE_SQL.format(prefix=20, nm1=7),
+        "dup_ngram_stats": D.DUP_NGRAM_STATS_SQL.format(
+            nm1=7, min_df=2, max_frac_pct=30
+        ),
         "cosine_topk": SIM.COSINE_TOPK_SQL.format(k=10),
         "embedding_near_dup": SIM.EMBEDDING_NEAR_DUP_SQL.format(threshold=0.35),
         "dedup_clusters": D._clusters_sql().format(threshold=0.35),

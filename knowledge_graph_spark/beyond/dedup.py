@@ -196,6 +196,60 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def dup_ngram_stats(
+    docs: DataFrame, n: int = 8, min_df: int = 2, max_frac_pct: int = 30
+) -> DataFrame:
+    """Cross-document duplicated n-gram fraction — the corpus-level dedup
+    diagnostic used to scrub web-scale training data (the Pile / PaLM-style
+    "remove documents dominated by text repeated elsewhere"): for each doc,
+    the share of its distinct word n-grams that also occur in at least
+    ``min_df`` documents; ``keep`` is false once that share exceeds
+    ``max_frac_pct`` percent.
+
+    Scale shape (100 TB): one explode (distinct grams per doc), grams carried
+    as xxhash64 longs so the doc-frequency shuffle moves 8-byte keys instead
+    of n-word strings, one groupBy for the frequency table, one shuffle join
+    back, one per-doc rollup. No self-join, no all-pairs. The keep decision
+    is integer cross-multiplication (n_dup*100 <= n*pct) — no float drift
+    between engines.
+    """
+    grams = docs.select(
+        "doc_id", F.explode(_shingles(n)).alias("gram")
+    ).select("doc_id", F.xxhash64("gram").alias("gh"))
+    # _shingles is per-doc distinct, so count(*) per gh = document frequency
+    dfs = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(dfs, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count(F.when(F.col("df") >= min_df, 1)).alias("n_dup_ngrams"),
+        )
+        .withColumn(
+            "keep",
+            F.col("n_dup_ngrams") * 100 <= F.col("n_ngrams") * max_frac_pct,
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_NGRAM_STATS_SQL = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{nm1}], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+       LATERAL unnest(range(1, greatest(len(toks) - {nm1}, 1) + 1)) u(i)
+),
+dfs AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(count(*) FILTER (WHERE df >= {min_df}) AS BIGINT) AS n_dup_ngrams,
+       count(*) FILTER (WHERE df >= {min_df}) * 100 <= count(*) * {max_frac_pct}
+         AS keep
+FROM grams JOIN dfs USING (gram)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 64) -> DataFrame:
     """MinHash signatures: per permutation i, min over shingles of
     xxhash64(shingle, seed=i). JVM-side hashing, one explode + groupBy."""

@@ -56,6 +56,24 @@ def get_spark(app_name: str = "knowledge-graph-spark", master: str | None = None
         # granularity for a 1000-executor cluster; harmless locally.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # Long sessions (the 84-query bench, the full pytest run) compile
+        # thousands of whole-stage-codegen classes; the JVM's default
+        # 240 MB reserved code cache fills mid-session, HotSpot stops JIT
+        # compilation, and every later query runs interpreted (the observed
+        # uniform 2-4x late-session slowdown). 1 GB + flushing keeps the
+        # JIT alive for the whole session; on a cluster the same flag
+        # belongs in spark.executor.extraJavaOptions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
+        # status-store listeners retain per-execution plan graphs and task
+        # metrics for a UI we run disabled; trim the retention so hundreds
+        # of queries don't accrete driver heap
+        .config("spark.sql.ui.retainedExecutions", "20")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "2000")
     )
     if master is not None:
         builder = builder.master(master)

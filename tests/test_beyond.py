@@ -296,3 +296,28 @@ def test_gopher_filter_rules(spark):
     assert out[2].passes == 0 and out[2].frac_unique_words < 0.1
     assert out[3].passes == 0 and out[3].n_words == 3
     assert out[4].passes == 0 and out[4].stopword_frac == 0.0
+
+
+def test_dup_ngram_stats_planted(spark):
+    """Two identical docs share every 8-gram (df=2 → keep=false); a unique
+    doc has zero duplicated grams; a doc quoting one 8-gram from the pair
+    stays under the 30% threshold and keeps."""
+    from knowledge_graph_spark.beyond.dedup import dup_ngram_stats
+
+    body = " ".join(f"w{i}" for i in range(20))  # 13 distinct 8-grams
+    quote = " ".join(f"w{i}" for i in range(8))  # grams[0] of body
+    df = spark.createDataFrame(
+        [
+            (1, body),
+            (2, body),
+            (3, "entirely different words " + " ".join(f"u{i}" for i in range(16))),
+            (4, quote + " " + " ".join(f"v{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_ngram_stats(df, n=8, min_df=2).collect()}
+    assert out[1].n_ngrams == 13 and out[1].n_dup_ngrams == 13 and not out[1].keep
+    assert out[2].n_dup_ngrams == 13 and not out[2].keep
+    assert out[3].n_dup_ngrams == 0 and out[3].keep
+    # doc 4 shares exactly the one quoted gram with docs 1/2
+    assert out[4].n_dup_ngrams == 1 and out[4].keep

@@ -159,3 +159,106 @@ def test_splice_plan_is_broadcast_anti_join_not_except(incremental_case):
     assert "Except" not in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_reference_mutation_set_over_test_repo(spark, tmp_path_factory):
+    """The reference's reindex scenario verbatim (tests.rs:48-110,
+    modify_test_repo_ruby over fixtures/test-repo): modify base_model.rb
+    (new self.find_by_attributes + leading whitespace), add
+    app/utils/string_utils.rb with a require, prepend a require_relative +
+    append a format_name method to user_model.rb, and delete to_h. The
+    merged graph must equal a from-scratch index on content, and the new
+    cross-file call UserModel#format_name → StringUtils::titleize must
+    resolve through the merge."""
+    import os
+    import shutil
+
+    from knowledge_graph_spark.incremental import apply_file_changes
+    from knowledge_graph_spark.pipeline.indexer import index_repository
+
+    src = "/root/reference/fixtures/test-repo"
+    if not os.path.isdir(src):
+        pytest.skip("reference fixtures not present")
+    root = tmp_path_factory.mktemp("reidx") / "test-repo"
+    shutil.copytree(src, root)
+
+    base_out = str(tmp_path_factory.mktemp("reidx-base"))
+    base_kg, _ = index_repository(spark, str(root), out_dir=base_out, repository_name="tr")
+
+    # 1. base_model.rb: new class method after self.create + leading blank lines
+    bm = root / "app/models/base_model.rb"
+    content = bm.read_text().replace(
+        "  def self.create(attributes)\n    instance = new(attributes)\n"
+        "    instance.save\n    instance\n  end",
+        "  def self.create(attributes)\n    instance = new(attributes)\n"
+        "    instance.save\n    instance\n  end\n\n"
+        "  def self.find_by_attributes(attrs)\n    where(attrs)\n  end",
+    )
+    bm.write_text("\n\n" + content)
+    # 2. new utility file with a require
+    su = root / "app/utils/string_utils.rb"
+    su.parent.mkdir(parents=True, exist_ok=True)
+    su.write_text(
+        "require 'string_toolkit'\n"
+        "module StringUtils\n"
+        "  def self.sanitize(str)\n    str.strip.downcase\n  end\n\n"
+        "  def self.titleize(str)\n    str.split(' ').map(&:capitalize).join(' ')\n  end\n"
+        "end\n"
+    )
+    # 3. user_model.rb uses the new utils
+    um = root / "app/models/user_model.rb"
+    um.write_text(
+        "require_relative '../utils/string_utils'\n\n"
+        + um.read_text()
+        + "\n  # Add name formatting\n  def format_name\n"
+        "    StringUtils.titleize(name)\n  end\n"
+    )
+    # 4. delete the to_h method from base_model.rb
+    bm.write_text(bm.read_text().replace(
+        "  def to_h\n    instance_variables.each_with_object({}) do |var, hash|\n"
+        "      key = var.to_s.delete('@').to_sym\n"
+        "      hash[key] = instance_variable_get(var)\n    end\n  end\n\n",
+        "",
+    ))
+
+    changed = [
+        "app/models/base_model.rb",
+        "app/utils/string_utils.rb",
+        "app/models/user_model.rb",
+    ]
+    fresh_out = str(tmp_path_factory.mktemp("reidx-fresh"))
+    fresh_kg, _ = index_repository(spark, str(root), out_dir=fresh_out, repository_name="tr")
+    merged = apply_file_changes(spark, base_kg, fresh_kg, changed, [])
+
+    # merged == from-scratch on content (the reference asserts count parity
+    # post-reindex; content-set equality is the stronger invariant)
+    for which in ("definitions",):
+        m = {
+            (r.fqn, r.primary_file_path)
+            for r in merged.definitions.select("fqn", "primary_file_path").collect()
+        }
+        f = {
+            (r.fqn, r.primary_file_path)
+            for r in fresh_kg.definitions.select("fqn", "primary_file_path").collect()
+        }
+        assert m == f, (sorted(m - f)[:5], sorted(f - m)[:5])
+    assert "BaseModel::find_by_attributes" in {r[0] for r in m}
+    assert "BaseModel#to_h" not in {r[0] for r in m}
+
+    # the new cross-file call resolves through the merge
+    de = merged.edges["definition_relationships"]
+    d = merged.definitions.select("id", "fqn")
+    pairs = {
+        (r.caller, r.callee)
+        for r in de.filter(
+            F.col("type").isin(["CALLS", "AMBIGUOUSLY_CALLS"])
+            & (F.col("target_table") == "definition_nodes")
+        )
+        .join(d.withColumnsRenamed({"id": "source_id", "fqn": "caller"}), "source_id")
+        .join(d.withColumnsRenamed({"id": "target_id", "fqn": "callee"}), "target_id")
+        .select("caller", "callee")
+        .collect()
+    }
+    assert ("UserModel#format_name", "StringUtils::titleize") in pairs, sorted(
+        p for p in pairs if "format_name" in p[0]
+    )

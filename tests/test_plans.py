@@ -203,3 +203,15 @@ def test_gopher_filter_is_single_narrow_pass(spark):
     plan = _plan(gopher_filter(read_table(spark, SF_SMALL, "documents")))
     assert "Join" not in plan, plan[:2000]
     assert _exchange_count(plan) <= 1, plan[:2000]
+
+
+def test_dup_ngram_stats_stays_on_hashes(spark):
+    """The doc-frequency shuffle must move xxhash64 longs, not n-word gram
+    strings, and nothing in the plan leaves the JVM."""
+    from knowledge_graph_spark.beyond.dedup import dup_ngram_stats
+    from knowledge_graph_spark.io import read_table
+
+    plan = _plan(dup_ngram_stats(read_table(spark, SF_SMALL, "documents")))
+    assert "xxhash64" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "PythonRDD" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
