@@ -181,6 +181,38 @@ def _q_search_xml(spark, sf_dir):  # enrichment + XML render + page token
     )
 
 
+def _q_import_usage_xml(spark, sf_dir):  # import_usage tool full render
+    from knowledge_graph_spark.queries import shaping
+
+    kg = _graph(spark, sf_dir)
+    paths = [
+        r["import_path"]
+        for r in kg.imports.select("import_path")
+        .distinct()
+        .orderBy("import_path")
+        .limit(2)
+        .collect()
+    ]
+    return shaping.import_usage_xml(kg, paths, page=1, page_size=50)
+
+
+def _q_get_references_xml(spark, sf_dir):  # get_references tool full render
+    # The TPC-H adapter graph has no def→def reference edges (its CALLS /
+    # PROPERTY_REFERENCE edges all target imported symbols), so this entry
+    # hash-checks the tool's EMPTY render branch — the populated branch is
+    # golden-tested over the reference's own fixtures
+    # (tests/test_language_golden.py::test_get_references_xml_*)
+    from knowledge_graph_spark.queries import shaping
+
+    kg = _graph(spark, sf_dir)
+    d = kg.definitions.orderBy("id").limit(1).select(
+        "name", "primary_file_path"
+    ).collect()[0]
+    return shaping.get_references_xml(
+        kg, d["name"], d["primary_file_path"], page=1, page_size=50
+    )
+
+
 def _q_neighbors_dir(spark, sf_dir):  # G1 J3 U3
     kg = _graph(spark, sf_dir)
     return L.neighbors(kg, "directory_nodes", 11, limit=100)
@@ -1104,6 +1136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _q_gopher_filter,
         "decontaminate": _q_decontaminate,
         "dup_ngram_stats": _q_dup_ngram_stats,
+        "import_usage_xml": _q_import_usage_xml,
+        "get_references_xml": _q_get_references_xml,
         # rows-only: probabilistic / iterative / stub (see ROWS_ONLY)
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_buckets": _q_simhash_buckets,
@@ -1134,6 +1168,9 @@ _REF_PARAMS_CTE = """ref_params AS (
   WHERE r.type IN ('CALLS','AMBIGUOUSLY_CALLS','PROPERTY_REFERENCE')
   ORDER BY r.source_id, r.target_id, r.type LIMIT 1
 )"""
+
+
+_REFX_DID = "(SELECT min(id) FROM definition_nodes)"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1261,6 +1298,26 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": D.DECONTAMINATE_SQL.format(prefix=20, nm1=7),
         "dup_ngram_stats": D.DUP_NGRAM_STATS_SQL.format(
             nm1=7, min_df=2, max_frac_pct=30
+        ),
+        "get_references_xml": o(
+            SHAPE.get_references_xml_sql(
+                name_sql=f"(SELECT name FROM definition_nodes WHERE id = {_REFX_DID})",
+                path_sql=(
+                    "(SELECT primary_file_path FROM definition_nodes "
+                    f"WHERE id = {_REFX_DID})"
+                ),
+                page=1,
+                page_size=50,
+            )
+        ),
+        "import_usage_xml": o(
+            SHAPE.import_usage_xml_sql(
+                paths_subquery="SELECT lower(import_path) FROM (SELECT DISTINCT "
+                "import_path FROM imported_symbol_nodes ORDER BY import_path "
+                "LIMIT 2) p",
+                page=1,
+                page_size=50,
+            )
         ),
         "cosine_topk": SIM.COSINE_TOPK_SQL.format(k=10),
         "embedding_near_dup": SIM.EMBEDDING_NEAR_DUP_SQL.format(threshold=0.35),

@@ -132,7 +132,8 @@ _JAVA_PKG = re.compile(r"^\s*package\s+([\w.]+)\s*;")
 # `Type name = ...` / `private Type name;` declarations give locals and
 # fields their static type (generics stripped)
 _JAVA_VAR_DECL = re.compile(
-    r"^\s*(?:(?:public|private|protected|final|static|var|readonly|internal)\s+)*"
+    r"^\s*(?:(?:public|private|protected|final|static|var|readonly|internal"
+    r"|volatile|transient)\s+)*"
     r"([A-Z][\w]*)(?:<[^>]*>)?\s+([_a-z]\w*)\s*[=;]"
 )
 _JV_RECV_CALL = re.compile(r"([A-Za-z_$][\w$]*)\.([a-z]\w*)\s*\(")
@@ -591,6 +592,30 @@ _BRACE_IMPORTS = {
 
 
 def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
+    """Indentation-tracked extraction for one file, with definition rows
+    carrying their full line span: a definition's end_line is the line
+    before the next same-or-lower-indent definition (or EOF) — the regex
+    stand-in for the reference's tree-sitter node extents
+    (DefinitionNode start_line/end_line, schema/init.rs:30-47), which the
+    get_references/read_definitions context windows clamp against."""
+    spans: list[tuple[str, int, int]] = []
+    rows = list(_extract_one_scan(path, language, text, spans))
+    if spans:
+        ends = {(n, d): e for n, d, e in spans}
+        patched = []
+        for r in rows:
+            if r[2] == "definition":
+                e = ends.get((r[3], r[8]))
+                if e is not None and e > r[9]:
+                    r = r[:9] + (e,) + r[10:]
+            patched.append(r)
+        rows = patched
+    return iter(rows)
+
+
+def _extract_one_scan(
+    path: str, language: str, text: str, spans: list[tuple[str, int, int]]
+) -> Iterator[tuple]:
     """Indentation-tracked extraction for one file."""
     def_re, imp_re = {
         "Python": (_PY_DEF, _PY_IMPORT),
@@ -619,7 +644,7 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
         )
 
     def scope_names():
-        names = [n for _, n, _ in stack]
+        names = [f[1] for f in stack]
         if language in ("Java", "Kotlin"):
             # package declaration prefixes the scope (reference Java/Kotlin
             # FQNs are package-based: com.example.app.Foo.bar); files in the
@@ -635,9 +660,9 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
         return names
 
     def enclosing_type() -> str | None:
-        for _, n, kw in reversed(stack):
-            if kw in type_kws:
-                return n
+        for f in reversed(stack):
+            if f[2] in type_kws:
+                return f[1]
         return None
 
     def receiver_calls(line, regex, ln):
@@ -775,7 +800,7 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                         # innermost frame that would survive this indent
                         m_indent = len(mm.group(1))
                         host = next(
-                            (kw_ for ind_, _n, kw_ in reversed(stack) if ind_ < m_indent),
+                            (f[2] for f in reversed(stack) if f[0] < m_indent),
                             None,
                         )
                         if host in ("class", "interface"):
@@ -835,13 +860,17 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
         if hit:
             indent, kw, name = hit
             while stack and stack[-1][0] >= indent:
-                stack.pop()
+                _f = stack.pop()
+                if _f[3] is not None:
+                    # the popped definition's extent ends on the line
+                    # before the one hosting the new definition
+                    spans.append((_f[1], _f[3], ln - 1))
             if kw == "impl" or (kw == "namespace" and language == "TypeScript"):
                 # scope frame only: Rust impl blocks and TS namespaces
                 # contribute to contained FQNs but emit no definition row —
                 # the reference analyzer skips Namespace definitions outright
                 # (typescript.rs:42-44 `Namespace → continue`)
-                stack.append((indent, name, kw))
+                stack.append((indent, name, kw, None))
                 byte_off += line_bytes
                 continue
             if kw in ("def", "def_self", "method", "function", "fun"):
@@ -862,7 +891,7 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                 None, None, ln, line, col, len(name),
                 receiver_type=ext_recv,
             )
-            stack.append((indent, name, kw))
+            stack.append((indent, name, kw, ln))
             if language == "TypeScript" and kw == "class":
                 ts_ih = _TS_EXTENDS.search(line)
                 if ts_ih:
@@ -899,6 +928,16 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                         ".".join(scope_names()), None, None, None,
                         ln, line, pih.start(1), len(pih.group(1)),
                     )
+            if language == "Java" and kw == "property":
+                # typed field emitted as a property definition: the declared
+                # type must STILL feed receiver resolution (`private static
+                # final Logger logger = ...` types logger.info() in every
+                # method), and the initializer's receiver calls
+                # (LogManager.getLogger(...)) are real calls from the field
+                vd = _JAVA_VAR_DECL.match(line)
+                if vd:
+                    ivar_types[vd.group(2)] = vd.group(1)
+                yield from receiver_calls(line, _JV_RECV_CALL, ln)
             if language == "Java" and kw in ("class", "interface", "enum", "record"):
                 # generics-stripped copy: `<T extends Bound>` must not match
                 decl = re.sub(r"<[^<>]*>", "", line)
@@ -969,11 +1008,20 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
             if bim:
                 # reference convention (java/tests.rs:292-303,
                 # find_calls_to_imported_symbol("java.util", "ArrayList")):
-                # import_path = the container/package, name = the last segment
+                # import_path = the container/package, name = the last segment.
+                # Wildcard imports (`import a.b.*` / `use x::*`) keep the
+                # FULL package as import_path with name '*' — the
+                # import_usage tool queries them by that package path
+                # (import_usage/tool.rs:159-190 matches import_path
+                # 'org.springframework.web.bind.annotation' for a `.*` line)
                 base = bim.group(1)
                 sep = brace[1]
-                name_ = base.split(sep)[-1]
-                container = base.rsplit(sep, 1)[0] if sep in base else base
+                if re.search(r"(?:\.|::)\*", imp_line):
+                    name_ = "*"
+                    container = base.rstrip(".:")
+                else:
+                    name_ = base.split(sep)[-1]
+                    container = base.rsplit(sep, 1)[0] if sep in base else base
                 yield row(
                     "import", name_, None, None, container, None,
                     ln, line, 0, len(line),
@@ -984,7 +1032,7 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                     vd = _JAVA_VAR_DECL.match(line)
                     if vd:
                         if enclosing_type() and not any(
-                            k in ("method", "function") for _, _, k in stack
+                            k in ("method", "function") for k in (f[2] for f in stack)
                         ):
                             ivar_types[vd.group(2)] = vd.group(1)
                         else:
@@ -1000,7 +1048,7 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                             ln, line, col, len(cls),
                         )
                 elif language == "CSharp":
-                    in_method = any(k == "method" for _, _, k in stack)
+                    in_method = any(f[2] == "method" for f in stack)
                     cn = _CS_LOCAL_NEW.match(line)
                     if cn:
                         t = cn.group(2).split(".")[-1]
@@ -1047,7 +1095,7 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                         if t:
                             # val in a fun body → local; top-level/class
                             # property → file-scoped (like Java fields)
-                            if any(k == "fun" for _, _, k in stack):
+                            if any(f[2] == "fun" for f in stack):
                                 local_types[kl.group(1)] = t
                             else:
                                 ivar_types[kl.group(1)] = t
@@ -1208,6 +1256,10 @@ def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
                         ln, line, cm.start(1), len(callee),
                     )
         byte_off += line_bytes
+    # EOF closes every open frame: their definitions extend to the last line
+    for _f in stack:
+        if _f[3] is not None:
+            spans.append((_f[1], _f[3], max(len(masked) - 1, _f[3])))
 
 
 def _gitignore_pattern_regex(pat: str) -> str:

@@ -283,3 +283,609 @@ SEARCH_XML_HITS_CTE = """hits AS (
   ORDER BY fqn, start_line
   LIMIT {limit} OFFSET {offset}
 )"""
+
+
+# ---------------------------------------------------------------------------
+# import_usage XML shaping (crates/mcp/src/tools/import_usage)
+# ---------------------------------------------------------------------------
+
+#: Per-file block (output.rs:18-49 via XmlBuilder indent 2; CDATA stripped,
+#: text flanked by newlines like write_cdata_element). imports/usages bodies
+#: are pre-rendered line runs each ending '\n' (service.rs:168-204), so the
+#: closing tag lands after the body's final newline.
+_FILE_FMT = (
+    "  <file>\n"
+    "    <path>%s</path>\n"
+    "    <imports>\n%s    </imports>\n"
+    "    <usages>\n%s    </usages>\n"
+    "  </file>"
+)
+
+
+def import_usage_xml(
+    kg: KnowledgeGraph,
+    import_paths: list[str],
+    page: int = 1,
+    page_size: int = 50,
+) -> DataFrame:
+    """The import_usage MCP tool's full render (import_usage/service.rs:
+    29-225, output.rs:18-49): per-file blocks pairing the matched import
+    statements' source lines (``import {text} L{s}-{e}``) with every usage
+    site (``usage {fqn} L{s}-{e}`` + '│ '-prefixed source snippet), file set
+    paginated, one row ``(xml, next_page, n_files, system_message)``.
+
+    Line labels are 1-based (+1 like repository.rs:108-124); snippets come
+    from the indexed file-line inventory (the reference reads the worktree,
+    file_reader_utils.rs). Spark trim == DuckDB trim (space-only) — a
+    documented divergence from Rust's str::trim for snippets that start or
+    end with tabs. Plan shape: two broadcast joins against the line
+    inventory, per-file string aggregation, one global sorted aggregation;
+    nothing leaves the JVM.
+    """
+    from knowledge_graph_spark import schema as S
+    from knowledge_graph_spark.queries.library import _context_lines
+
+    paths_lc = [p.lower() for p in import_paths]
+    lines = _context_lines(kg)
+
+    # -- imports: unique (file, line-range) with whitespace-normalized text
+    imps = (
+        kg.imports.filter(F.lower(F.col("import_path")).isin(paths_lc))
+        .select(F.col("file_path").alias("path"), "start_line", "end_line")
+        .distinct()
+    )
+    imp_j = F.broadcast(imps).join(
+        lines,
+        (imps.path == lines._path)
+        & (lines._line >= imps.start_line)
+        & (lines._line <= imps.end_line),
+        "left",
+    )
+    one_line = F.regexp_replace(
+        F.trim(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_line", "_rendered"))),
+                    lambda s: s["_rendered"],
+                ),
+                " ",
+            )
+        ),
+        r"\s+",
+        " ",
+    )
+    imp_rows = imp_j.groupBy("path", "start_line", "end_line").agg(one_line.alias("src"))
+    imp_entry = F.format_string(
+        "import %s L%d-%d\n",
+        F.coalesce(F.col("src"), F.lit("")),
+        F.col("start_line") + 1,
+        F.col("end_line") + 1,
+    )
+    imports_by_file = (
+        imp_rows.withColumn("entry", imp_entry)
+        .groupBy("path")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("start_line", "end_line", "entry"))
+                    ),
+                    lambda s: s["entry"],
+                ),
+                "",
+            ).alias("imports_text")
+        )
+    )
+
+    # -- usages: def→imp reference edges, source lines from the edge
+    imp_ids = kg.imports.filter(F.lower(F.col("import_path")).isin(paths_lc)).select(
+        F.col("id").alias("_imp_id")
+    )
+    refs = (
+        kg.edge("definition_relationships", S.REFERENCE_EDGE_TYPES)
+        .filter(F.col("target_table") == "imported_symbol_nodes")
+        .alias("r")
+        .join(F.broadcast(imp_ids), F.col("r.target_id") == F.col("_imp_id"))
+        .join(kg.definitions.alias("src"), F.col("r.source_id") == F.col("src.id"))
+        .select(
+            F.col("src.primary_file_path").alias("path"),
+            F.coalesce(F.col("r.source_start_line"), F.col("src.start_line")).alias("rs"),
+            F.coalesce(F.col("r.source_end_line"), F.col("src.end_line")).alias("re"),
+            F.col("src.fqn").alias("fqn"),
+            F.col("src.start_line").alias("def_start"),
+        )
+        .distinct()
+    )
+    u_j = F.broadcast(refs).join(
+        lines,
+        (refs.path == lines._path)
+        & (lines._line >= refs.rs)
+        & (lines._line <= refs.re),
+        "left",
+    )
+    chunk = F.trim(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_line", "_rendered"))),
+                lambda s: s["_rendered"],
+            ),
+            "\n",
+        )
+    )
+    u_rows = u_j.groupBy("path", "rs", "re", "fqn", "def_start").agg(chunk.alias("snippet"))
+    u_entry = F.concat(
+        F.format_string("usage %s L%d-%d\n", F.col("fqn"), F.col("rs") + 1, F.col("re") + 1),
+        F.when(F.col("rs") >= F.col("def_start"), F.lit("│ ...\n")).otherwise(F.lit("")),
+        F.when(
+            F.col("snippet") != "",
+            F.concat(
+                F.lit("│ "),
+                F.replace(F.col("snippet"), F.lit("\n"), F.lit("\n│ ")),
+                F.lit("\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("\n"),
+    )
+    usages_by_file = (
+        u_rows.withColumn("entry", u_entry)
+        .groupBy("path")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("rs", "re", "fqn", "def_start", "entry"))
+                    ),
+                    lambda s: s["entry"],
+                ),
+                "",
+            ).alias("usages_text")
+        )
+    )
+
+    # -- file union, pagination over the sorted file list
+    from pyspark.sql import Window
+
+    files = (
+        imports_by_file.join(usages_by_file, "path", "full_outer")
+        .select(
+            "path",
+            F.coalesce("imports_text", F.lit("")).alias("imports_text"),
+            F.coalesce("usages_text", F.lit("")).alias("usages_text"),
+        )
+        .withColumn("_rn", F.row_number().over(Window.orderBy("path")))
+        .withColumn("_total", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    pagef = files.filter(
+        (F.col("_rn") > (page - 1) * page_size) & (F.col("_rn") <= page * page_size)
+    )
+    block = F.format_string(
+        _FILE_FMT,
+        xml_escape(F.col("path")),
+        F.col("imports_text"),
+        F.col("usages_text"),
+    )
+    agg = pagef.withColumn("block", block).groupBy().agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("path", "block"))),
+                lambda s: s["block"],
+            ),
+            "\n",
+        ).alias("files_xml"),
+        F.count(F.lit(1)).alias("n_files"),
+        F.max("_total").alias("_total"),
+    )
+    next_page = F.when(
+        F.coalesce(F.col("_total"), F.lit(0)) > page * page_size,
+        F.lit(page + 1).cast("long"),
+    ).otherwise(F.lit(None).cast("long"))
+    system_message = F.format_string(
+        "Returned %d file block(s). page=%d page_size=%d.%s",
+        F.col("n_files"),
+        F.lit(page),
+        F.lit(page_size),
+        F.when(next_page.isNotNull(), F.lit(" More results available via next-page.")).otherwise(
+            F.lit("")
+        ),
+    )
+    xml = F.concat(
+        F.lit("<ToolResponse>\n"),
+        F.when(F.col("n_files") > 0, F.concat(F.col("files_xml"), F.lit("\n"))).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            next_page.isNotNull(),
+            F.format_string("  <next-page>%d</next-page>\n", next_page),
+        ).otherwise(F.lit("")),
+        F.lit("  <system-message>\n"),
+        system_message,
+        F.lit("\n  </system-message>\n</ToolResponse>"),
+    )
+    return agg.select(
+        xml.alias("xml"),
+        next_page.alias("next_page"),
+        F.col("n_files"),
+        system_message.alias("system_message"),
+    )
+
+
+def import_usage_xml_sql(paths_subquery: str, page: int, page_size: int) -> str:
+    """Oracle twin of import_usage_xml: identical bytes via the same format
+    strings, orderings, and space-only trim. ``paths_subquery`` yields the
+    lowercased import paths."""
+    off = (page - 1) * page_size
+    end = page * page_size
+    return f"""
+SELECT
+  '<ToolResponse>' || chr(10)
+    || CASE WHEN a.n_files > 0 THEN a.files_xml || chr(10) ELSE '' END
+    || CASE WHEN a.total > {end}
+            THEN printf('  <next-page>%d</next-page>', {page + 1}) || chr(10)
+            ELSE '' END
+    || '  <system-message>' || chr(10)
+    || printf('Returned %d file block(s). page=%d page_size=%d.%s',
+              a.n_files, {page}, {page_size},
+              CASE WHEN a.total > {end}
+                   THEN ' More results available via next-page.' ELSE '' END)
+    || chr(10) || '  </system-message>' || chr(10) || '</ToolResponse>' AS xml,
+  CASE WHEN a.total > {end} THEN CAST({page + 1} AS BIGINT) END AS next_page,
+  a.n_files,
+  printf('Returned %d file block(s). page=%d page_size=%d.%s',
+         a.n_files, {page}, {page_size},
+         CASE WHEN a.total > {end}
+              THEN ' More results available via next-page.' ELSE '' END)
+    AS system_message
+FROM (
+  SELECT coalesce(string_agg(p.block, chr(10) ORDER BY p.path), '') AS files_xml,
+         CAST(count(*) AS BIGINT) AS n_files,
+         coalesce(max(p.total), 0) AS total
+  FROM (
+    SELECT f.path, f.total,
+           printf('  <file>' || chr(10)
+                  || '    <path>%s</path>' || chr(10)
+                  || '    <imports>' || chr(10) || '%s    </imports>' || chr(10)
+                  || '    <usages>' || chr(10) || '%s    </usages>' || chr(10)
+                  || '  </file>',
+                  replace(replace(replace(f.path, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                  f.imports_text, f.usages_text) AS block,
+           row_number() OVER (ORDER BY f.path) AS rn
+    FROM (
+      SELECT coalesce(it.path, ut.path) AS path,
+             coalesce(it.imports_text, '') AS imports_text,
+             coalesce(ut.usages_text, '') AS usages_text,
+             count(*) OVER () AS total
+      FROM (
+        SELECT path,
+               string_agg(printf('import %s L%d-%d', src, start_line + 1, end_line + 1)
+                          || chr(10), '' ORDER BY start_line, end_line) AS imports_text
+        FROM (
+          SELECT i.path, i.start_line, i.end_line,
+                 coalesce(regexp_replace(trim(string_agg(l.line_text, ' '
+                                ORDER BY l.line_no, l.line_text)),
+                                '\\s+', ' ', 'g'), '') AS src
+          FROM (SELECT DISTINCT file_path AS path, start_line, end_line
+                FROM imported_symbol_nodes
+                WHERE lower(import_path) IN ({paths_subquery})) i
+          LEFT JOIN file_lines l
+            ON l.path = i.path AND l.line_no BETWEEN i.start_line AND i.end_line
+          GROUP BY 1, 2, 3
+        ) imp_src GROUP BY path
+      ) it
+      FULL OUTER JOIN (
+        SELECT path,
+               string_agg(
+                 printf('usage %s L%d-%d', fqn, rs + 1, re + 1) || chr(10)
+                 || CASE WHEN rs >= def_start THEN '│ ...' || chr(10) ELSE '' END
+                 || CASE WHEN snippet IS NOT NULL AND snippet <> ''
+                         THEN '│ ' || replace(snippet, chr(10), chr(10) || '│ ') || chr(10)
+                         ELSE '' END
+                 || chr(10), '' ORDER BY rs, re, fqn, def_start) AS usages_text
+        FROM (
+          SELECT u.path, u.rs, u.re, u.fqn, u.def_start,
+                 trim(string_agg(l.line_text, chr(10)
+                                 ORDER BY l.line_no, l.line_text)) AS snippet
+          FROM (
+            SELECT DISTINCT d.primary_file_path AS path,
+                   COALESCE(r.source_start_line, d.start_line) AS rs,
+                   COALESCE(r.source_end_line, d.end_line) AS re,
+                   d.fqn, d.start_line AS def_start
+            FROM definition_relationships r
+            JOIN imported_symbol_nodes i
+              ON i.id = r.target_id AND r.target_table = 'imported_symbol_nodes'
+             AND lower(i.import_path) IN ({paths_subquery})
+            JOIN definition_nodes d ON d.id = r.source_id
+            WHERE r.type IN ('CALLS','AMBIGUOUSLY_CALLS','PROPERTY_REFERENCE')
+          ) u
+          LEFT JOIN file_lines l
+            ON l.path = u.path AND l.line_no BETWEEN u.rs AND u.re
+          GROUP BY 1, 2, 3, 4, 5
+        ) ref_src GROUP BY path
+      ) ut ON it.path = ut.path
+    ) f
+  ) p
+  WHERE p.rn > {off} AND p.rn <= {end}
+) a
+"""
+
+
+# ---------------------------------------------------------------------------
+# get_references XML shaping (crates/mcp/src/tools/get_references)
+# ---------------------------------------------------------------------------
+
+#: Decision-framework literals (get_references/service.rs:215-231).
+REFS_FOUND_FRAMEWORK = (
+    "\nDecision Framework:\n"
+    "  - If your current task is to find all references to a definition, you can stop here.\n"
+    "  - If you're analyzing how a change might affect the codebase, use the `get_references` tool again to examine what references the symbols that point to your target definition.\n"
+    "  - If you need more background about a definition that references your target symbol, use the `search_codebase_definitions` tool to explore further.\n"
+)
+REFS_EMPTY_FRAMEWORK = (
+    "\nDecision Framework:\n"
+    "  - If you know for sure that the definition is referenced somewhere, you can use the `index_project` tool to re-index the project and try again.\n"
+    "  - If you know for sure that the definition is referenced somewhere, and the indexing is up to date, you can stop using the Knowledge Graph for getting references for the requested symbol.\n"
+)
+
+#: Per-reference fragment (output.rs:57-66; depth-4 under ToolResponse >
+#: definitions > definition > references).
+_REF_FRAG_FMT = (
+    "        <reference>\n"
+    "          <reference-type>%s</reference-type>\n"
+    "          <location>%s:L%d-%d</location>\n"
+    "          <context>\n%s\n          </context>\n"
+    "        </reference>"
+)
+#: Per-definition fragment (output.rs:50-69) hosting its reference run.
+_REF_DEF_FMT = (
+    "    <definition>\n"
+    "      <name>%s</name>\n"
+    "      <location>%s:L%d-%d</location>\n"
+    "      <definition-type>%s</definition-type>\n"
+    "      <fqn>%s</fqn>\n"
+    "      <references>\n%s\n      </references>\n"
+    "    </definition>"
+)
+
+
+def get_references_xml(
+    kg: KnowledgeGraph,
+    definition_name: str,
+    relative_file_path: str,
+    page: int = 1,
+    page_size: int = 50,
+) -> DataFrame:
+    """The get_references MCP tool's full render (get_references/service.rs:
+    29-146, output.rs:44-78): referencing definitions grouped with their
+    reference sites, each site carrying ±2 surrounding source lines clamped
+    to the referencing definition's span (service.rs:70-74), one row
+    ``(xml, next_page, n_results, system_message)``.
+
+    The reference groups via HashMap (iteration order unspecified); here the
+    definition groups are ordered by (fqn, start_line) and references within
+    a group by (start_line, end_line, type) — deterministic in both engines.
+    Line labels are 1-based like repository.rs:104-112.
+    """
+    from knowledge_graph_spark import schema as S
+    from knowledge_graph_spark.queries.library import _context_lines
+
+    target = kg.definitions.filter(
+        (F.col("name") == definition_name)
+        & (F.col("primary_file_path") == relative_file_path)
+    ).select(F.col("id").alias("_tid"))
+    refs = (
+        kg.edge("definition_relationships", S.REFERENCE_EDGE_TYPES)
+        .filter(F.col("target_table") == "definition_nodes")
+        .alias("r")
+        .join(F.broadcast(target), F.col("r.target_id") == F.col("_tid"))
+        .join(kg.definitions.alias("t"), F.col("r.source_id") == F.col("t.id"))
+        .select(
+            F.col("t.name").alias("dname"),
+            F.col("t.fqn").alias("dfqn"),
+            F.col("t.definition_type").alias("dtype"),
+            F.col("t.primary_file_path").alias("dpath"),
+            F.col("t.start_line").alias("ds"),
+            F.col("t.end_line").alias("de"),
+            F.coalesce(F.col("r.source_start_line"), F.col("t.start_line")).alias("rs"),
+            F.coalesce(F.col("r.source_end_line"), F.col("t.end_line")).alias("re"),
+            F.col("r.type").alias("rtype"),
+        )
+        .orderBy("dfqn", "ds", "rs", "re", "rtype")
+        .offset((page - 1) * page_size)
+        .limit(page_size)
+    )
+    lines = _context_lines(kg)
+    cs = F.greatest(refs.rs - 2, refs.ds)
+    ce = F.least(refs.re + 2, refs.de)
+    j = F.broadcast(refs).join(
+        lines,
+        (refs.dpath == lines._path) & (lines._line >= cs) & (lines._line <= ce),
+        "left",
+    )
+    ctx = F.trim(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_line", "_rendered"))),
+                lambda s: s["_rendered"],
+            ),
+            "\n",
+        )
+    )
+    per_ref = j.groupBy(
+        "dname", "dfqn", "dtype", "dpath", "ds", "de", "rs", "re", "rtype"
+    ).agg(ctx.alias("ctx"))
+    ref_frag = F.format_string(
+        _REF_FRAG_FMT,
+        xml_escape(F.col("rtype")),
+        xml_escape(F.col("dpath")),
+        F.col("rs") + 1,
+        F.col("re") + 1,
+        xml_escape(F.coalesce(F.col("ctx"), F.lit(""))),
+    )
+    per_def = (
+        per_ref.withColumn("rf", ref_frag)
+        .groupBy("dname", "dfqn", "dtype", "dpath", "ds", "de")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rs", "re", "rtype", "rf"))),
+                    lambda s: s["rf"],
+                ),
+                "\n",
+            ).alias("refs_xml"),
+            F.count(F.lit(1)).alias("n_refs"),
+        )
+    )
+    def_frag = F.format_string(
+        _REF_DEF_FMT,
+        xml_escape(F.col("dname")),
+        xml_escape(F.col("dpath")),
+        F.col("ds") + 1,
+        F.col("de") + 1,
+        xml_escape(F.col("dtype")),
+        xml_escape(F.col("dfqn")),
+        F.col("refs_xml"),
+    )
+    agg = per_def.withColumn("df", def_frag).groupBy().agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dfqn", "ds", "df"))),
+                lambda s: s["df"],
+            ),
+            "\n",
+        ).alias("defs_xml"),
+        F.sum("n_refs").alias("n_results"),
+    )
+    n = F.coalesce(F.col("n_results"), F.lit(0))
+    next_page = F.when(n >= page_size, F.lit(page + 1).cast("long")).otherwise(
+        F.lit(None).cast("long")
+    )
+    more = F.when(
+        next_page.isNotNull(),
+        F.format_string(
+            "There are more results on page %d if more context is needed for the current task.\n",
+            next_page,
+        ),
+    ).otherwise(F.lit(""))
+    found_msg = F.format_string(
+        "Found a total of %d references for the definition %s in the file %s.\n"
+        + REFS_FOUND_FRAMEWORK.replace("%", "%%"),
+        n,
+        F.lit(definition_name),
+        F.lit(relative_file_path),
+    )
+    empty_msg = F.lit(
+        f"No indexed references found for the definition {definition_name} "
+        f"in the file {relative_file_path}.\n" + REFS_EMPTY_FRAMEWORK
+    )
+    system_message = F.concat(more, F.when(n > 0, found_msg).otherwise(empty_msg))
+    xml = F.concat(
+        F.lit("<ToolResponse>\n  <definitions>\n"),
+        F.when(n > 0, F.concat(F.col("defs_xml"), F.lit("\n"))).otherwise(F.lit("")),
+        F.lit("  </definitions>\n"),
+        F.when(
+            next_page.isNotNull(),
+            F.format_string("  <next-page>%d</next-page>\n", next_page),
+        ).otherwise(F.lit("")),
+        F.lit("  <system-message>\n"),
+        system_message,
+        F.lit("  </system-message>\n</ToolResponse>"),
+    )
+    return agg.select(
+        xml.alias("xml"),
+        next_page.alias("next_page"),
+        n.cast("long").alias("n_results"),
+        system_message.alias("system_message"),
+    )
+
+
+def get_references_xml_sql(
+    name_sql: str,
+    path_sql: str,
+    page: int,
+    page_size: int,
+) -> str:
+    """Oracle twin of get_references_xml — identical bytes via the same
+    format strings, escapes, clamped context windows, and orderings.
+    ``name_sql``/``path_sql`` are SQL scalar expressions yielding the target
+    definition's name and file (quoted literals, or data-derived subqueries
+    so the oracle picks the same target at any scale factor)."""
+
+    def sq(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    ref_frag = (
+        "printf(" + sq(_REF_FRAG_FMT) + ", "
+        + _xml_esc_sql("p.rtype") + ", "
+        + _xml_esc_sql("p.dpath") + ", p.rs + 1, p.re + 1, "
+        + _xml_esc_sql("coalesce(p.ctx, '')") + ")"
+    )
+    def_frag = (
+        "printf(" + sq(_REF_DEF_FMT) + ", "
+        + _xml_esc_sql("g.dname") + ", "
+        + _xml_esc_sql("g.dpath") + ", g.ds + 1, g.de + 1, "
+        + _xml_esc_sql("g.dtype") + ", "
+        + _xml_esc_sql("g.dfqn") + ", g.refs_xml)"
+    )
+    more = (
+        f"CASE WHEN a.n_results >= {page_size} THEN printf("
+        f"'There are more results on page %d if more context is needed for the current task.' || chr(10), {page + 1}) ELSE '' END"
+    )
+    found_msg = (
+        f"printf('Found a total of %d references for the definition %s in the file %s.' || chr(10) || {sq(REFS_FOUND_FRAMEWORK)}, "
+        f"a.n_results, {name_sql}, {path_sql})"
+    )
+    empty_msg = (
+        f"printf('No indexed references found for the definition %s in the file %s.' || chr(10) || {sq(REFS_EMPTY_FRAMEWORK)}, "
+        f"{name_sql}, {path_sql})"
+    )
+    sysmsg = (
+        f"({more} || CASE WHEN a.n_results > 0 THEN {found_msg} ELSE {empty_msg} END)"
+    )
+    return f"""
+SELECT
+  '<ToolResponse>' || chr(10) || '  <definitions>' || chr(10)
+    || CASE WHEN a.n_results > 0 THEN a.defs_xml || chr(10) ELSE '' END
+    || '  </definitions>' || chr(10)
+    || CASE WHEN a.n_results >= {page_size}
+            THEN printf('  <next-page>%d</next-page>', {page + 1}) || chr(10)
+            ELSE '' END
+    || '  <system-message>' || chr(10)
+    || {sysmsg}
+    || '  </system-message>' || chr(10) || '</ToolResponse>' AS xml,
+  CASE WHEN a.n_results >= {page_size} THEN CAST({page + 1} AS BIGINT) END AS next_page,
+  CAST(a.n_results AS BIGINT) AS n_results,
+  {sysmsg} AS system_message
+FROM (
+  SELECT coalesce(string_agg({def_frag}, chr(10) ORDER BY g.dfqn, g.ds), '') AS defs_xml,
+         coalesce(sum(g.n_refs), 0) AS n_results
+  FROM (
+    SELECT p.dname, p.dfqn, p.dtype, p.dpath, p.ds, p.de,
+           string_agg({ref_frag}, chr(10) ORDER BY p.rs, p.re, p.rtype) AS refs_xml,
+           count(*) AS n_refs
+    FROM (
+      SELECT h.*, trim(string_agg(l.line_text, chr(10)
+                                  ORDER BY l.line_no, l.line_text)) AS ctx
+      FROM (
+        SELECT t.name AS dname, t.fqn AS dfqn, t.definition_type AS dtype,
+               t.primary_file_path AS dpath, t.start_line AS ds, t.end_line AS de,
+               COALESCE(r.source_start_line, t.start_line) AS rs,
+               COALESCE(r.source_end_line, t.end_line) AS re,
+               r.type AS rtype
+        FROM definition_relationships r
+        JOIN definition_nodes s
+          ON s.id = r.target_id AND r.target_table = 'definition_nodes'
+         AND s.name = ({name_sql})
+         AND s.primary_file_path = ({path_sql})
+        JOIN definition_nodes t ON t.id = r.source_id
+        WHERE r.type IN ('CALLS','AMBIGUOUSLY_CALLS','PROPERTY_REFERENCE')
+        ORDER BY dfqn, ds, rs, re, rtype
+        LIMIT {page_size} OFFSET {(page - 1) * page_size}
+      ) h
+      LEFT JOIN file_lines l
+        ON l.path = h.dpath
+       AND l.line_no BETWEEN greatest(h.rs - 2, h.ds) AND least(h.re + 2, h.de)
+      GROUP BY h.dname, h.dfqn, h.dtype, h.dpath, h.ds, h.de, h.rs, h.re, h.rtype
+    ) p
+    GROUP BY 1, 2, 3, 4, 5, 6
+  ) g
+) a
+"""

@@ -252,13 +252,42 @@ class GraphService:
                 "system_message": row.system_message,
             }
         if tool == "get_references":
+            if "relative_file_path" in args:
+                # the MCP tool contract: (definition_name, relative_file_path)
+                # → grouped XML render (get_references/output.rs:44-78)
+                row = SHAPE.get_references_xml(
+                    kg,
+                    args.get("definition_name") or args["symbol_name"],
+                    args["relative_file_path"],
+                    page=int(args.get("page", 1)),
+                ).collect()[0]
+                return {
+                    "xml": row.xml,
+                    "next_page": row.next_page,
+                    "n_results": row.n_results,
+                    "system_message": row.system_message,
+                }
             rows = L.get_references(
                 kg, args["symbol_name"], page=int(args.get("page", 1))
             ).collect()
             return {"references": [r.asDict() for r in rows]}
         if tool == "import_usage":
+            # the MCP tool's contract is the rendered XML document
+            # (import_usage/output.rs:18-49); the raw rows stay available
+            # for API consumers
+            row = SHAPE.import_usage_xml(
+                kg,
+                args["import_paths"],
+                page=int(args.get("page", 1)),
+                page_size=int(args.get("page_size", 50)),
+            ).collect()[0]
             rows = L.import_usage(kg, args["import_paths"]).collect()
-            return {"usages": [r.asDict() for r in rows]}
+            return {
+                "xml": row.xml,
+                "next_page": row.next_page,
+                "system_message": row.system_message,
+                "usages": [r.asDict() for r in rows],
+            }
         if tool == "get_definition":
             rows = L.definition_at(
                 kg, args["file_path"], int(args["line"]), int(args["column"])

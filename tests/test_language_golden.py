@@ -1181,3 +1181,138 @@ def test_java_reference_to_deep_nested_class(java_main):
         "com.example.helpers.Helpers.InnerInnerHelpers.innerInnerDoHelp",
         "com.example.helpers.Helpers.InnerHelpers.innerDoHelp",
     ) in pairs, sorted(p for p in pairs if "Helpers" in p[0])
+
+
+# ---- import_usage MCP tool over fixtures/java-user-service -----------------
+# (crates/mcp/src/tools/import_usage/tool.rs:159-260)
+
+JAVA_USER_SERVICE = "/root/reference/fixtures/java-user-service"
+
+
+@pytest.fixture(scope="module")
+def java_user_service(spark):
+    return _index(spark, JAVA_USER_SERVICE)
+
+
+def test_import_usage_java_spring_imports_and_refs(java_user_service):
+    """tool.rs:159-190: querying import_path
+    org.springframework.web.bind.annotation (a wildcard `.*` import) renders
+    <imports>/<usages> blocks containing the import source line."""
+    from knowledge_graph_spark.queries.shaping import import_usage_xml
+
+    xml = import_usage_xml(
+        java_user_service, ["org.springframework.web.bind.annotation"]
+    ).collect()[0].xml
+    assert "<imports>" in xml
+    assert "<usages>" in xml
+    assert "import org.springframework.web.bind.annotation" in xml, xml[:800]
+
+
+def test_import_usage_java_logging_import(java_user_service):
+    """tool.rs:193-224: the log4j import block lists the import lines and the
+    logger.* usage sites inside UserController's methods."""
+    from knowledge_graph_spark.queries.shaping import import_usage_xml
+
+    xml = import_usage_xml(
+        java_user_service, ["org.apache.logging.log4j"]
+    ).collect()[0].xml
+    assert "import org.apache.logging.log4j" in xml
+    assert "UserController.java" in xml
+    assert "getUserById" in xml
+    assert "getAllUsers" in xml
+
+
+def test_import_usage_case_insensitive_import_path(java_user_service):
+    """tool.rs:226-258: import paths match case-insensitively."""
+    from knowledge_graph_spark.queries.shaping import import_usage_xml
+
+    xml = import_usage_xml(
+        java_user_service, ["ORG.APACHE.LOGGING.LOG4J"]
+    ).collect()[0].xml
+    assert "import org.apache.logging.log4j" in xml
+
+
+def test_import_usage_pagination_limits_files(java_user_service):
+    """tool.rs:373-429: page_size=1 yields one file block and a next-page
+    token; the last page carries none."""
+    from knowledge_graph_spark.queries.shaping import import_usage_xml
+
+    p1 = import_usage_xml(
+        java_user_service, ["org.apache.logging.log4j"], page=1, page_size=1
+    ).collect()[0]
+    assert p1.n_files == 1 and p1.next_page == 2
+    assert "More results available via next-page." in p1.system_message
+    p3 = import_usage_xml(
+        java_user_service, ["org.apache.logging.log4j"], page=3, page_size=1
+    ).collect()[0]
+    assert p3.next_page is None
+
+
+def test_java_field_type_feeds_receiver_resolution(java_user_service):
+    """`private static final Logger logger = LogManager.getLogger(...)` —
+    the field's declared type resolves logger.info() receivers, and the
+    initializer's LogManager.getLogger call is a call from the field
+    (java/expression_resolver.rs field typing)."""
+    de = java_user_service.edges["definition_relationships"]
+    d = java_user_service.definitions.select("id", "fqn")
+    imp_calls = {
+        (r.caller, r.imp_name)
+        for r in de.filter(
+            (F.col("type") == "CALLS")
+            & (F.col("target_table") == "imported_symbol_nodes")
+        )
+        .join(d.withColumnsRenamed({"id": "source_id", "fqn": "caller"}), "source_id")
+        .join(
+            java_user_service.imports.select(
+                F.col("id").alias("target_id"), F.col("name").alias("imp_name")
+            ),
+            "target_id",
+        )
+        .select("caller", "imp_name")
+        .collect()
+    }
+    assert (
+        "com.example.userservice.controller.UserController.getAllUsers",
+        "Logger",
+    ) in imp_calls, sorted(c for c in imp_calls if "getAllUsers" in c[0])
+    assert (
+        "com.example.userservice.controller.UserController.logger",
+        "LogManager",
+    ) in imp_calls, sorted(c for c in imp_calls if c[1] == "LogManager")
+
+
+def test_get_references_xml_populated(ruby_refs):
+    """get_references tool render over ruby-references (get_references/
+    tool.rs asserts callers of NotificationService.notify): referencing
+    definitions grouped with CALLS sites and ±2-line contexts."""
+    from knowledge_graph_spark.queries.shaping import get_references_xml
+
+    row = get_references_xml(
+        ruby_refs, "notify", "app/services/notification_service.rb"
+    ).collect()[0]
+    xml = row.xml
+    assert row.n_results >= 3, xml[:500]
+    assert "<definitions>" in xml and "<reference-type>CALLS</reference-type>" in xml
+    for caller in (
+        "UsersController#destroy",
+        "User#send_notification",
+        "NotificationService::notify_all",
+    ):
+        assert f"<fqn>{caller}</fqn>" in xml, xml[:2000]
+    # context carries real source text from the referencing file
+    assert "NotificationService.notify" in xml
+    assert "Found a total of" in row.system_message
+    assert "Decision Framework:" in row.system_message
+
+
+def test_get_references_xml_empty_branch(ruby_refs):
+    """A definition with no references renders the empty document and the
+    empty-branch decision framework (output.rs:11-18 empty())."""
+    from knowledge_graph_spark.queries.shaping import get_references_xml
+
+    row = get_references_xml(
+        ruby_refs, "no_such_method_anywhere", "app/models/user.rb"
+    ).collect()[0]
+    assert row.n_results == 0 and row.next_page is None
+    assert "<definitions>\n  </definitions>" in row.xml
+    assert "No indexed references found" in row.system_message
