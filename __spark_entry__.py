@@ -213,6 +213,56 @@ def _q_get_references_xml(spark, sf_dir):  # get_references tool full render
     )
 
 
+def _q_read_definitions_xml(spark, sf_dir):  # read_definitions tool render
+    from knowledge_graph_spark.queries import shaping
+
+    kg = _graph(spark, sf_dir)
+    reqs = [
+        (r["name"], r["primary_file_path"])
+        for r in kg.definitions.orderBy("id").limit(2).select(
+            "name", "primary_file_path"
+        ).collect()
+    ]
+    return shaping.read_definitions_xml(kg, reqs, limit=100)
+
+
+def _q_get_definition_xml(spark, sf_dir):  # get_definition tool render
+    from knowledge_graph_spark.queries import shaping
+
+    kg = _graph(spark, sf_dir)
+    probe = (
+        kg.edges["definition_relationships"]
+        .filter(
+            (F.col("target_table") == "imported_symbol_nodes")
+            & F.col("type").isin(["CALLS", "AMBIGUOUSLY_CALLS"])
+            & F.col("source_start_col").isNotNull()
+        )
+        .alias("r")
+        .join(kg.definitions.alias("d"), F.col("r.source_id") == F.col("d.id"))
+        .join(kg.imports.alias("i"), F.col("r.target_id") == F.col("i.id"))
+        .select(
+            F.col("d.primary_file_path").alias("fp"),
+            F.col("r.source_start_line").alias("ln"),
+            F.col("i.name").alias("sym"),
+            F.col("r.source_id"),
+            F.col("r.target_id"),
+            F.col("r.type"),
+        )
+        .orderBy("source_id", "target_id", "type")
+        .limit(1)
+        .collect()[0]
+    )
+    text = (
+        kg.file_lines.filter(
+            (F.col("path") == probe["fp"]) & (F.col("line_no") == probe["ln"])
+        )
+        .orderBy("line_text")
+        .limit(1)
+        .collect()[0]["line_text"]
+    )
+    return shaping.get_definition_xml(kg, probe["fp"], text, probe["sym"])
+
+
 def _q_neighbors_dir(spark, sf_dir):  # G1 J3 U3
     kg = _graph(spark, sf_dir)
     return L.neighbors(kg, "directory_nodes", 11, limit=100)
@@ -1138,6 +1188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_stats": _q_dup_ngram_stats,
         "import_usage_xml": _q_import_usage_xml,
         "get_references_xml": _q_get_references_xml,
+        "read_definitions_xml": _q_read_definitions_xml,
+        "get_definition_xml": _q_get_definition_xml,
         # rows-only: probabilistic / iterative / stub (see ROWS_ONLY)
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_buckets": _q_simhash_buckets,
@@ -1298,6 +1350,38 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": D.DECONTAMINATE_SQL.format(prefix=20, nm1=7),
         "dup_ngram_stats": D.DUP_NGRAM_STATS_SQL.format(
             nm1=7, min_df=2, max_frac_pct=30
+        ),
+        "get_definition_xml": (lambda _c_s: o(_c_s[1], extra_ctes=_c_s[0]))(
+            SHAPE.get_definition_xml_sql(
+                fp_sql="SELECT d.primary_file_path FROM definition_relationships r "
+                "JOIN definition_nodes d ON d.id = r.source_id "
+                "WHERE r.target_table = 'imported_symbol_nodes' "
+                "AND r.type IN ('CALLS','AMBIGUOUSLY_CALLS') "
+                "AND r.source_start_col IS NOT NULL "
+                "ORDER BY r.source_id, r.target_id, r.type LIMIT 1",
+                ln_sql="SELECT r.source_start_line FROM definition_relationships r "
+                "WHERE r.target_table = 'imported_symbol_nodes' "
+                "AND r.type IN ('CALLS','AMBIGUOUSLY_CALLS') "
+                "AND r.source_start_col IS NOT NULL "
+                "ORDER BY r.source_id, r.target_id, r.type LIMIT 1",
+                sym_sql="SELECT i.name FROM definition_relationships r "
+                "JOIN imported_symbol_nodes i ON i.id = r.target_id "
+                "WHERE r.target_table = 'imported_symbol_nodes' "
+                "AND r.type IN ('CALLS','AMBIGUOUSLY_CALLS') "
+                "AND r.source_start_col IS NOT NULL "
+                "ORDER BY r.source_id, r.target_id, r.type LIMIT 1",
+            )
+        ),
+        "read_definitions_xml": o(
+            SHAPE.read_definitions_xml_sql(
+                requests_sql="SELECT DISTINCT name, primary_file_path FROM "
+                "(SELECT name, primary_file_path FROM definition_nodes "
+                "ORDER BY id LIMIT 2) p",
+                n_requested_sql="SELECT count(*) FROM (SELECT DISTINCT name, "
+                "primary_file_path FROM (SELECT name, primary_file_path FROM "
+                "definition_nodes ORDER BY id LIMIT 2) p) q",
+                limit=100,
+            )
         ),
         "get_references_xml": o(
             SHAPE.get_references_xml_sql(

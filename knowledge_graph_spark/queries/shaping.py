@@ -889,3 +889,510 @@ FROM (
   ) g
 ) a
 """
+
+
+# ---------------------------------------------------------------------------
+# read_definitions XML shaping (crates/mcp/src/tools/read_definitions)
+# ---------------------------------------------------------------------------
+
+READ_DEFS_FOUND_FRAMEWORK = (
+    "\nDecision Framework:\n"
+    "  - If your current task is to understand specific definitions, you can use the returned definition bodies directly.\n"
+    "  - If you need to find references to these definitions, use the `get_references` tool with the definition names and file paths.\n"
+    "  - If you need to find related definitions or explore the codebase further, use the `search_codebase_definitions` tool.\n"
+)
+READ_DEFS_EMPTY_FRAMEWORK = (
+    "No definitions were found for the requested names and file paths.\n"
+    "\nDecision Framework:\n"
+    "  - Verify that the definition names and file paths are correct and exact matches.\n"
+    "  - Use the `search_codebase_definitions` tool to find definitions with similar names.\n"
+    "  - If you know the definitions exist, use the `index_project` tool to re-index the project and try again.\n"
+    "  - If you know the definitions exist, and the indexing is up to date, you can stop using the Knowledge Graph for the missing definitions.\n"
+)
+
+#: Per-definition fragment (read_definitions/output.rs:28-43).
+_READ_DEF_FMT = (
+    "    <definition>\n"
+    "      <name>%s</name>\n"
+    "      <fqn>%s</fqn>\n"
+    "      <definition-type>%s</definition-type>\n"
+    "      <location>%s:L%d-%d</location>\n"
+    "      <definition-body>\n%s\n      </definition-body>\n"
+    "    </definition>"
+)
+
+
+def read_definitions_xml(
+    kg: KnowledgeGraph, requests: list[tuple[str, str]], limit: int = 100
+) -> DataFrame:
+    """The read_definitions MCP tool's full render (read_definitions/
+    service.rs:26-98, output.rs:28-50): each requested (name, file) pair's
+    definitions with their FULL SOURCE BODY — the definition's line span
+    from the indexed line inventory, trimmed — plus the processed/found/
+    read summary and decision framework. One row
+    ``(xml, n_results, system_message)``."""
+    from knowledge_graph_spark.queries.library import _context_lines, read_definitions
+
+    hits = read_definitions(kg, requests, limit=limit)
+    lines = _context_lines(kg)
+    j = F.broadcast(hits).join(
+        lines,
+        (hits.primary_file_path == lines._path)
+        & (lines._line >= hits.start_line)
+        & (lines._line <= hits.end_line),
+        "left",
+    )
+    body = F.trim(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_line", "_rendered"))),
+                lambda s: s["_rendered"],
+            ),
+            "\n",
+        )
+    )
+    per_def = j.groupBy(
+        "name", "fqn", "definition_type", "primary_file_path", "start_line", "end_line"
+    ).agg(body.alias("body"))
+    frag = F.format_string(
+        _READ_DEF_FMT,
+        xml_escape(F.col("name")),
+        xml_escape(F.col("fqn")),
+        xml_escape(F.col("definition_type")),
+        xml_escape(F.col("primary_file_path")),
+        F.col("start_line") + 1,
+        F.col("end_line") + 1,
+        xml_escape(F.coalesce(F.col("body"), F.lit(""))),
+    )
+    agg = per_def.withColumn("frag", frag).groupBy().agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("fqn", "start_line", "frag"))),
+                lambda s: s["frag"],
+            ),
+            "\n",
+        ).alias("defs_xml"),
+        F.count(F.lit(1)).alias("n_results"),
+    )
+    n = F.coalesce(F.col("n_results"), F.lit(0))
+    n_requested = len(list(dict.fromkeys(requests)))
+    found_msg = F.format_string(
+        "Processed %d definition requests, found %d definitions.\n"
+        "Successfully read %d definition bodies, 0 had errors.\n"
+        + READ_DEFS_FOUND_FRAMEWORK.replace("%", "%%"),
+        F.lit(n_requested),
+        n,
+        n,
+    )
+    empty_msg = F.lit(
+        f"Processed {n_requested} definition requests, found 0 definitions.\n"
+        + READ_DEFS_EMPTY_FRAMEWORK
+    )
+    system_message = F.when(n > 0, found_msg).otherwise(empty_msg)
+    xml = F.concat(
+        F.lit("<ToolResponse>\n  <definitions>\n"),
+        F.when(n > 0, F.concat(F.col("defs_xml"), F.lit("\n"))).otherwise(F.lit("")),
+        F.lit("  </definitions>\n  <system-message>\n"),
+        system_message,
+        F.lit("  </system-message>\n</ToolResponse>"),
+    )
+    return agg.select(
+        xml.alias("xml"),
+        n.cast("long").alias("n_results"),
+        system_message.alias("system_message"),
+    )
+
+
+def read_definitions_xml_sql(requests_sql: str, n_requested_sql: str, limit: int) -> str:
+    """Oracle twin of read_definitions_xml. ``requests_sql`` yields
+    (name, primary_file_path) request rows; ``n_requested_sql`` a scalar
+    expression for the request count."""
+
+    def sq(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    frag = (
+        "printf(" + sq(_READ_DEF_FMT) + ", "
+        + _xml_esc_sql("p.name") + ", "
+        + _xml_esc_sql("p.fqn") + ", "
+        + _xml_esc_sql("p.definition_type") + ", "
+        + _xml_esc_sql("p.primary_file_path")
+        + ", p.start_line + 1, p.end_line + 1, "
+        + _xml_esc_sql("coalesce(p.body, '')") + ")"
+    )
+    found_msg = (
+        f"printf('Processed %d definition requests, found %d definitions.' || chr(10) || "
+        f"'Successfully read %d definition bodies, 0 had errors.' || chr(10) || "
+        f"{sq(READ_DEFS_FOUND_FRAMEWORK)}, ({n_requested_sql}), a.n_results, a.n_results)"
+    )
+    empty_msg = (
+        f"printf('Processed %d definition requests, found 0 definitions.' || chr(10) || "
+        f"{sq(READ_DEFS_EMPTY_FRAMEWORK)}, ({n_requested_sql}))"
+    )
+    sysmsg = f"CASE WHEN a.n_results > 0 THEN {found_msg} ELSE {empty_msg} END"
+    return f"""
+SELECT
+  '<ToolResponse>' || chr(10) || '  <definitions>' || chr(10)
+    || CASE WHEN a.n_results > 0 THEN a.defs_xml || chr(10) ELSE '' END
+    || '  </definitions>' || chr(10) || '  <system-message>' || chr(10)
+    || {sysmsg}
+    || '  </system-message>' || chr(10) || '</ToolResponse>' AS xml,
+  CAST(a.n_results AS BIGINT) AS n_results,
+  {sysmsg} AS system_message
+FROM (
+  SELECT coalesce(string_agg({frag}, chr(10) ORDER BY p.fqn, p.start_line), '') AS defs_xml,
+         CAST(count(*) AS BIGINT) AS n_results
+  FROM (
+    SELECT h.name, h.fqn, h.definition_type, h.primary_file_path,
+           h.start_line, h.end_line,
+           trim(string_agg(l.line_text, chr(10)
+                           ORDER BY l.line_no, l.line_text)) AS body
+    FROM (
+      SELECT d.name, d.fqn, d.definition_type, d.primary_file_path,
+             d.start_line, d.end_line
+      FROM definition_nodes d
+      JOIN ({requests_sql}) q
+        ON q.name = d.name AND q.primary_file_path = d.primary_file_path
+      ORDER BY d.primary_file_path, d.start_line, d.name, d.fqn
+      LIMIT {limit}
+    ) h
+    LEFT JOIN file_lines l
+      ON l.path = h.primary_file_path
+     AND l.line_no BETWEEN h.start_line AND h.end_line
+    GROUP BY 1, 2, 3, 4, 5, 6
+  ) p
+) a
+"""
+
+
+# ---------------------------------------------------------------------------
+# get_definition XML shaping (crates/mcp/src/tools/get_definition)
+# ---------------------------------------------------------------------------
+
+#: Per-hit fragment (get_definition/output.rs:54-106): raw 0-based db lines,
+#: edge col interval, boolean flag, CDATA code span.
+_GETDEF_FMT = (
+    "    <definition>\n"
+    "      <type>%s</type>\n"
+    "      <id>%d</id>\n"
+    "      <name>%s</name>\n"
+    "      <fqn>%s</fqn>\n"
+    "      <primary-file-path>%s</primary-file-path>\n"
+    "      <absolute-file-path>%s</absolute-file-path>\n"
+    "      <start-line>%d</start-line>\n"
+    "      <end-line>%d</end-line>\n"
+    "      <rel-start-col>%d</rel-start-col>\n"
+    "      <rel-end-col>%d</rel-end-col>\n"
+    "      <is-ambiguous>%s</is-ambiguous>\n"
+    "      <code>\n%s\n      </code>\n"
+    "    </definition>"
+)
+
+
+def get_definition_xml(
+    kg: KnowledgeGraph,
+    file_path: str,
+    line_content: str,
+    symbol_name: str,
+    project_path: str = "/repo",
+) -> DataFrame:
+    """The get_definition MCP tool's full render (get_definition/service.rs:
+    30-228, output.rs:54-106): find the source lines matching
+    ``line_content`` (trim-equality, find_matching_line_numbers), locate
+    every occurrence of ``symbol_name`` on them, resolve each occurrence
+    through the call-site column intervals on CALLS/AMBIGUOUSLY_CALLS
+    edges, dedupe (definitions by id; imported symbols keep the narrowest
+    column interval per id, select_best_hits), and render each hit with its
+    code span. One row ``(xml, n_results, system_message)``.
+
+    Deviations, documented: occurrence scanning finds overlapping
+    occurrences (the reference skips past each match); the reference's
+    HashMap ordering is replaced by (type, fqn, start-line, id) ordering in
+    both engines; system_message is '' instead of absent (the oracle
+    comparator treats NULL == NULL but the two flag sentences match)."""
+    from knowledge_graph_spark.queries.library import _context_lines
+
+    lines = _context_lines(kg)
+    sym_len = len(symbol_name)
+    matched = lines.filter(
+        (F.col("_path") == file_path)
+        & (F.trim(F.col("_rendered")) == line_content.strip())
+    ).select(F.col("_line").alias("m_line"), F.col("_rendered").alias("m_text"))
+    # all 0-based occurrence columns of the symbol on each matched line
+    occ = matched.select(
+        "m_line",
+        F.explode(
+            F.transform(
+                F.filter(
+                    F.sequence(F.lit(1), F.greatest(F.length("m_text") - (sym_len - 1), F.lit(1))),
+                    lambda i: F.col("m_text").substr(i, F.lit(sym_len))
+                    == F.lit(symbol_name),
+                ),
+                lambda i: i - 1,
+            )
+        ).alias("occ_col"),
+    )
+    n_lines = matched.count()
+    n_occ = occ.count()
+
+    src = kg.definitions.filter(F.col("primary_file_path") == file_path).select(
+        F.col("id").alias("_sid")
+    )
+    edges = (
+        kg.edges["definition_relationships"]
+        .filter(F.col("type").isin(["CALLS", "AMBIGUOUSLY_CALLS"]))
+        .alias("r")
+        .join(F.broadcast(src), F.col("r.source_id") == F.col("_sid"))
+        .join(
+            F.broadcast(occ),
+            (F.col("r.source_start_line") == F.col("m_line"))
+            & (F.col("r.source_start_col") <= F.col("occ_col"))
+            & (F.col("r.source_end_col") >= F.col("occ_col") + sym_len - 1),
+        )
+    )
+    defs_hits = (
+        edges.filter(F.col("r.target_table") == "definition_nodes")
+        .join(kg.definitions.alias("t"), F.col("r.target_id") == F.col("t.id"))
+        .filter(F.lower(F.col("t.name")) == symbol_name.lower())
+        .select(
+            F.lit("Definition").alias("ttype"),
+            F.col("t.id").alias("tid"),
+            F.col("t.name").alias("tname"),
+            F.col("t.fqn").alias("tfqn"),
+            F.col("t.primary_file_path").alias("tpath"),
+            F.col("t.start_line").alias("ts"),
+            F.col("t.end_line").alias("te"),
+            F.col("r.source_start_col").alias("c0"),
+            F.col("r.source_end_col").alias("c1"),
+            (F.col("r.type") == "AMBIGUOUSLY_CALLS").alias("amb"),
+        )
+        .distinct()
+    )
+    imp_hits = (
+        edges.filter(F.col("r.target_table") == "imported_symbol_nodes")
+        .join(kg.imports.alias("i"), F.col("r.target_id") == F.col("i.id"))
+        .select(
+            F.lit("ImportedSymbol").alias("ttype"),
+            F.col("i.id").alias("tid"),
+            F.coalesce(F.col("i.name"), F.lit("")).alias("tname"),
+            F.lit("").alias("tfqn"),
+            F.col("i.file_path").alias("tpath"),
+            F.col("i.start_line").alias("ts"),
+            F.col("i.end_line").alias("te"),
+            F.col("r.source_start_col").alias("c0"),
+            F.col("r.source_end_col").alias("c1"),
+            (F.col("r.type") == "AMBIGUOUSLY_CALLS").alias("amb"),
+        )
+    )
+    # select_best_hits: defs dedupe by id; imports keep the NARROWEST
+    # column interval per id (service.rs:256-283)
+    from pyspark.sql import Window
+
+    wdef = Window.partitionBy("tid").orderBy("c0", "c1", "amb")
+    defs_best = (
+        defs_hits.withColumn("_rn", F.row_number().over(wdef))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    wimp = Window.partitionBy("tid").orderBy(
+        (F.col("c1") - F.col("c0")).asc(), "c0", "amb"
+    )
+    imps_best = (
+        imp_hits.withColumn("_rn", F.row_number().over(wimp))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    hits = defs_best.unionByName(imps_best)
+    j = F.broadcast(hits).join(
+        lines,
+        (hits.tpath == lines._path)
+        & (lines._line >= hits.ts)
+        & (lines._line <= hits.te),
+        "left",
+    )
+    code = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_line", "_rendered"))),
+            lambda s: s["_rendered"],
+        ),
+        "\n",
+    )
+    per_hit = j.groupBy(
+        "ttype", "tid", "tname", "tfqn", "tpath", "ts", "te", "c0", "c1", "amb"
+    ).agg(code.alias("code"))
+    frag = F.format_string(
+        _GETDEF_FMT,
+        F.col("ttype"),
+        F.col("tid"),
+        xml_escape(F.col("tname")),
+        xml_escape(F.col("tfqn")),
+        xml_escape(F.col("tpath")),
+        xml_escape(F.concat(F.lit(project_path + "/"), F.col("tpath"))),
+        F.col("ts"),
+        F.col("te"),
+        F.col("c0"),
+        F.col("c1"),
+        F.when(F.col("amb"), F.lit("true")).otherwise(F.lit("false")),
+        xml_escape(F.coalesce(F.col("code"), F.lit(""))),
+    )
+    agg = per_hit.withColumn("frag", frag).groupBy().agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ttype", "tfqn", "ts", "tid", "frag"))
+                ),
+                lambda s: s["frag"],
+            ),
+            "\n",
+        ).alias("defs_xml"),
+        F.count(F.lit(1)).alias("n_results"),
+    )
+    n = F.coalesce(F.col("n_results"), F.lit(0))
+    parts = []
+    if n_lines > 1:
+        parts.append(f"Multiple lines matched this code ({n_lines}).")
+    if n_occ > n_lines:
+        parts.append("Multiple occurrences of the symbol on the line.")
+    system_message = F.lit(" ".join(parts))
+    xml = F.concat(
+        F.lit("<ToolResponse>\n  <definitions>\n"),
+        F.when(n > 0, F.concat(F.col("defs_xml"), F.lit("\n"))).otherwise(F.lit("")),
+        F.lit("  </definitions>\n"),
+        F.when(
+            F.length(system_message) > 0,
+            F.concat(
+                F.lit("  <system-message>\n"),
+                system_message,
+                F.lit("\n  </system-message>\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</ToolResponse>"),
+    )
+    return agg.select(
+        xml.alias("xml"),
+        n.cast("long").alias("n_results"),
+        system_message.alias("system_message"),
+    )
+
+
+def get_definition_xml_sql(
+    fp_sql: str, ln_sql: str, sym_sql: str, project_path: str = "/repo"
+) -> tuple[str, str]:
+    """Oracle twin of get_definition_xml, returned as (extra_ctes,
+    select_sql) for the graph-CTE wrapper. ``fp_sql``/``ln_sql``/``sym_sql``
+    are scalar expressions for the probe file path, the probed source line
+    number (whose text becomes the line_content input), and the symbol."""
+
+    def sq(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    frag = (
+        "printf(" + sq(_GETDEF_FMT) + ", p.ttype, p.tid, "
+        + _xml_esc_sql("p.tname") + ", "
+        + _xml_esc_sql("p.tfqn") + ", "
+        + _xml_esc_sql("p.tpath") + ", "
+        + _xml_esc_sql(f"'{project_path}/' || p.tpath")
+        + ", p.ts, p.te, p.c0, p.c1, CASE WHEN p.amb THEN 'true' ELSE 'false' END, "
+        + _xml_esc_sql("coalesce(p.code, '')") + ")"
+    )
+    ctes = f"""gd_params AS (
+  SELECT ({fp_sql}) AS fp, ({ln_sql}) AS ln, ({sym_sql}) AS sym
+),
+gd_line AS (
+  SELECT trim(l.line_text) AS content
+  FROM file_lines l, gd_params p
+  WHERE l.path = p.fp AND l.line_no = p.ln
+  ORDER BY l.line_text LIMIT 1
+),
+mline AS (
+  SELECT l.line_no AS m_line, l.line_text AS m_text
+  FROM file_lines l, gd_params p
+  WHERE l.path = p.fp AND trim(l.line_text) = (SELECT content FROM gd_line)
+),
+occ AS (
+  SELECT m.m_line, u.i - 1 AS occ_col
+  FROM mline m,
+       LATERAL unnest(range(1, greatest(length(m.m_text)
+             - ((SELECT length(sym) FROM gd_params) - 1), 1) + 1)) u(i)
+  WHERE substr(m.m_text, CAST(u.i AS INT),
+               CAST((SELECT length(sym) FROM gd_params) AS INT))
+        = (SELECT sym FROM gd_params)
+),
+gd_edges AS (
+  SELECT r.target_table, r.target_id, r.source_start_col, r.source_end_col, r.type
+  FROM definition_relationships r
+  JOIN definition_nodes s
+    ON s.id = r.source_id AND s.primary_file_path = (SELECT fp FROM gd_params)
+  JOIN occ o ON r.source_start_line = o.m_line
+   AND r.source_start_col <= o.occ_col
+   AND r.source_end_col >= o.occ_col + (SELECT length(sym) FROM gd_params) - 1
+  WHERE r.type IN ('CALLS','AMBIGUOUSLY_CALLS')
+),
+gd_hits AS (
+  SELECT * FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY d.tid ORDER BY d.c0, d.c1, d.amb) AS rn
+    FROM (
+      SELECT DISTINCT 'Definition' AS ttype, t.id AS tid, t.name AS tname,
+             t.fqn AS tfqn, t.primary_file_path AS tpath,
+             t.start_line AS ts, t.end_line AS te,
+             e.source_start_col AS c0, e.source_end_col AS c1,
+             e.type = 'AMBIGUOUSLY_CALLS' AS amb
+      FROM gd_edges e
+      JOIN definition_nodes t
+        ON t.id = e.target_id AND e.target_table = 'definition_nodes'
+      WHERE lower(t.name) = lower((SELECT sym FROM gd_params))
+    ) d
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT * FROM (
+    SELECT i.*, row_number() OVER (PARTITION BY i.tid
+                                   ORDER BY i.c1 - i.c0, i.c0, i.amb) AS rn
+    FROM (
+      SELECT 'ImportedSymbol' AS ttype, t.id AS tid,
+             coalesce(t.name, '') AS tname, '' AS tfqn, t.file_path AS tpath,
+             t.start_line AS ts, t.end_line AS te,
+             e.source_start_col AS c0, e.source_end_col AS c1,
+             e.type = 'AMBIGUOUSLY_CALLS' AS amb
+      FROM gd_edges e
+      JOIN imported_symbol_nodes t
+        ON t.id = e.target_id AND e.target_table = 'imported_symbol_nodes'
+    ) i
+  ) WHERE rn = 1
+),
+gd_coded AS (
+  SELECT h.ttype, h.tid, h.tname, h.tfqn, h.tpath, h.ts, h.te, h.c0, h.c1, h.amb,
+         string_agg(l.line_text, chr(10) ORDER BY l.line_no, l.line_text) AS code
+  FROM gd_hits h
+  LEFT JOIN file_lines l
+    ON l.path = h.tpath AND l.line_no BETWEEN h.ts AND h.te
+  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10
+),
+gd_agg AS (
+  SELECT coalesce(string_agg({frag}, chr(10)
+                  ORDER BY p.ttype, p.tfqn, p.ts, p.tid), '') AS defs_xml,
+         CAST(count(*) AS BIGINT) AS n_results
+  FROM gd_coded p
+),
+gd_msg AS (
+  SELECT coalesce(concat_ws(' ',
+    CASE WHEN (SELECT count(*) FROM mline) > 1
+         THEN printf('Multiple lines matched this code (%d).',
+                     (SELECT count(*) FROM mline)) END,
+    CASE WHEN (SELECT count(*) FROM occ) > (SELECT count(*) FROM mline)
+         THEN 'Multiple occurrences of the symbol on the line.' END), '') AS msg
+)"""
+    select = f"""
+SELECT
+  '<ToolResponse>' || chr(10) || '  <definitions>' || chr(10)
+    || CASE WHEN a.n_results > 0 THEN a.defs_xml || chr(10) ELSE '' END
+    || '  </definitions>' || chr(10)
+    || CASE WHEN length(m.msg) > 0
+            THEN '  <system-message>' || chr(10) || m.msg || chr(10)
+                 || '  </system-message>' || chr(10)
+            ELSE '' END
+    || '</ToolResponse>' AS xml,
+  a.n_results,
+  m.msg AS system_message
+FROM gd_agg a, gd_msg m
+"""
+    return ctes, select

@@ -289,14 +289,35 @@ class GraphService:
                 "usages": [r.asDict() for r in rows],
             }
         if tool == "get_definition":
+            if "line_content" in args and "symbol_name" in args:
+                # the MCP tool contract: (file, line CONTENT, symbol) →
+                # resolved hits with code spans (get_definition/service.rs)
+                row = SHAPE.get_definition_xml(
+                    kg,
+                    args["file_path"],
+                    args["line_content"],
+                    args["symbol_name"],
+                    project_path=proj,
+                ).collect()[0]
+                return {
+                    "xml": row.xml,
+                    "n_results": row.n_results,
+                    "system_message": row.system_message,
+                }
             rows = L.definition_at(
                 kg, args["file_path"], int(args["line"]), int(args["column"])
             ).collect()
             return {"definitions": [r.asDict() for r in rows]}
         if tool == "read_definitions":
             reqs = [(d["name"], d["file_path"]) for d in args["definitions"]]
+            row = SHAPE.read_definitions_xml(kg, reqs).collect()[0]
             rows = L.read_definitions(kg, reqs).collect()
-            return {"definitions": [r.asDict() for r in rows]}
+            return {
+                "xml": row.xml,
+                "n_results": row.n_results,
+                "system_message": row.system_message,
+                "definitions": [r.asDict() for r in rows],
+            }
         if tool == "repo_map":
             rows = L.repo_map(kg, args.get("path_prefix", "")).collect()
             return {"entries": [r.asDict() for r in rows]}

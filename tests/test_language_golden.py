@@ -1316,3 +1316,62 @@ def test_get_references_xml_empty_branch(ruby_refs):
     assert row.n_results == 0 and row.next_page is None
     assert "<definitions>\n  </definitions>" in row.xml
     assert "No indexed references found" in row.system_message
+
+
+def test_read_definitions_xml_bodies(ruby_refs):
+    """read_definitions tool render (read_definitions/output.rs:28-50,
+    service.rs:26-98): the requested definition's FULL body — its whole line
+    span from the source — lands in <definition-body>."""
+    from knowledge_graph_spark.queries.shaping import read_definitions_xml
+
+    row = read_definitions_xml(
+        ruby_refs, [("get_profile", "app/models/user.rb")]
+    ).collect()[0]
+    assert row.n_results == 1, row.xml[:500]
+    assert "<name>get_profile</name>" in row.xml
+    assert "Profile.find_by_user_id(id)" in row.xml  # the body's call line
+    assert "Processed 1 definition requests, found 1 definitions." in row.system_message
+    assert "Successfully read 1 definition bodies, 0 had errors." in row.system_message
+
+
+def test_read_definitions_xml_empty(ruby_refs):
+    """Unknown requests render the empty branch with its own framework."""
+    from knowledge_graph_spark.queries.shaping import read_definitions_xml
+
+    row = read_definitions_xml(
+        ruby_refs, [("nope", "app/models/user.rb")]
+    ).collect()[0]
+    assert row.n_results == 0
+    assert "found 0 definitions" in row.system_message
+    assert "Verify that the definition names and file paths" in row.system_message
+
+
+def test_get_definition_xml_resolves_call_site(ruby_refs):
+    """get_definition tool render (get_definition/service.rs:30-228): the
+    symbol at a call site resolves to its definition with id/fqn/span/cols,
+    an is-ambiguous flag, and the full code span."""
+    from knowledge_graph_spark.queries.shaping import get_definition_xml
+
+    row = get_definition_xml(
+        ruby_refs,
+        "app/controllers/users_controller.rb",
+        "profile = @user.get_profile",
+        "get_profile",
+    ).collect()[0]
+    assert row.n_results == 1, row.xml[:600]
+    assert "<type>Definition</type>" in row.xml
+    assert "<fqn>User#get_profile</fqn>" in row.xml
+    assert "<is-ambiguous>false</is-ambiguous>" in row.xml
+    assert "Profile.find_by_user_id(id)" in row.xml  # code span content
+    assert row.system_message == ""  # one line, one occurrence
+
+
+def test_get_definition_xml_no_match(ruby_refs):
+    """An unmatched line renders the empty document (service.rs:41-46)."""
+    from knowledge_graph_spark.queries.shaping import get_definition_xml
+
+    row = get_definition_xml(
+        ruby_refs, "app/models/user.rb", "this line is nowhere", "nothing"
+    ).collect()[0]
+    assert row.n_results == 0
+    assert "<definitions>\n  </definitions>" in row.xml
