@@ -334,12 +334,14 @@ def import_usage_xml(
         .select(F.col("file_path").alias("path"), "start_line", "end_line")
         .distinct()
     )
+    # inner broadcast join for the source text, then a left join back with
+    # the page-sized snippet frame broadcast — a LEFT OUTER join cannot
+    # broadcast its left side, and the line inventory must stay the stream
     imp_j = F.broadcast(imps).join(
         lines,
         (imps.path == lines._path)
         & (lines._line >= imps.start_line)
         & (lines._line <= imps.end_line),
-        "left",
     )
     one_line = F.regexp_replace(
         F.trim(
@@ -354,7 +356,10 @@ def import_usage_xml(
         r"\s+",
         " ",
     )
-    imp_rows = imp_j.groupBy("path", "start_line", "end_line").agg(one_line.alias("src"))
+    imp_snips = imp_j.groupBy("path", "start_line", "end_line").agg(one_line.alias("src"))
+    imp_rows = imps.join(
+        F.broadcast(imp_snips), ["path", "start_line", "end_line"], "left"
+    )
     imp_entry = F.format_string(
         "import %s L%d-%d\n",
         F.coalesce(F.col("src"), F.lit("")),
@@ -401,7 +406,6 @@ def import_usage_xml(
         (refs.path == lines._path)
         & (lines._line >= refs.rs)
         & (lines._line <= refs.re),
-        "left",
     )
     chunk = F.trim(
         F.array_join(
@@ -412,7 +416,10 @@ def import_usage_xml(
             "\n",
         )
     )
-    u_rows = u_j.groupBy("path", "rs", "re", "fqn", "def_start").agg(chunk.alias("snippet"))
+    u_snips = u_j.groupBy("path", "rs", "re", "fqn", "def_start").agg(chunk.alias("snippet"))
+    u_rows = refs.join(
+        F.broadcast(u_snips), ["path", "rs", "re", "fqn", "def_start"], "left"
+    )
     u_entry = F.concat(
         F.format_string("usage %s L%d-%d\n", F.col("fqn"), F.col("rs") + 1, F.col("re") + 1),
         F.when(F.col("rs") >= F.col("def_start"), F.lit("│ ...\n")).otherwise(F.lit("")),
@@ -445,12 +452,18 @@ def import_usage_xml(
     # -- file union, pagination over the sorted file list
     from pyspark.sql import Window
 
+    # FULL OUTER has no broadcast strategy in Spark; a tagged union +
+    # one small path-keyed aggregation merges the two per-file frames
     files = (
-        imports_by_file.join(usages_by_file, "path", "full_outer")
-        .select(
-            "path",
-            F.coalesce("imports_text", F.lit("")).alias("imports_text"),
-            F.coalesce("usages_text", F.lit("")).alias("usages_text"),
+        imports_by_file.withColumn("usages_text", F.lit(None).cast("string"))
+        .unionByName(
+            usages_by_file.withColumn("imports_text", F.lit(None).cast("string")),
+            allowMissingColumns=False,
+        )
+        .groupBy("path")
+        .agg(
+            F.coalesce(F.max("imports_text"), F.lit("")).alias("imports_text"),
+            F.coalesce(F.max("usages_text"), F.lit("")).alias("usages_text"),
         )
         .withColumn("_rn", F.row_number().over(Window.orderBy("path")))
         .withColumn("_total", F.count(F.lit(1)).over(Window.partitionBy()))
@@ -698,7 +711,6 @@ def get_references_xml(
     j = F.broadcast(refs).join(
         lines,
         (refs.dpath == lines._path) & (lines._line >= cs) & (lines._line <= ce),
-        "left",
     )
     ctx = F.trim(
         F.array_join(
@@ -709,9 +721,9 @@ def get_references_xml(
             "\n",
         )
     )
-    per_ref = j.groupBy(
-        "dname", "dfqn", "dtype", "dpath", "ds", "de", "rs", "re", "rtype"
-    ).agg(ctx.alias("ctx"))
+    keys = ["dname", "dfqn", "dtype", "dpath", "ds", "de", "rs", "re", "rtype"]
+    snips = j.groupBy(*keys).agg(ctx.alias("ctx"))
+    per_ref = refs.join(F.broadcast(snips), keys, "left")
     ref_frag = F.format_string(
         _REF_FRAG_FMT,
         xml_escape(F.col("rtype")),
@@ -940,7 +952,6 @@ def read_definitions_xml(
         (hits.primary_file_path == lines._path)
         & (lines._line >= hits.start_line)
         & (lines._line <= hits.end_line),
-        "left",
     )
     body = F.trim(
         F.array_join(
@@ -951,9 +962,11 @@ def read_definitions_xml(
             "\n",
         )
     )
-    per_def = j.groupBy(
-        "name", "fqn", "definition_type", "primary_file_path", "start_line", "end_line"
-    ).agg(body.alias("body"))
+    keys = [
+        "name", "fqn", "definition_type", "primary_file_path", "start_line", "end_line",
+    ]
+    snips = j.groupBy(*keys).agg(body.alias("body"))
+    per_def = hits.join(F.broadcast(snips), keys, "left")
     frag = F.format_string(
         _READ_DEF_FMT,
         xml_escape(F.col("name")),
@@ -1208,7 +1221,6 @@ def get_definition_xml(
         (hits.tpath == lines._path)
         & (lines._line >= hits.ts)
         & (lines._line <= hits.te),
-        "left",
     )
     code = F.array_join(
         F.transform(
@@ -1217,9 +1229,9 @@ def get_definition_xml(
         ),
         "\n",
     )
-    per_hit = j.groupBy(
-        "ttype", "tid", "tname", "tfqn", "tpath", "ts", "te", "c0", "c1", "amb"
-    ).agg(code.alias("code"))
+    keys = ["ttype", "tid", "tname", "tfqn", "tpath", "ts", "te", "c0", "c1", "amb"]
+    snips = j.groupBy(*keys).agg(code.alias("code"))
+    per_hit = hits.join(F.broadcast(snips), keys, "left")
     frag = F.format_string(
         _GETDEF_FMT,
         F.col("ttype"),

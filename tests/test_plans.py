@@ -215,3 +215,30 @@ def test_dup_ngram_stats_stays_on_hashes(spark):
     assert "xxhash64" in plan, plan[:2000]
     assert "BatchEvalPython" not in plan and "PythonRDD" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_xml_tool_renders_broadcast_the_page(spark):
+    """The four MCP tool renders must broadcast their page/hit set against
+    the line inventory — no sort-merge join, nothing Python-side."""
+    import __spark_entry__ as mod
+    from knowledge_graph_spark.queries.shaping import (
+        get_references_xml,
+        import_usage_xml,
+        read_definitions_xml,
+    )
+
+    kg = mod._graph(spark, SF_SMALL)
+    paths = [
+        r["import_path"]
+        for r in kg.imports.select("import_path").distinct().orderBy("import_path").limit(2).collect()
+    ]
+    d = kg.definitions.orderBy("id").limit(1).collect()[0]
+    for df in (
+        import_usage_xml(kg, paths),
+        get_references_xml(kg, d["name"], d["primary_file_path"]),
+        read_definitions_xml(kg, [(d["name"], d["primary_file_path"])]),
+    ):
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan, plan[:1500]
+        assert "SortMergeJoin" not in plan, plan[:1500]
+        assert "BatchEvalPython" not in plan and "PythonRDD" not in plan
