@@ -205,3 +205,55 @@ def test_unknown_routes(served):
         {"workspace_folder_path": served["ws"], "project_path": served["proj"]},
     )
     assert "unknown tool" in out.get("error", "")
+
+
+def test_mcp_xml_tool_contracts(served):
+    """The four tool dispatches return the rendered XML documents
+    (import_usage/output.rs, get_references/output.rs,
+    read_definitions/output.rs, get_definition/output.rs)."""
+    _, iu = served["post"](
+        "/api/mcp/import_usage",
+        {
+            "workspace_folder_path": served["ws"],
+            "project_path": served["proj"],
+            "import_paths": ["app.models.user"],
+        },
+    )
+    assert "<ToolResponse>" in iu["xml"] and "<imports>" in iu["xml"]
+    assert "import" in iu["xml"] and "app/main.py" in iu["xml"]
+
+    _, gr = served["post"](
+        "/api/mcp/get_references",
+        {
+            "workspace_folder_path": served["ws"],
+            "project_path": served["proj"],
+            "definition_name": "notify_user",
+            "relative_file_path": "app/models/user.py",
+        },
+    )
+    assert "User.activate</fqn>" in gr["xml"], gr["xml"][:800]
+    assert "Decision Framework" in gr["system_message"]
+
+    _, rd = served["post"](
+        "/api/mcp/read_definitions",
+        {
+            "workspace_folder_path": served["ws"],
+            "project_path": served["proj"],
+            "definitions": [{"name": "notify_user", "file_path": "app/models/user.py"}],
+        },
+    )
+    assert "<definition-body>" in rd["xml"] and "return 1" in rd["xml"]
+
+    _, gd = served["post"](
+        "/api/mcp/get_definition",
+        {
+            "workspace_folder_path": served["ws"],
+            "project_path": served["proj"],
+            "file_path": "app/models/user.py",
+            "line_content": "        return notify_user()",
+            "symbol_name": "notify_user",
+        },
+    )
+    assert gd["n_results"] >= 1, gd
+    assert "<type>Definition</type>" in gd["xml"]
+    assert "def notify_user():" in gd["xml"]
