@@ -1408,3 +1408,50 @@ SELECT
 FROM gd_agg a, gd_msg m
 """
     return ctes, select
+
+
+def xml_export(kg: KnowledgeGraph, context_lines: int = 2) -> DataFrame:
+    """Corpus-wide formatted export: EVERY definition's XML fragment with
+    its context snippet, as a (primary_file_path, fqn, start_line, fragment)
+    frame — the distributed form of the search render (no page SELECT, no
+    global 1-row aggregation), so callers can write it partitioned by file
+    path like any other table. The per-fragment bytes are identical to
+    search_definitions_xml's <definition> elements for the same rows."""
+    from knowledge_graph_spark.queries.library import _context_lines
+
+    ctx = int(context_lines)
+    lines = _context_lines(kg)
+    defs = kg.definitions.select(
+        "fqn", "name", "definition_type", "primary_file_path",
+        "start_line", "end_line",
+    )
+    j = defs.join(
+        lines,
+        (defs.primary_file_path == lines._path)
+        & (lines._line >= defs.start_line - ctx)
+        & (lines._line <= defs.start_line + ctx),
+    )
+    snippet = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_line", "_rendered"))),
+            lambda s: s["_rendered"],
+        ),
+        "\n",
+    )
+    enriched = j.groupBy(
+        "fqn", "name", "definition_type", "primary_file_path",
+        "start_line", "end_line",
+    ).agg(snippet.alias("snippet"))
+    frag = F.format_string(
+        _FRAG_FMT,
+        xml_escape(F.col("name")),
+        xml_escape(F.col("fqn")),
+        xml_escape(F.col("definition_type")),
+        xml_escape(F.col("primary_file_path")),
+        F.col("start_line"),
+        F.col("end_line"),
+        xml_escape(F.col("snippet")),
+    )
+    return enriched.select(
+        "primary_file_path", "fqn", "start_line", frag.alias("fragment")
+    )

@@ -242,3 +242,35 @@ def test_xml_tool_renders_broadcast_the_page(spark):
         assert "BroadcastHashJoin" in plan, plan[:1500]
         assert "SortMergeJoin" not in plan, plan[:1500]
         assert "BatchEvalPython" not in plan and "PythonRDD" not in plan
+
+
+def test_xml_export_is_distributed(spark):
+    """The corpus-wide export must not collapse to one row or one
+    partition — it is a per-definition frame whose fragments match the
+    paged render's elements byte-for-byte."""
+    import __spark_entry__ as mod
+    from knowledge_graph_spark.queries.shaping import (
+        search_definitions_xml,
+        xml_export,
+    )
+
+    kg = mod._graph(spark, SF_SMALL)
+    exp = xml_export(kg)
+    # one fragment per distinct rendered identity (duplicate-fqn rows at
+    # the same location collapse, exactly like the paged render's groupBy)
+    assert exp.count() == kg.definitions.select(
+        "fqn", "name", "definition_type", "primary_file_path",
+        "start_line", "end_line",
+    ).distinct().count()
+    plan = _plan(exp)
+    assert "BatchEvalPython" not in plan and "PythonRDD" not in plan
+    # fragment parity with the paged render: a term-filtered page's
+    # fragments all appear verbatim in the export
+    paged = search_definitions_xml(kg, ["blue"], page=1, page_size=5).collect()[0]
+    frags = {
+        r.fragment
+        for r in exp.filter(F.lower(F.col("fqn")).contains("blue")).collect()
+    }
+    for block in paged.xml.split("    <definition>\n")[1:]:
+        body = "    <definition>\n" + block.split("    </definition>")[0] + "    </definition>"
+        assert body in frags or paged.n_results == 0
