@@ -1375,3 +1375,36 @@ def test_get_definition_xml_no_match(ruby_refs):
     ).collect()[0]
     assert row.n_results == 0
     assert "<definitions>\n  </definitions>" in row.xml
+
+
+def test_search_xml_context_lines_java(java_main):
+    """search_codebase_definitions.rs:447-556: searching 'main' over the
+    java fixture renders the full document — Main class/method fqns with
+    the real surrounding source (annotation, signature) in <context>, and
+    no next-page token for a sub-page result set."""
+    from knowledge_graph_spark.queries.shaping import search_definitions_xml
+
+    row = search_definitions_xml(java_main, ["main"], page=1, page_size=50).collect()[0]
+    xml = row.xml
+    assert "<ToolResponse>" in xml and "<definitions>" in xml
+    assert "<system-message>" in xml
+    assert row.next_page is None and "<next-page>" not in xml
+    assert "<definition>" in xml
+    assert "<fqn>com.example.app.Main</fqn>" in xml
+    assert "public class Main extends Application" in xml
+    assert "<fqn>com.example.app.Main.main</fqn>" in xml
+    assert "@Traceable" in xml
+    assert "public void main() {" in xml
+
+
+def test_search_xml_has_next_page_java(java_main):
+    """search_codebase_definitions.rs:559+: a full page yields the
+    next-page token; the following page renders and eventually drains."""
+    from knowledge_graph_spark.queries.shaping import search_definitions_xml
+
+    p1 = search_definitions_xml(java_main, ["e"], page=1, page_size=3).collect()[0]
+    assert p1.n_results == 3 and p1.next_page == 2
+    assert "<next-page>2</next-page>" in p1.xml
+    assert "There are more results on page 2" in p1.system_message
+    p2 = search_definitions_xml(java_main, ["e"], page=2, page_size=3).collect()[0]
+    assert p2.n_results >= 1
