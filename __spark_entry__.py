@@ -263,6 +263,16 @@ def _q_get_definition_xml(spark, sf_dir):  # get_definition tool render
     return shaping.get_definition_xml(kg, probe["fp"], text, probe["sym"])
 
 
+def _q_repo_map_xml(spark, sf_dir):  # repo_map tool full render (rows-only:
+    # the ASCII-tree prefix construction has no tractable SQL twin; the
+    # underlying repo_map queries stay oracle-checked, and the render's
+    # bytes are golden-tested against the reference's own e2e assertions)
+    from knowledge_graph_spark.queries import shaping
+
+    kg = _graph(spark, sf_dir)
+    return shaping.repo_map_xml(kg, depth=2, page=1, page_size=200)
+
+
 def _q_neighbors_dir(spark, sf_dir):  # G1 J3 U3
     kg = _graph(spark, sf_dir)
     return L.neighbors(kg, "directory_nodes", 11, limit=100)
@@ -1191,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_definitions_xml": _q_read_definitions_xml,
         "get_definition_xml": _q_get_definition_xml,
         # rows-only: probabilistic / iterative / stub (see ROWS_ONLY)
+        "repo_map_xml": _q_repo_map_xml,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_buckets": _q_simhash_buckets,
         "hyperplane_lsh_ann": _q_hyperplane_lsh_ann,

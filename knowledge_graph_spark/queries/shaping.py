@@ -1455,3 +1455,264 @@ def xml_export(kg: KnowledgeGraph, context_lines: int = 2) -> DataFrame:
     return enriched.select(
         "primary_file_path", "fqn", "start_line", frag.alias("fragment")
     )
+
+
+# ---------------------------------------------------------------------------
+# repo_map XML shaping (crates/mcp/src/tools/repo_map)
+# ---------------------------------------------------------------------------
+
+_REPO_MAP_FILE_FMT = (
+    "      <file>\n"
+    "        <path>%s</path>\n"
+    "        <definitions>\n%s        </definitions>\n"
+    "      </file>"
+)
+
+
+def repo_map_xml(
+    kg: KnowledgeGraph,
+    depth: int = 2,
+    page: int = 1,
+    page_size: int = 200,
+    show_directories: bool = True,
+    show_definitions: bool = True,
+) -> DataFrame:
+    """The repo_map MCP tool's full render (repo_map/tool.rs:100-240,
+    output.rs:14-148): an ASCII directory tree to ``depth`` plus per-file
+    definition blocks — ``{type} {fqn} L{s}-{e}`` headers with the first
+    three source lines of each span, deduplicated per file so overlapping
+    definitions never reprint a line — paged over definitions ordered by
+    (file, start_line). One row ``(xml, next_page, n_results,
+    system_message)``.
+
+    Depth semantics mirror the walker (repository.rs:52-60): directories to
+    ``depth`` segments, files one level deeper. The tree renders in sorted
+    path order, which equals the reference's BTreeMap DFS for alphanumeric
+    directory names. Everything is DataFrame expressions — the tree's
+    connector prefixes come from an ancestor-flag join, not a driver loop.
+    """
+    from pyspark.sql import Window
+
+    from knowledge_graph_spark.queries.library import _context_lines
+
+    segs = F.split(F.col("path"), "/")
+    files = kg.files.filter(F.size(F.split(F.col("path"), "/")) <= depth + 1).select(
+        F.col("path").alias("fpath")
+    )
+
+    # -- definitions page ----------------------------------------------------
+    defs = (
+        kg.definitions.join(
+            F.broadcast(files), kg.definitions.primary_file_path == files.fpath
+        )
+        .select(
+            "fqn", "definition_type",
+            F.col("primary_file_path").alias("file_rel"),
+            "start_line", "end_line",
+        )
+        .orderBy("file_rel", "start_line", "fqn")
+        .offset((page - 1) * page_size)
+        .limit(page_size)
+    )
+    lines = _context_lines(kg)
+    dj = F.broadcast(defs).join(
+        lines,
+        (defs.file_rel == lines._path)
+        & (lines._line >= defs.start_line)
+        & (lines._line <= F.least(defs.start_line + 2, defs.end_line)),
+    )
+    # first-writer-wins per (file, source line): the def earliest in the
+    # sorted block keeps the line (output.rs printed_lines HashSet)
+    wline = Window.partitionBy("file_rel", "_line").orderBy("start_line", "fqn")
+    kept = (
+        dj.withColumn("_rn", F.row_number().over(wline))
+        .filter(F.col("_rn") == 1)
+        .groupBy("file_rel", "fqn", "definition_type", "start_line", "end_line")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_line", "_rendered"))),
+                    lambda s: F.concat(F.lit("│ "), s["_rendered"], F.lit("\n")),
+                ),
+                "",
+            ).alias("snip")
+        )
+    )
+    keys = ["file_rel", "fqn", "definition_type", "start_line", "end_line"]
+    per_def = defs.join(F.broadcast(kept), keys, "left")
+    entry = F.concat(
+        F.format_string(
+            "%s %s L%d-%d\n",
+            F.lower(F.col("definition_type")),
+            F.col("fqn"),
+            F.col("start_line") + 1,
+            F.col("end_line") + 1,
+        ),
+        F.coalesce(F.col("snip"), F.lit("")),
+        F.lit("\n"),
+    )
+    per_file = (
+        per_def.withColumn("entry", entry)
+        .groupBy("file_rel")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("start_line", "fqn", "entry"))),
+                    lambda s: s["entry"],
+                ),
+                "",
+            ).alias("defs_text"),
+            F.count(F.lit(1)).alias("n_defs"),
+        )
+    )
+    fblock = F.format_string(
+        _REPO_MAP_FILE_FMT, xml_escape(F.col("file_rel")), F.col("defs_text")
+    )
+    files_agg = per_file.withColumn("fb", fblock).groupBy().agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("file_rel", "fb"))),
+                lambda s: s["fb"],
+            ),
+            "\n",
+        ).alias("files_xml"),
+        F.sum("n_defs").alias("n_results"),
+    )
+
+    # -- directory tree --------------------------------------------------
+    dirs = (
+        kg.nodes["directory_nodes"]
+        .filter(F.size(segs) <= depth)
+        .select(F.col("path").alias("dp"))
+        .union(
+            files.filter(F.col("fpath").contains("/")).select(
+                F.regexp_replace("fpath", "/[^/]*$", "").alias("dp")
+            )
+        )
+        .distinct()
+    )
+    dsegs = F.split(F.col("dp"), "/")
+    nodes = (
+        dirs.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(dsegs)),
+                    lambda i: F.array_join(F.slice(dsegs, 1, i), "/"),
+                )
+            ).alias("np")
+        )
+        .distinct()
+        .withColumn(
+            "parent",
+            F.when(
+                F.col("np").contains("/"), F.regexp_replace("np", "/[^/]*$", "")
+            ).otherwise(F.lit("")),
+        )
+        .withColumn("name", F.element_at(F.split("np", "/"), -1))
+    )
+    last = nodes.groupBy("parent").agg(F.max("name").alias("_maxname"))
+    flagged = nodes.join(F.broadcast(last), "parent").withColumn(
+        "is_last", F.col("name") == F.col("_maxname")
+    )
+    nsegs = F.split(F.col("np"), "/")
+    anc = flagged.select(
+        "np",
+        F.explode(
+            F.when(
+                F.size(nsegs) > 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(nsegs) - 1),
+                    lambda i: F.array_join(F.slice(nsegs, 1, i), "/"),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ap"),
+    )
+    anc_flags = anc.join(
+        F.broadcast(flagged.select(F.col("np").alias("ap"), "is_last")), "ap"
+    )
+    prefixes = anc_flags.groupBy("np").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.length("ap").alias("l"), "is_last"))
+                ),
+                lambda s: F.when(s["is_last"], F.lit("    ")).otherwise(F.lit("│   ")),
+            ),
+            "",
+        ).alias("pfx")
+    )
+    tree_line = F.concat(
+        F.coalesce(F.col("pfx"), F.lit("")),
+        F.when(F.col("is_last"), F.lit("└── ")).otherwise(F.lit("├── ")),
+        F.col("name"),
+        F.lit("\n"),
+    )
+    tree_agg = (
+        flagged.join(F.broadcast(prefixes), "np", "left")
+        .withColumn("tl", tree_line)
+        .groupBy()
+        .agg(
+            F.concat(
+                F.lit(".\n"),
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("np", "tl"))),
+                        lambda s: s["tl"],
+                    ),
+                    "",
+                ),
+            ).alias("dirs_text")
+        )
+    )
+
+    agg = files_agg.crossJoin(tree_agg)
+    n = F.coalesce(F.col("n_results"), F.lit(0))
+    next_page = F.when(n == page_size, F.lit(page + 1).cast("long")).otherwise(
+        F.lit(None).cast("long")
+    )
+    system_message = F.format_string(
+        "Returned %d definitions from 1 input path(s). depth=%d.%s",
+        n,
+        F.lit(depth),
+        F.when(
+            next_page.isNotNull(), F.lit(" More results available via next-page.")
+        ).otherwise(F.lit("")),
+    )
+    xml = F.concat(
+        F.lit("<ToolResponse>\n  <repo-map>\n"),
+        F.format_string("    <depth>%d</depth>\n", F.lit(depth)),
+        (
+            F.concat(
+                F.lit("    <directories>\n"),
+                F.coalesce(F.col("dirs_text"), F.lit(".\n")),
+                F.lit("    </directories>\n"),
+            )
+            if show_directories
+            else F.lit("")
+        ),
+        (
+            F.concat(
+                F.lit("    <files>\n"),
+                F.when(n > 0, F.concat(F.col("files_xml"), F.lit("\n"))).otherwise(
+                    F.lit("")
+                ),
+                F.lit("    </files>\n"),
+            )
+            if show_definitions
+            else F.lit("")
+        ),
+        F.lit("  </repo-map>\n"),
+        F.when(
+            next_page.isNotNull(),
+            F.format_string("  <next-page>%d</next-page>\n", next_page),
+        ).otherwise(F.lit("")),
+        F.lit("  <system-message>\n"),
+        system_message,
+        F.lit("\n  </system-message>\n</ToolResponse>"),
+    )
+    return agg.select(
+        xml.alias("xml"),
+        next_page.alias("next_page"),
+        n.cast("long").alias("n_results"),
+        system_message.alias("system_message"),
+    )

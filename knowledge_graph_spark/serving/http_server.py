@@ -319,6 +319,23 @@ class GraphService:
                 "definitions": [r.asDict() for r in rows],
             }
         if tool == "repo_map":
+            if args.get("depth") is not None:
+                # the MCP tool contract: ASCII tree + per-file definition
+                # blocks (repo_map/output.rs:103-148)
+                row = SHAPE.repo_map_xml(
+                    kg,
+                    depth=int(args["depth"]),
+                    page=int(args.get("page", 1)),
+                    page_size=int(args.get("page_size", 200)),
+                    show_directories=bool(args.get("show_directories", True)),
+                    show_definitions=bool(args.get("show_definitions", True)),
+                ).collect()[0]
+                return {
+                    "xml": row.xml,
+                    "next_page": row.next_page,
+                    "n_results": row.n_results,
+                    "system_message": row.system_message,
+                }
             rows = L.repo_map(kg, args.get("path_prefix", "")).collect()
             return {"entries": [r.asDict() for r in rows]}
         return {"error": f"unknown tool '{tool}'", "available": list(MCP_TOOLS)}

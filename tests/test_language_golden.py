@@ -1408,3 +1408,52 @@ def test_search_xml_has_next_page_java(java_main):
     assert "There are more results on page 2" in p1.system_message
     p2 = search_definitions_xml(java_main, ["e"], page=2, page_size=3).collect()[0]
     assert p2.n_results >= 1
+
+
+def test_repo_map_xml_basic_depth2(ts_repo):
+    """repo_map/tool.rs:317-352: depth-2 map over the TS fixture shows the
+    nested files, class headers with source snippets, and the ASCII
+    directory tree."""
+    from knowledge_graph_spark.queries.shaping import repo_map_xml
+
+    xml = repo_map_xml(ts_repo, depth=2, page=1, page_size=200).collect()[0].xml
+    assert "app/models/user_model.ts" in xml
+    assert "main.ts" in xml
+    assert "export class BaseModel" in xml
+    assert "export class UserModel" in xml
+    assert "class Application" in xml
+    assert "<directories>" in xml
+    assert "├── app" in xml or "└── app" in xml
+
+
+def test_repo_map_xml_flags_toggle(ts_repo):
+    """repo_map/tool.rs:355-404: show_directories / show_definitions
+    independently gate their blocks."""
+    from knowledge_graph_spark.queries.shaping import repo_map_xml
+
+    dirs_only = repo_map_xml(ts_repo, depth=2, show_definitions=False).collect()[0].xml
+    assert "<directories>" in dirs_only and "<files>" not in dirs_only
+    defs_only = repo_map_xml(ts_repo, depth=2, show_directories=False).collect()[0].xml
+    assert "<directories>" not in defs_only and "<files>" in defs_only
+
+
+def test_repo_map_xml_depth_respected(ts_repo):
+    """repo_map/tool.rs:407-446: depth=1 excludes app/models files; depth=2
+    includes them."""
+    from knowledge_graph_spark.queries.shaping import repo_map_xml
+
+    d1 = repo_map_xml(ts_repo, depth=1).collect()[0].xml
+    assert "app/models/user_model.ts" not in d1
+    d2 = repo_map_xml(ts_repo, depth=2).collect()[0].xml
+    assert "app/models/user_model.ts" in d2
+
+
+def test_repo_map_xml_snippet_dedup(ts_repo):
+    """output.rs test_build_definitions_text_dedup_snippets: overlapping
+    definition spans never reprint a source line within one file block."""
+    from knowledge_graph_spark.queries.shaping import repo_map_xml
+
+    xml = repo_map_xml(ts_repo, depth=2, page=1, page_size=200).collect()[0].xml
+    block = xml.split("<path>app/models/base_model.ts</path>")[1].split("</file>")[0]
+    line = "│ export class BaseModel {"
+    assert block.count(line) == 1, block[:500]

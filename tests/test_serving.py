@@ -257,3 +257,20 @@ def test_mcp_xml_tool_contracts(served):
     assert gd["n_results"] >= 1, gd
     assert "<type>Definition</type>" in gd["xml"]
     assert "def notify_user():" in gd["xml"]
+
+
+def test_mcp_repo_map_xml_contract(served):
+    """depth-parameterized repo_map returns the rendered tree + file
+    blocks (repo_map/output.rs:103-148)."""
+    _, rm = served["post"](
+        "/api/mcp/repo_map",
+        {
+            "workspace_folder_path": served["ws"],
+            "project_path": served["proj"],
+            "depth": 2,
+        },
+    )
+    assert "<repo-map>" in rm["xml"] and "<directories>" in rm["xml"]
+    assert "app" in rm["xml"]
+    assert "class User" in rm["xml"] or "def notify_user" in rm["xml"]
+    assert "Returned" in rm["system_message"]
