@@ -40,6 +40,10 @@ from knowledge_graph_spark.queries import shaping as SHAPE
 #: against exact references (recall containment, union-find, brute-force
 #: peeling, error bounds).
 ROWS_ONLY = {
+    # the repo-map ASCII-tree prefix render has no tractable SQL twin; the
+    # underlying repo_map queries are oracle-checked and the render's bytes
+    # are golden-tested against the reference's own e2e assertions
+    "repo_map_xml",
     "minhash_lsh_pairs",
     "simhash_buckets",
     "hyperplane_lsh_ann",
