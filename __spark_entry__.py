@@ -992,7 +992,7 @@ def _media(spark, sf_dir):
     return synthesize_media(read_table(spark, sf_dir, "documents"))
 
 
-def _q_media_decode_stats(spark, sf_dir):  # real PPM decode + KGMM stub
+def _q_media_decode_stats(spark, sf_dir):  # real PPM + WAV decode, KGMM video
     from knowledge_graph_spark.beyond.multimodal import decode_metadata
 
     return (
@@ -1002,22 +1002,34 @@ def _q_media_decode_stats(spark, sf_dir):  # real PPM decode + KGMM stub
             F.count(F.lit(1)).alias("n"),
             F.max("width").alias("max_width"),
             F.sum("payload_bytes").alias("total_payload"),
+            F.max("sample_rate").alias("max_rate"),
+            F.sum(F.when(F.col("kind") == "audio", F.col("n_frames"))).alias(
+                "total_audio_frames"
+            ),
         )
         .orderBy("kind")
     )
 
 
 # Oracle twin of the decode: images are real PPMs (w=doc%96+8, h=doc%12+4,
-# payload w*h*3 pixel bytes); audio/video carry the KGMM header + utf-8 text
+# payload w*h*3 pixel bytes); audio rows are real RIFF/WAVE PCM (rate =
+# 8000+doc%8*1000, n_samples = doc%2000+100, payload 2 B/sample); video
+# carries the KGMM header + utf-8 text
 MEDIA_DECODE_STATS_SQL = """
 SELECT kind, CAST(count(*) AS BIGINT) AS n, CAST(max(width) AS INT) AS max_width,
-       CAST(sum(payload) AS BIGINT) AS total_payload
+       CAST(sum(payload) AS BIGINT) AS total_payload,
+       CAST(max(rate) AS INT) AS max_rate,
+       CAST(sum(audio_frames) AS BIGINT) AS total_audio_frames
 FROM (
   SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
          CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 96 + 8 AS INT)
-              ELSE CAST(doc_id % 640 + 16 AS INT) END AS width,
+              WHEN doc_id % 3 = 2 THEN CAST(doc_id % 640 + 16 AS INT)
+              ELSE NULL END AS width,
          CASE WHEN doc_id % 3 = 0 THEN (doc_id % 96 + 8) * (doc_id % 12 + 4) * 3
-              ELSE octet_length(encode(text)) END AS payload
+              WHEN doc_id % 3 = 1 THEN (doc_id % 2000 + 100) * 2
+              ELSE octet_length(encode(text)) END AS payload,
+         CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 8) * 1000 ELSE NULL END AS rate,
+         CASE WHEN doc_id % 3 = 1 THEN doc_id % 2000 + 100 ELSE NULL END AS audio_frames
   FROM documents
 ) m
 GROUP BY kind ORDER BY kind
@@ -1093,10 +1105,10 @@ def _q_watcher_queue_stats(spark, sf_dir):  # ST2 ST3 ST6
     return watcher_queue_stats(spark, sf_dir)
 
 
-def _q_kotlin_resolution_stats(spark, sf_dir):  # D2/D7 Kotlin resolver pins
-    from knowledge_graph_spark.pipeline.synthetic import kotlin_resolution_stats
+def _q_lambda_edges_stats(spark, sf_dir):  # D2/D6 Lambda/Proc edge family
+    from knowledge_graph_spark.pipeline.synthetic import lambda_edges_stats
 
-    return kotlin_resolution_stats(spark, sf_dir)
+    return lambda_edges_stats(spark, sf_dir)
 
 
 def _q_approx_user_counts(spark, sf_dir):  # rows-only (HLL sketch)
@@ -1145,7 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debounce_jobs_stats": _q_debounce_jobs_stats,
         "workspace_index_stats": _q_workspace_index_stats,
         "watcher_queue_stats": _q_watcher_queue_stats,
-        "kotlin_resolution_stats": _q_kotlin_resolution_stats,
+        "lambda_edges_stats": _q_lambda_edges_stats,
         # -- beyond-parity: text / dedup / similarity / sampling -----------
         "doc_stats": _q_doc_stats,
         "quality_score": _q_quality_score,
@@ -1174,7 +1186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed variants whose operator ids are covered above;
         # pytest checks them against the same oracles at sf0.001
         # (degree_distribution is the second G3 representative — graph_stats
-        # keeps that id green in-window; its slot pins the Kotlin resolver)
+        # keeps that id green in-window; its slot pins the Lambda/Proc edge
+        # family. The round-3 kotlin_resolution_stats corpus now lives
+        # inside workspace_index_stats — same 9 pins, one indexed corpus.)
         "degree_distribution": _q_degree_distribution,
         "order_priority_rollup": _q_order_priority_rollup,
         "top_events_per_type": _q_top_events_per_type,
@@ -1443,7 +1457,7 @@ def oracle_sql() -> dict[str, str]:
         "debounce_jobs_stats": SY.DEBOUNCE_JOBS_STATS_SQL,
         "workspace_index_stats": SY.WORKSPACE_INDEX_STATS_SQL,
         "watcher_queue_stats": SY.WATCHER_QUEUE_STATS_SQL,
-        "kotlin_resolution_stats": SY.KOTLIN_RESOLUTION_STATS_SQL,
+        "lambda_edges_stats": SY.LAMBDA_EDGES_STATS_SQL,
         "k_core_sizes": o(
             K_CORE_SIZES_SQL.format(rounds=30), extra_ctes=_k_core_peel_sql(2, 30)
         ),

@@ -3,13 +3,14 @@ typed metadata (north-star component).
 
 The Spark-side plumbing is real: schema, partition-friendly batch shapes,
 Arrow-batched ``mapInPandas`` UDF signatures identical to what a production
-decode would use. The IMAGE path is a REAL codec: binary PPM (P6) files are
-synthesized with actual pixel bytes, and decode/resize parse and
-nearest-neighbor-resample them in pure Python (no external libs needed for
-this format). Audio/video remain STUBBED behind the synthetic KGMM header —
-this container ships no audio/video libraries — with ``decoder=`` hooks:
-passing ``decoder="pillow"`` (etc.) raises ``NotImplementedError`` with the
-swap instructions.
+decode would use. TWO real codecs ship: IMAGE rows are binary PPM (P6)
+files with actual pixel bytes (decode + nearest-neighbor resize in pure
+Python), and AUDIO rows are real RIFF/WAVE PCM files (chunk-walk decode of
+rate/frames + a real sample-decimation downsample; the stdlib ``wave``
+module opens both the input and the output). Video remains STUBBED behind
+the synthetic KGMM header — this container ships no video libraries — with
+``decoder=`` hooks: passing ``decoder="pillow"`` (etc.) raises
+``NotImplementedError`` with the swap instructions.
 
 At 100 TB: binary payloads dominate row size — media tables are stored one
 row per asset with metadata in columns so pruning (`select` without `data`)
@@ -52,16 +53,31 @@ MEDIA_SCHEMA = StructType(
 _MAGIC = b"KGMM"  # synthetic header: KGMM | kind(1B) | width u16 | height u16 | n_frames u16
 
 
+def _le_bytes(val, nbytes: int):
+    """Little-endian binary encoding of an integer Column, built JVM-side:
+    zero-padded big-endian hex, byte pairs reversed, unhex'd. (``char()``
+    cannot do this — codepoints ≥128 become 2 UTF-8 bytes.)"""
+    h = F.lpad(F.hex(val.cast("long")), 2 * nbytes, "0")
+    pairs = [F.substring(h, 2 * i + 1, 2) for i in range(nbytes)]
+    return F.unhex(F.concat(*reversed(pairs)))
+
+
+# audio synth parameters (closed-form in doc_id so DuckDB oracles can twin)
+_WAV_RATE = "8000 + (doc_id % 8) * 1000"
+_WAV_NSAMPLES = "doc_id % 2000 + 100"
+
+
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Deterministic fake media derived from the documents table — gives the
     pipeline real binary payloads with parseable headers for tests/benches.
 
     IMAGE rows are REAL binary PPM (P6) files — a valid, externally-viewable
     format with actual pixel bytes (w = doc_id%96+8, h = doc_id%12+4, every
-    pixel channel the same doc-derived byte), so the decode/resize path
-    below operates on a genuine container, not just the KGMM fake. Audio
-    and video keep the synthetic KGMM header (no dependency-free container
-    is that simple for them)."""
+    pixel channel the same doc-derived byte). AUDIO rows are REAL RIFF/WAVE
+    files (PCM s16le, mono, rate = 8000 + doc%8 kHz-steps, n_samples =
+    doc%2000 + 100, every sample the same doc-derived 16-bit value) — the
+    stdlib ``wave`` module opens them. Video keeps the synthetic KGMM
+    header (no dependency-free container is that simple for video)."""
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
@@ -87,11 +103,37 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
         ),
         "utf-8",
     )
-    data = F.when(kind == "image", ppm).otherwise(
-        F.concat(header, F.encode(F.col("text"), "utf-8"))
+    # REAL RIFF/WAVE: "RIFF" u32le(36+data_len) "WAVE" "fmt " u32le(16)
+    # u16le(1=PCM) u16le(1 ch) u32le(rate) u32le(byte_rate) u16le(2=block)
+    # u16le(16 bits) "data" u32le(data_len) + n_samples s16le samples
+    rate = F.expr(_WAV_RATE)
+    n_samples = F.expr(_WAV_NSAMPLES)
+    data_len = n_samples * 2
+    sample_hex = F.repeat(F.lpad(F.hex(F.col("doc_id") % 256), 2, "0"), 2)
+    wav = F.concat(
+        F.lit(b"RIFF"),
+        _le_bytes(data_len + 36, 4),
+        F.lit(b"WAVEfmt "),
+        _le_bytes(F.lit(16), 4),
+        _le_bytes(F.lit(1), 2),
+        _le_bytes(F.lit(1), 2),
+        _le_bytes(rate, 4),
+        _le_bytes(rate * 2, 4),  # byte_rate = rate * block_align
+        _le_bytes(F.lit(2), 2),
+        _le_bytes(F.lit(16), 2),
+        F.lit(b"data"),
+        _le_bytes(data_len, 4),
+        F.unhex(F.repeat(sample_hex, n_samples.cast("int"))),
     )
-    mime = F.when(kind == "image", F.lit("image/x-portable-pixmap")).otherwise(
-        F.concat(F.lit("x-kg/"), kind)
+    data = (
+        F.when(kind == "image", ppm)
+        .when(kind == "audio", wav)
+        .otherwise(F.concat(header, F.encode(F.col("text"), "utf-8")))
+    )
+    mime = (
+        F.when(kind == "image", F.lit("image/x-portable-pixmap"))
+        .when(kind == "audio", F.lit("audio/wav"))
+        .otherwise(F.concat(F.lit("x-kg/"), kind))
     )
     return docs.select(
         F.col("doc_id").alias("media_id"),
@@ -111,6 +153,27 @@ def _parse_ppm(b: bytes) -> tuple[int, int, int]:
     return w, h, nl2 + 1
 
 
+def _parse_wav(b: bytes) -> tuple[int, int, int, int]:
+    """(sample_rate, n_channels, bits, data_len) of a RIFF/WAVE file — a
+    real chunk walk (fmt may precede data by any other chunks). Raises on
+    garbage; callers treat that as undecodable."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not RIFF/WAVE")
+    pos, rate, ch, bits, data_len = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        if cid == b"fmt ":
+            ch, rate = struct.unpack("<HI", b[pos + 10 : pos + 16])
+            bits = struct.unpack("<H", b[pos + 22 : pos + 24])[0]
+        elif cid == b"data":
+            data_len = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data_len is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, ch, bits, data_len
+
+
 DECODED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -119,6 +182,8 @@ DECODED_SCHEMA = StructType(
         StructField("height", IntegerType(), True),
         StructField("n_frames", IntegerType(), True),
         StructField("payload_bytes", LongType(), True),
+        # audio: PCM sample rate (Hz); null for image/video
+        StructField("sample_rate", IntegerType(), True),
     ]
 )
 
@@ -148,17 +213,29 @@ def decode_metadata(media: DataFrame, decoder: str = "synthetic") -> DataFrame:
                 if b.startswith(b"P6"):
                     try:
                         w, h, off = _parse_ppm(b)
-                        out.append((mid, kind, w, h, 1, len(b) - off))
+                        out.append((mid, kind, w, h, 1, len(b) - off, None))
                     except (ValueError, IndexError):
-                        out.append((mid, kind, None, None, None, len(b)))
+                        out.append((mid, kind, None, None, None, len(b), None))
+                    continue
+                if b.startswith(b"RIFF"):
+                    # REAL WAV decode: rate + frame count from the chunk walk
+                    # (n_frames = PCM frames = data_len / block_align)
+                    try:
+                        rate, ch, bits, data_len = _parse_wav(b)
+                        block = max(1, ch * bits // 8)
+                        out.append(
+                            (mid, kind, None, None, data_len // block, data_len, rate)
+                        )
+                    except (ValueError, IndexError, struct.error):
+                        out.append((mid, kind, None, None, None, len(b), None))
                     continue
                 if not b.startswith(_MAGIC):
-                    out.append((mid, kind, None, None, None, len(b)))
+                    out.append((mid, kind, None, None, None, len(b), None))
                     continue
                 w = int(b[5:10])
                 h = int(b[10:15])
                 nf = int(b[15:20])
-                out.append((mid, kind, w, h, nf, len(b) - 20))
+                out.append((mid, kind, w, h, nf, len(b) - 20, None))
             yield pd.DataFrame(
                 out, columns=[f.name for f in DECODED_SCHEMA]
             )
@@ -292,6 +369,80 @@ def resize_media(
             StructField("height", IntegerType(), True),
             StructField("data", BinaryType(), True),
             StructField("resized", BooleanType(), False),
+        ]
+    )
+    return media.select("media_id", "kind", "data").mapInPandas(run, schema)
+
+
+def downsample_audio(media: DataFrame, max_rate: int = 8000) -> DataFrame:
+    """REAL audio downsample: WAV rows whose sample rate exceeds
+    ``max_rate`` are decimated (every k-th PCM frame kept, k =
+    ceil(rate/max_rate); new rate = rate // k) and re-encoded as a valid
+    RIFF/WAVE file — the stdlib ``wave`` module opens the output. Non-audio
+    and already-slow rows pass through. The canonical narrow transform: no
+    shuffle, bytes stream through Arrow batches.
+
+    Decimation (not band-limited resampling) is the honest dependency-free
+    transform — a production swap puts scipy/ffmpeg inside ``run`` with the
+    identical (Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame] contract.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
+                b = bytes(data)
+                if kind != "audio" or not b.startswith(b"RIFF"):
+                    rows.append((mid, kind, None, b, False))
+                    continue
+                try:
+                    rate, ch, bits, data_len = _parse_wav(b)
+                except (ValueError, IndexError, struct.error):
+                    rows.append((mid, kind, None, b, False))
+                    continue
+                if rate <= max_rate:
+                    rows.append((mid, kind, rate, b, False))
+                    continue
+                k = -(-rate // max_rate)  # ceil
+                new_rate = rate // k
+                block = max(1, ch * bits // 8)
+                # locate the data chunk payload
+                pos = 12
+                payload = b""
+                while pos + 8 <= len(b):
+                    cid = b[pos : pos + 4]
+                    size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+                    if cid == b"data":
+                        payload = b[pos + 8 : pos + 8 + size]
+                        break
+                    pos += 8 + size + (size & 1)
+                frames = [
+                    payload[i : i + block]
+                    for i in range(0, len(payload) - block + 1, block * k)
+                ]
+                new_payload = b"".join(frames)
+                nb = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(new_payload))
+                    + b"WAVEfmt "
+                    + struct.pack("<IHHIIHH", 16, 1, ch, new_rate,
+                                  new_rate * block, block, bits)
+                    + b"data"
+                    + struct.pack("<I", len(new_payload))
+                    + new_payload
+                )
+                rows.append((mid, kind, new_rate, nb, True))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "sample_rate", "data", "resampled"]
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("sample_rate", IntegerType(), True),
+            StructField("data", BinaryType(), True),
+            StructField("resampled", BooleanType(), False),
         ]
     )
     return media.select("media_id", "kind", "data").mapInPandas(run, schema)

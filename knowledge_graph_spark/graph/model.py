@@ -130,4 +130,8 @@ class KnowledgeGraph:
     def cache(self) -> "KnowledgeGraph":
         for df in (*self.nodes.values(), *self.edges.values()):
             df.cache()
+        if self.file_lines is not None:
+            # the line inventory feeds every context-snippet render; left
+            # uncached each render re-derives it from the source tables
+            self.file_lines = self.file_lines.cache()
         return self

@@ -37,6 +37,44 @@ _EDGE_COLS = [
 ]
 
 
+# Lambda/Proc hierarchy-edge typing, per the reference's per-language
+# analyzer tables (each analyzer's get_definition_relationship_type maps
+# only SOME parent kinds for anonymous-function children; unmapped pairs
+# produce no edge):
+#   Python  python/analyzer.rs:1084-1112 (Class/Method/Function→Lambda,
+#           Lambda→Lambda/Class/Function)
+#   Ruby    ruby/analyzer.rs:214-218 (Class→Lambda, Class→Proc ONLY —
+#           Method→Lambda deliberately unmapped)
+#   Kotlin  kotlin/analyzer.rs:224-280 (`fun` children of lambdas map to
+#           LAMBDA_TO_METHOD; `fun` parents to METHOD_TO_LAMBDA)
+#   Java    java/analyzer.rs:222-252
+#   C#      csharp.rs:206-239
+# Keys are (language, parent definition_type, child definition_type) in this
+# repo's type vocabulary (Python defs are all "Method"; Kotlin `fun` is
+# "Function"; Kotlin `object` is "Module").
+_LAMBDA_EDGE_TYPES = {
+    ("Python", "Class", "Lambda"): "CLASS_TO_LAMBDA",
+    ("Python", "Method", "Lambda"): "METHOD_TO_LAMBDA",
+    ("Python", "Lambda", "Lambda"): "LAMBDA_TO_LAMBDA",
+    ("Python", "Lambda", "Class"): "LAMBDA_TO_CLASS",
+    ("Python", "Lambda", "Method"): "LAMBDA_TO_FUNCTION",
+    ("Ruby", "Class", "Lambda"): "CLASS_TO_LAMBDA",
+    ("Ruby", "Class", "Proc"): "CLASS_TO_PROC",
+    ("Kotlin", "Class", "Lambda"): "CLASS_TO_LAMBDA",
+    ("Kotlin", "Interface", "Lambda"): "INTERFACE_TO_LAMBDA",
+    ("Kotlin", "Function", "Lambda"): "METHOD_TO_LAMBDA",
+    ("Kotlin", "Lambda", "Lambda"): "LAMBDA_TO_LAMBDA",
+    ("Kotlin", "Lambda", "Class"): "LAMBDA_TO_CLASS",
+    ("Kotlin", "Lambda", "Function"): "LAMBDA_TO_METHOD",
+    ("Java", "Class", "Lambda"): "CLASS_TO_LAMBDA",
+    ("Java", "Interface", "Lambda"): "INTERFACE_TO_LAMBDA",
+    ("Java", "Method", "Lambda"): "METHOD_TO_LAMBDA",
+    ("Java", "Lambda", "Lambda"): "LAMBDA_TO_LAMBDA",
+    ("CSharp", "Class", "Lambda"): "CLASS_TO_LAMBDA",
+    ("CSharp", "Method", "Lambda"): "METHOD_TO_LAMBDA",
+}
+
+
 def _null_loc(df: DataFrame) -> DataFrame:
     for c, t in [
         ("source_start_byte", "long"),
@@ -162,6 +200,8 @@ def build_graph_from_entities(
         # the final node select): same-file scope key for caller lookup and
         # the immediately-enclosing scope name for receiver-typed matching
         F.concat_ws(".", F.col("parent_chain"), F.col("name")).alias("_scope_key"),
+        F.col("parent_chain").alias("_parent_chain"),
+        F.col("language").alias("_language"),
         F.element_at(F.split(F.col("parent_chain"), r"\."), -1).alias("_container"),
         # Kotlin extension-function receiver (`fun ExtendMe.f()` → ExtendMe):
         # receiver-typed calls resolve into the extension as if it were a
@@ -248,23 +288,39 @@ def build_graph_from_entities(
     )
     file_relationships = _null_loc(fd.unionByName(fi)).select(*_EDGE_COLS)
 
-    # ---- definition hierarchy (D6: parent fqn → child fqn self-join) ------
-    # separators vary by language (Ruby `::`/`#`, others `.`); the edge type
-    # is the reference's UPPER_SNAKE pair name — camel types split first so
+    # ---- definition hierarchy (D6: parent scope → child self-join) --------
+    # joined on the extractor's scope chain (child.parent_chain == the
+    # parent's full chain key, same file) rather than on FQN-string surgery —
+    # separator-agnostic, so Ruby `::`/`#`, lambda position-names, and any
+    # future FQN convention all type correctly. The edge type is the
+    # reference's UPPER_SNAKE pair name — camel types split first so
     # SingletonMethod becomes CLASS_TO_SINGLETON_METHOD
-    # (relationship.rs:20-40, ruby/analyzer.rs:195-235)
-    child = definitions.filter(F.col("fqn").rlike(r"(::|#|\.)"))
-    parent_fqn = F.regexp_replace(F.col("fqn"), r"(::|#|\.)[^.:#]+$", "")
+    # (relationship.rs:20-40, ruby/analyzer.rs:195-235). Lambda/Proc pairs
+    # are gated by the per-language analyzer tables: each reference analyzer
+    # maps only some parent kinds for lambda children (Ruby only Class —
+    # ruby/analyzer.rs:214-218; Kotlin's `fun` maps to METHOD_TO_LAMBDA, not
+    # FUNCTION_TO_* — kotlin/analyzer.rs:256-258), and unmapped pairs emit
+    # no edge at all.
+    child = definitions.filter(F.col("_parent_chain").isNotNull())
 
     def _snake(col):
         return F.upper(F.regexp_replace(col, r"([a-z])([A-Z])", r"$1_$2"))
 
+    _lam_map = F.create_map(
+        *[
+            F.lit(x)
+            for pair, etype in _LAMBDA_EDGE_TYPES.items()
+            for x in ("|".join(pair), etype)
+        ]
+    )
+    _is_lam = F.col("p.definition_type").isin("Lambda", "Proc") | F.col(
+        "c.definition_type"
+    ).isin("Lambda", "Proc")
     hier = (
-        child.withColumn("parent_fqn", parent_fqn)
-        .alias("c")
+        child.alias("c")
         .join(
             definitions.alias("p"),
-            (F.col("c.parent_fqn") == F.col("p.fqn"))
+            (F.col("c._parent_chain") == F.col("p._scope_key"))
             & (F.col("c.primary_file_path") == F.col("p.primary_file_path")),
         )
         .select(
@@ -272,12 +328,27 @@ def build_graph_from_entities(
             F.col("c.id").alias("target_id"),
             F.lit("definition_nodes").alias("source_table"),
             F.lit("definition_nodes").alias("target_table"),
-            F.concat(
-                _snake(F.col("p.definition_type")),
-                F.lit("_TO_"),
-                _snake(F.col("c.definition_type")),
-            ).alias("type"),
+            F.when(
+                _is_lam,
+                _lam_map[
+                    F.concat_ws(
+                        "|",
+                        F.col("c._language"),
+                        F.col("p.definition_type"),
+                        F.col("c.definition_type"),
+                    )
+                ],
+            )
+            .otherwise(
+                F.concat(
+                    _snake(F.col("p.definition_type")),
+                    F.lit("_TO_"),
+                    _snake(F.col("c.definition_type")),
+                )
+            )
+            .alias("type"),
         )
+        .filter(F.col("type").isNotNull())
     )
     hier = _null_loc(hier).select(*_EDGE_COLS)
 

@@ -213,7 +213,7 @@ _JAVA_TYPE = re.compile(
 _JAVA_METHOD = re.compile(
     r"^(\s*)(?:public\s+|private\s+|protected\s+|static\s+|final\s+|abstract\s+"
     r"|synchronized\s+|default\s+)+"
-    r"[\w<>\[\],\s]+\s+([a-z][\w$]*)\s*\("
+    r"[\w<>\[\],.\s]+\s+([a-z][\w$]*)\s*\("
 )
 # `extends X` / `implements A, B` clauses on a Java type declaration line —
 # both feed the inheritance chain the reference climbs for member lookup
@@ -298,6 +298,110 @@ _KT_EXT_PROP = re.compile(
 )
 _KT_GETTER = re.compile(r"^\s*get\(\)\s*=\s*(.+)$")
 
+# ---------------------------------------------------------------------------
+# Lambda / proc definitions (relationship.rs:36-66 LAMBDA_TO_*/CLASS_TO_PROC;
+# python/analyzer.rs:1061,1084-1112; ruby/analyzer.rs:214-218;
+# kotlin/analyzer.rs:224-280; java/analyzer.rs:222-252; csharp.rs:206-239)
+# ---------------------------------------------------------------------------
+# Each anonymous function expression becomes a definition row with
+# definition_type Lambda (or Proc for Ruby's proc/Proc.new), named by its
+# position (`lambda_{line}_{col}`, 0-based) so FQNs stay unique without
+# per-scope counters. The parent chain is the enclosing definition's scope
+# frame, so build.py's hierarchy pass types CLASS_TO_LAMBDA /
+# METHOD_TO_LAMBDA / FUNCTION_TO_LAMBDA edges from the same generic
+# parent-child join that types every other pair. TypeScript anonymous
+# arrows are deliberately NOT lambdas — the reference's TS inventory has no
+# Lambda type (typescript.rs; tests.rs:415-419 count 84 definitions over a
+# fixture full of anonymous callbacks). Rust closures likewise.
+_PY_LAMBDA = re.compile(r"(?<![\w.])lambda\b")
+_RB_LAMBDA = re.compile(r"(?<![\w.<>-])(?:lambda\s*(?:\{|\bdo\b)|->)")
+_RB_PROC = re.compile(r"(?<![\w.])(?:proc\s*(?:\{|\bdo\b)|Proc\s*\.\s*new)")
+_JV_LAMBDA = re.compile(r"(?:\(([^()]*)\)|(?<![\w.$])[a-z_]\w*)\s*->")
+# Kotlin lambda literal: `{ params -> ...` or the implicit-`it` form; a
+# function TYPE's arrow (`(Int) -> Unit`) has no brace directly before the
+# params, and when-branch arrows (`"admin" -> Admin()`) are guarded by the
+# same-line `when` check at the call site
+_KT_LAMBDA = re.compile(r"\{\s*(?:\([^)]*\)|[\w, .:<>?]+?)\s*->|\{(?=\s*it\b)")
+# C# lambda: the param (or param list) must follow an argument/assignment
+# delimiter — expression-bodied members (`int F() => x`), accessors
+# (`get => _x`), and switch-expression arms (`_ => b` at line start) all
+# lack one and are not lambdas
+_CS_LAMBDA = re.compile(
+    r"(?:[=,(:]\s*|\breturn\s+)(?:\(([^()]*)\)|(?P<csid>[_a-z]\w*))\s*=>"
+)
+_JV_SWITCH_ARM = re.compile(r"^\s*(?:case[\s(]|default\s*(?:->|:))")
+
+# Multi-line signature head (Java/C#): a modifier-led declaration line whose
+# return type wraps BEFORE the member name — no parens/brace/semicolon yet
+# (`public static Map<String, Integer>` ⏎ `countItems(...) {`). The
+# continuation lines are joined and the normal def regexes re-run on the
+# joined text; start_line stays the head line, the tree-sitter behavior
+# (the reference parses whole signature nodes — parsing/processor.rs).
+# Signatures that wrap AFTER `name(` already match the per-line regexes.
+_BRACE_METHOD_HEAD = re.compile(
+    r"^(\s*)(?:(?:public|private|protected|static|final|abstract|synchronized"
+    r"|default|virtual|override|internal|sealed|async|extern)\s+)+"
+    r"[\w$][\w$<>\[\],\s?.]*$"
+)
+
+
+def _lambda_hits(language: str, line: str) -> list[tuple[int, str]]:
+    """(col, definition_type) for each anonymous-function expression on the
+    masked code line; empty for languages without a Lambda definition type."""
+    if language == "Python":
+        return [(m.start(), "Lambda") for m in _PY_LAMBDA.finditer(line)]
+    if language == "Ruby":
+        hits = [(m.start(), "Lambda") for m in _RB_LAMBDA.finditer(line)]
+        hits += [(m.start(), "Proc") for m in _RB_PROC.finditer(line)]
+        return sorted(hits)
+    if language == "Java":
+        # Java 14 switch arrows are not lambdas: arm lines (`case X ->`,
+        # `default ->`) and inline single-line switch blocks are skipped
+        if _JV_SWITCH_ARM.match(line) or re.search(r"\bswitch\b", line):
+            return []
+        return [(m.start(), "Lambda") for m in _JV_LAMBDA.finditer(line)]
+    if language == "Kotlin":
+        out = []
+        for m in _KT_LAMBDA.finditer(line):
+            if "when" in line[: m.start()] and re.search(
+                r"\bwhen\b", line[: m.start()]
+            ):
+                continue  # when-subject brace: arms are branches, not lambdas
+            out.append((m.start(), "Lambda"))
+        return out
+    if language == "CSharp":
+        if re.search(r"\bswitch\b", line):  # switch-expression arms
+            return []
+        out = []
+        for m in _CS_LAMBDA.finditer(line):
+            if m.group("csid") in ("get", "set", "value"):
+                continue
+            out.append((m.start(1) if m.group(1) is not None else m.start("csid"), "Lambda"))
+        return out
+    return []
+
+
+def _py_nested_same_line(line: str, c1: int, c2: int) -> bool:
+    """Is the lambda at c2 nested inside the lambda at c1 (same line)?
+    Nested unless a comma at-or-below the first lambda's paren depth appears
+    after its body colon (`f(lambda a: a, lambda b: b)` → siblings;
+    `lambda x: lambda y: x` → nested) — the regex stand-in for tree-sitter's
+    expression nesting."""
+    depth = 0
+    seen_colon = False
+    for ch in line[c1:c2]:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False  # first lambda's enclosing call closed
+        elif ch == ":" and depth == 0:
+            seen_colon = True
+        elif ch == "," and depth <= 0 and seen_colon:
+            return False
+    return seen_colon
+
 
 def _kt_expr_ctor(rhs: str, masked: list, ln: int) -> str | None:
     """Constructor types a when/if/try expression produces, scanning
@@ -338,7 +442,7 @@ _CS_TYPE = re.compile(
 )
 _CS_METHOD = re.compile(
     r"^(\s*)(?:public\s+|private\s+|protected\s+|internal\s+|static\s+|virtual\s+|"
-    r"override\s+|async\s+|sealed\s+|extern\s+)+[\w<>\[\],\s?]+\s+([A-Za-z_][\w]*)\s*\("
+    r"override\s+|async\s+|sealed\s+|extern\s+)+[\w<>\[\],.\s?]+\s+([A-Za-z_][\w]*)\s*\("
 )
 _CS_IMPORT = re.compile(r"^\s*using\s+(?:static\s+)?([\w.]+)\s*;")
 # C# receiver calls: methods are PascalCase (`user.Activate()`); receiver
@@ -758,10 +862,14 @@ def _extract_one_scan(
             _pv = _PY_SELF_ASSIGN.match(_pl)
             if _pv:
                 ivar_types.setdefault(_pv.group(1), _pv.group(2))
+    skip_lines: set[int] = set()  # continuation lines consumed by a joined signature
     for ln, (line, imp_line) in enumerate(masked):
         # byte offsets always advance by the ORIGINAL line's encoded length —
         # masking is char-preserving, not byte-preserving
         line_bytes = len(originals[ln].encode("utf-8", "replace")) + 1
+        if ln in skip_lines:
+            byte_off += line_bytes
+            continue
         if def_re is not None:
             m = def_re.match(line)
             if m and language == "Ruby":
@@ -825,6 +933,27 @@ def _extract_one_scan(
                 pm = _JAVA_PKG.match(line)
                 if pm:
                     pkg = pm.group(1)
+            if hit is None and language in ("Java", "CSharp") and _BRACE_METHOD_HEAD.match(line):
+                # return type wrapped before the member name: join physical
+                # continuation lines (≤4, stopping at the signature's `{`
+                # or `;`) and re-run the def regexes on the joined text;
+                # start_line stays the head line. Consumed lines are skipped
+                # outright — they are signature fragments, not statements.
+                joined = line
+                used: list[int] = []
+                for off in range(1, 5):
+                    if ln + off >= len(masked):
+                        break
+                    nxt = masked[ln + off][0]
+                    joined = joined.rstrip() + " " + nxt.strip()
+                    used.append(ln + off)
+                    if "{" in nxt or ";" in nxt:
+                        break
+                jhit = _match_def(language, joined)
+                if jhit is not None:
+                    hit = jhit
+                    line = joined
+                    skip_lines.update(used)
             elif hit is None and language == "Kotlin":
                 pm = _KT_PKG.match(line)
                 if pm:
@@ -939,8 +1068,18 @@ def _extract_one_scan(
                     ivar_types[vd.group(2)] = vd.group(1)
                 yield from receiver_calls(line, _JV_RECV_CALL, ln)
             if language == "Java" and kw in ("class", "interface", "enum", "record"):
+                # supertype clauses may wrap (`class Wide ⏎ extends Base {`):
+                # extend the scanned declaration to the opening brace
+                decl_src = line
+                if "{" not in line:
+                    for off in range(1, 4):
+                        if ln + off >= len(masked):
+                            break
+                        decl_src = decl_src.rstrip() + " " + masked[ln + off][0].strip()
+                        if "{" in masked[ln + off][0]:
+                            break
                 # generics-stripped copy: `<T extends Bound>` must not match
-                decl = re.sub(r"<[^<>]*>", "", line)
+                decl = re.sub(r"<[^<>]*>", "", decl_src)
                 sups: list[str] = []
                 jex = _JAVA_EXTENDS.search(decl)
                 if jex:
@@ -1255,6 +1394,30 @@ def _extract_one_scan(
                         "call", callee, enclosing, None, None, None,
                         ln, line, cm.start(1), len(callee),
                     )
+        # ---- anonymous function definitions (Lambda/Proc) ------------------
+        # scanned AFTER def processing so a lambda on a def line (`def f():
+        # return lambda x: x`) nests under the def's freshly-pushed frame
+        lam_hits = _lambda_hits(language, line)
+        if lam_hits:
+            base_chain = ".".join(scope_names()) or None
+            open_lams: list[tuple[int, str]] = []  # same-line (col, name) nest stack
+            for col, dtype in lam_hits:
+                if language == "Python":
+                    while open_lams and not _py_nested_same_line(
+                        line, open_lams[-1][0], col
+                    ):
+                        open_lams.pop()
+                else:
+                    open_lams.clear()  # brace-language same-line nesting: siblings
+                name = ("proc" if dtype == "Proc" else "lambda") + f"_{ln}_{col}"
+                chain = ".".join(
+                    ([base_chain] if base_chain else []) + [n for _, n in open_lams]
+                ) or None
+                yield row(
+                    "definition", name, chain, dtype, None, None,
+                    ln, line, col, len(name),
+                )
+                open_lams.append((col, name))
         byte_off += line_bytes
     # EOF closes every open frame: their definitions extend to the last line
     for _f in stack:

@@ -24,7 +24,10 @@ a = i%7, b = i%3, g = i//2):
         def use_lib_{i}():     return lib_{i}()
         def pair_{g}_fn():     (name shared with the partner doc i^1)
         class Cls_{i}:  def meth_{i}(self): return fn_a_{i}()
-                        def meth_b_{i}(self): return self.meth_{i}()
+                        def meth_b_{i}(self): cb = lambda v: v + 1
+                                              return self.meth_{i}()
+        (the lambda is a Lambda definition node — 7 + i%3 defs per file —
+         whose hierarchy edge pins the METHOD_TO_LAMBDA family, D6)
         {i%3 ×}  def extra_{i}_{j}(): return fn_a_{i}()
 
 which exercises: dir hierarchy synthesis (D4), definition maps + hierarchy
@@ -69,6 +72,7 @@ def _file_text(i: int, i2: int, version: int = 1) -> str:
         f"    def meth_{i}(self):",
         f"        return fn_a_{i}()",
         f"    def meth_b_{i}(self):",
+        "        cb = lambda v: v + 1",
         f"        return self.meth_{i}()",
     ]
     for j in range(i % 3):
@@ -204,6 +208,7 @@ def _graph_metrics(kg, probe_path: str) -> DataFrame:
         edge_m("e_file_defines", "FILE_DEFINES"),
         edge_m("e_file_imports", "FILE_IMPORTS"),
         edge_m("e_class_to_method", "CLASS_TO_METHOD"),
+        edge_m("e_method_to_lambda", "METHOD_TO_LAMBDA"),
         edge_m("e_calls_def_def", "CALLS", "definition_nodes"),
         edge_m("e_calls_def_imp", "CALLS", "imported_symbol_nodes"),
         edge_m("e_ambiguously_calls", "AMBIGUOUSLY_CALLS"),
@@ -341,7 +346,7 @@ _CORPUS_CTE = """corpus AS (
   SELECT doc_id AS i,
          doc_id % 7 AS a, doc_id % 3 AS b,
          printf('pkg%d/sub%d/mod_%d.py', doc_id % 7, doc_id % 3, doc_id) AS path,
-         6 + doc_id % 3 AS n_defs,
+         7 + doc_id % 3 AS n_defs,
          lead(doc_id, 1, (SELECT min(doc_id) FROM documents))
            OVER (ORDER BY doc_id) AS i2,
          (CASE WHEN doc_id % 2 = 0 THEN doc_id + 1 ELSE doc_id - 1 END) AS partner
@@ -372,6 +377,8 @@ m(metric, value) AS (
   UNION ALL SELECT 'e_file_defines', (SELECT sum(n_defs) FROM corpus)
   UNION ALL SELECT 'e_file_imports', (SELECT 2 * count(*) FROM corpus)
   UNION ALL SELECT 'e_class_to_method', (SELECT 2 * count(*) FROM corpus)
+  -- the lambda inside meth_b: one METHOD_TO_LAMBDA hierarchy edge per file
+  UNION ALL SELECT 'e_method_to_lambda', (SELECT count(*) FROM corpus)
   -- def→def CALLS: meth→fn_a (1) + meth_b→meth via self-receiver (1) +
   -- extras→fn_a (i%3) + cross-file fn_a→fn_a_{i2}; a partner-less pair
   -- call (odd corpus tail) has one candidate and lands here instead of
@@ -441,6 +448,8 @@ m(metric, value) AS (
                      WHEN is_ch THEN n_defs + 1 ELSE n_defs END) FROM k)
   UNION ALL SELECT 'e_file_imports', (SELECT 2 * count(*) FROM k WHERE NOT is_del)
   UNION ALL SELECT 'e_class_to_method', (SELECT 2 * count(*) FROM k WHERE NOT is_del)
+  -- meth_b's lambda: v1 and v2 both carry it; deleted files drop it
+  UNION ALL SELECT 'e_method_to_lambda', (SELECT count(*) FROM k WHERE NOT is_del)
   -- unchanged: meth + meth_b (self-receiver) + extras + (cross-file unless
   --            next doc deleted) + (pair self-edge stays AMBIGUOUS, below)
   -- changed (re-derived in fresh, which sees only changed files):
@@ -512,12 +521,12 @@ _LANG_FILES = {
     "app/user.rb": (
         "# class Hidden (comment must not extract)\n"
         "require 'json'\n"
-        "class User < Base\n"
-        "  def activate!\n"
-        "    Mailer.send_welcome\n"
+        "class Account < Base\n"  # NOT `User` — the Kotlin resolver corpus
+        "  def activate!\n"       # below defines User; a same-name Ruby class
+        "    Mailer.send_welcome\n"  # would turn its ctor pins ambiguous
         "  end\n"
         "end\n"
-    ),  # defs: User, activate! (2); imports: json (1)
+    ),  # defs: Account, activate! (2); imports: json (1)
     "web/app.ts": (
         "import { Widget } from './lib';\n"
         "export class App {\n"
@@ -549,6 +558,87 @@ _LANG_FILES = {
 }
 _LANG_FILE_DEFS = 10
 _LANG_FILE_IMPORTS = 4
+
+# Kotlin resolver mini-corpus, folded into the workspace corpus (it was a
+# standalone kotlin_resolution_stats query through round 3; one indexed
+# corpus instead of two retires its ~10 s/run fixed scheduling cost while
+# keeping every pin — and, being checked on the READ-BACK graph, now also
+# proves call edges survive the parquet round-trip). Exercises the resolver
+# paths the reference's kotlin/tests.rs asserts: package FQNs, interface
+# inheritance, when-branch type unification to the least common ancestor
+# (expression_resolver.rs:352-363,1560-1599), extension functions with
+# receiver-free FQNs, extension-property result types carrying one member
+# hop, and cross-file constructor resolution. Every kt_* metric is a
+# hand-counted constant (the corpus is fixed), the same strategy as the
+# reference's fixture tests.
+_KT_CORPUS = {
+    "ktres/entities/Person.kt": (
+        "package corp.entities\n"
+        "\n"
+        "interface Person {\n"
+        "    fun getName(): String\n"
+        "}\n"
+        "\n"
+        "class User : Person {\n"
+        "    override fun getName(): String {\n"
+        "        return \"user\"\n"
+        "    }\n"
+        "}\n"
+        "\n"
+        "class Admin : Person {\n"
+        "    override fun getName(): String {\n"
+        "        return \"admin\"\n"
+        "    }\n"
+        "}\n"
+    ),
+    "ktres/app/Main.kt": (
+        "package corp.app\n"
+        "\n"
+        "import corp.entities.Admin\n"
+        "import corp.entities.Person\n"
+        "import corp.entities.User\n"
+        "\n"
+        "class Config {\n"
+        "    val kind: String = \"a\"\n"
+        "}\n"
+        "\n"
+        "fun pick(cfg: Config) {\n"
+        "    val p = when (cfg.kind) {\n"
+        "        \"admin\" -> Admin()\n"
+        "        else -> User()\n"
+        "    }\n"
+        "    p.getName()\n"
+        "}\n"
+        "\n"
+        "fun direct() {\n"
+        "    val u = User()\n"
+        "    u.getName()\n"
+        "}\n"
+    ),
+    "ktres/ext/Ext.kt": (
+        "package corp.ext\n"
+        "\n"
+        "import corp.entities.User\n"
+        "\n"
+        "fun User.shout() {\n"
+        "    return\n"
+        "}\n"
+        "\n"
+        "val User.twin\n"
+        "    get() = User()\n"
+        "\n"
+        "fun useExt() {\n"
+        "    val u = User()\n"
+        "    u.shout()\n"
+        "    u.twin.shout()\n"
+        "}\n"
+    ),
+}
+# hand-counted: defs per file 6/5/... — Person, Person.getName, User,
+# User.getName, Admin, Admin.getName (6) + Config, pick, direct (3) +
+# shout, useExt (2) = 11; imports 3 + 1 = 4
+_KT_CORPUS_DEFS = 11
+_KT_CORPUS_IMPORTS = 4
 
 
 def workspace_index_stats(
@@ -591,7 +681,7 @@ def workspace_index_stats(
             os.makedirs(os.path.dirname(p), exist_ok=True)
             with open(p, "w", encoding="utf-8") as f:
                 f.write(_file_text(i, nxt[i]))
-        for rel, content in _LANG_FILES.items():
+        for rel, content in {**_LANG_FILES, **_KT_CORPUS}.items():
             p = os.path.join(good, rel)
             os.makedirs(os.path.dirname(p), exist_ok=True)
             with open(p, "w", encoding="utf-8") as f:
@@ -615,10 +705,51 @@ def workspace_index_stats(
         n_defs = kg.definitions.count()
         n_imps = kg.imports.count()
 
+        # Kotlin resolver pins over the READ-BACK graph (formerly the
+        # standalone kotlin_resolution_stats query): FQN-keyed CALLS counts
+        # proving when-branch LCA unification, extension membership + the
+        # extension-property hop, and cross-file ctor resolution — plus
+        # .kt-scoped totals pinning FQN assembly. One collect over the
+        # persisted tables.
+        d = kg.definitions.select("id", "fqn", "primary_file_path")
+        kt_rel = [
+            (r["type"], r["fqn"])
+            for r in kg.edges["definition_relationships"]
+            .filter(
+                F.col("type").isin("CALLS", "AMBIGUOUSLY_CALLS")
+                & (F.col("target_table") == "definition_nodes")
+            )
+            .join(
+                d.select(
+                    F.col("id").alias("source_id"),
+                    F.col("primary_file_path").alias("src_file"),
+                ),
+                "source_id",
+            )
+            .filter(F.col("src_file").endswith(".kt"))
+            .join(d.select(F.col("id").alias("target_id"), "fqn"), "target_id")
+            .select("type", "fqn")
+            .collect()
+        ]
+        kt_calls = sum(1 for t, _ in kt_rel if t == "CALLS")
+
+        def _n_to(fqn: str) -> int:
+            return sum(1 for t, f in kt_rel if t == "CALLS" and f == fqn)
+
+        kt_defs = d.filter(F.col("primary_file_path").endswith(".kt")).count()
+        kt_imps = kg.imports.filter(F.col("file_path").endswith(".kt")).count()
+
         def _evc(events, etype, status):
             return sum(1 for e in events if e["type"] == etype and e["status"] == status)
 
         rows = [
+            ("kt_defs", kt_defs),
+            ("kt_imports", kt_imps),
+            ("kt_calls_edges", kt_calls),
+            ("kt_ambiguous_edges", len(kt_rel) - kt_calls),
+            ("kt_calls_person_getname", _n_to("corp.entities.Person.getName")),
+            ("kt_calls_ext_shout", _n_to("corp.ext.shout")),
+            ("kt_calls_user_ctor", _n_to("corp.entities.User")),
             ("n_file_nodes", n_files),
             ("n_definition_nodes", n_defs),
             ("n_imported_symbol_nodes", n_imps),
@@ -650,16 +781,25 @@ WORKSPACE_INDEX_STATS_SQL = (
     )
     + f""",
 m(metric, value) AS (
-  SELECT 'n_file_nodes', (SELECT count(*) + 4 FROM corpus)
+  SELECT 'n_file_nodes', (SELECT count(*) + 7 FROM corpus)
   UNION ALL SELECT 'n_definition_nodes',
-    (SELECT sum(n_defs) + {_LANG_FILE_DEFS} FROM corpus)
+    (SELECT sum(n_defs) + {_LANG_FILE_DEFS + _KT_CORPUS_DEFS} FROM corpus)
   UNION ALL SELECT 'n_imported_symbol_nodes',
-    (SELECT 2 * count(*) + {_LANG_FILE_IMPORTS} FROM corpus)
+    (SELECT 2 * count(*) + {_LANG_FILE_IMPORTS + _KT_CORPUS_IMPORTS} FROM corpus)
   UNION ALL SELECT 'n_files_python', (SELECT count(*) FROM corpus)
   UNION ALL SELECT 'n_files_ruby', 1
   UNION ALL SELECT 'n_files_typescript', 1
-  UNION ALL SELECT 'n_files_kotlin', 1
+  UNION ALL SELECT 'n_files_kotlin', 4
   UNION ALL SELECT 'n_files_java', 1
+  -- Kotlin resolver pins (jvm/Main.kt's 3 defs + 1 import join the 11/4
+  -- of the ktres corpus); hand-counted constants — see _KT_CORPUS
+  UNION ALL SELECT 'kt_defs', {3 + _KT_CORPUS_DEFS}
+  UNION ALL SELECT 'kt_imports', {1 + _KT_CORPUS_IMPORTS}
+  UNION ALL SELECT 'kt_calls_edges', 9
+  UNION ALL SELECT 'kt_ambiguous_edges', 0
+  UNION ALL SELECT 'kt_calls_person_getname', 1
+  UNION ALL SELECT 'kt_calls_ext_shout', 2
+  UNION ALL SELECT 'kt_calls_user_ctor', 4
   UNION ALL SELECT 'n_projects_indexed', 1
   UNION ALL SELECT 'n_projects_error', 1
   -- per run: Workspace Started + Failed, Project Started x2, Completed,
@@ -795,161 +935,147 @@ SELECT metric, CAST(value AS BIGINT) AS value FROM m ORDER BY metric
 """
 
 
+
+
 # ---------------------------------------------------------------------------
-# kotlin_resolution_stats — D2/D7 Kotlin semantics driver-checked
+# lambda_edges_stats — D2/D6 anonymous-function definitions driver-checked
 # ---------------------------------------------------------------------------
 
-# Fixed Kotlin mini-corpus exercising the resolver paths the reference's
-# kotlin/tests.rs asserts: package FQNs, interface inheritance, when-branch
-# type unification to the least common ancestor
-# (expression_resolver.rs:352-363,1560-1599), extension functions with
-# receiver-free FQNs, extension-property result types carrying one member
-# hop, and cross-file constructor resolution. Every metric below is a
-# hand-counted constant (the corpus is fixed), so the oracle is closed-form
-# — the same strategy as the reference's fixture tests (kotlin/tests.rs
-# asserting exact FQN sets over fixtures/kotlin).
-_KT_CORPUS = {
-    "entities/Person.kt": (
-        "package corp.entities\n"
-        "\n"
-        "interface Person {\n"
-        "    fun getName(): String\n"
+# Fixed multi-language mini-corpus exercising the LAMBDA/PROC definition
+# family and its per-language hierarchy-edge tables
+# (relationship.rs:36-66; python/analyzer.rs:1084-1112 Class/Method→Lambda +
+# Lambda→Lambda; ruby/analyzer.rs:214-218 Class→Lambda/Proc ONLY — the
+# method-scoped arrow lambda in Jobs#run is deliberately edge-LESS, pinned
+# by n_lambda_edges_total < n_lambda_defs + n_proc_defs;
+# java/analyzer.rs:222-252 Interface/Method→Lambda; kotlin/analyzer.rs:256
+# fun→METHOD_TO_LAMBDA; csharp.rs:234-239). Every metric is a hand-counted
+# constant over the fixed corpus — closed-form by construction.
+_LAMBDA_CORPUS = {
+    "py/app.py": (
+        "class H:\n"
+        "    make = lambda s: s\n"              # CLASS_TO_LAMBDA
+        "    def run(self):\n"
+        "        f = lambda x: lambda y: x + y\n"  # METHOD_TO_LAMBDA + LAMBDA_TO_LAMBDA
+    ),
+    "rb/jobs.rb": (
+        "class Jobs\n"
+        "  GREET = lambda { |n| n }\n"          # CLASS_TO_LAMBDA
+        "  PACK = proc { |x| x }\n"             # CLASS_TO_PROC
+        "  def run\n"
+        "    inner = ->(v) { v }\n"             # Lambda def, NO edge (Ruby Method->Lambda unmapped)
+        "  end\n"
+        "end\n"
+    ),
+    "java/Fns.java": (
+        "package fx;\n"
+        "public interface Cb {\n"
+        "    Runnable R = () -> helper();\n"    # INTERFACE_TO_LAMBDA
         "}\n"
-        "\n"
-        "class User : Person {\n"
-        "    override fun getName(): String {\n"
-        "        return \"user\"\n"
-        "    }\n"
-        "}\n"
-        "\n"
-        "class Admin : Person {\n"
-        "    override fun getName(): String {\n"
-        "        return \"admin\"\n"
+        "public class Fns {\n"
+        "    public void go() {\n"
+        "        exec(t -> t.run());\n"         # METHOD_TO_LAMBDA
         "    }\n"
         "}\n"
     ),
-    "app/Main.kt": (
-        "package corp.app\n"
-        "\n"
-        "import corp.entities.Admin\n"
-        "import corp.entities.Person\n"
-        "import corp.entities.User\n"
-        "\n"
-        "class Config {\n"
-        "    val kind: String = \"a\"\n"
-        "}\n"
-        "\n"
-        "fun pick(cfg: Config) {\n"
-        "    val p = when (cfg.kind) {\n"
-        "        \"admin\" -> Admin()\n"
-        "        else -> User()\n"
+    "kt/Flow.kt": (
+        "package fx\n"
+        "class Flow {\n"
+        "    fun go() {\n"
+        "        val f = { x: Int -> x + 1 }\n"  # METHOD_TO_LAMBDA
+        "        items.map { it }\n"             # METHOD_TO_LAMBDA (implicit it)
         "    }\n"
-        "    p.getName()\n"
-        "}\n"
-        "\n"
-        "fun direct() {\n"
-        "    val u = User()\n"
-        "    u.getName()\n"
         "}\n"
     ),
-    "ext/Ext.kt": (
-        "package corp.ext\n"
-        "\n"
-        "import corp.entities.User\n"
-        "\n"
-        "fun User.shout() {\n"
-        "    return\n"
-        "}\n"
-        "\n"
-        "val User.twin\n"
-        "    get() = User()\n"
-        "\n"
-        "fun useExt() {\n"
-        "    val u = User()\n"
-        "    u.shout()\n"
-        "    u.twin.shout()\n"
+    "cs/Ops.cs": (
+        "namespace fx;\n"
+        "public class Ops {\n"
+        "    public void Go() {\n"
+        "        var q = items.Where(u => u.Active);\n"  # METHOD_TO_LAMBDA
+        "    }\n"
         "}\n"
     ),
 }
 
 
-def kotlin_resolution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Index the fixed Kotlin mini-corpus through the REAL pipeline
-    (list_files → extract → build) and emit exact resolution metrics:
-
-    - ``n_calls_person_getname`` = 1 pins when-branch LCA unification
-      (``p`` typed {Admin, User} → Person → Person.getName);
-    - ``n_calls_ext_shout`` = 2 pins extension-function membership AND the
-      extension-property hop (u.shout() + u.twin.shout());
-    - ``n_calls_user_ctor`` = 4 pins cross-file constructor resolution
-      (two ctor calls in app/, one in the ext getter, one in useExt);
-    - the node/edge totals pin FQN assembly and hierarchy synthesis.
-
-    The corpus is fixed, so the oracle is the hand-counted constant set —
-    independent of scale factor by construction."""
-    import os
-    import shutil
-    import tempfile
-
+def lambda_edges_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index the fixed lambda corpus through the REAL extract→build pipeline
+    and emit exact anonymous-function metrics (corpus fixed ⇒ the oracle is
+    the hand-counted constant set, scale-factor-independent)."""
     from knowledge_graph_spark.persist import checkpoint_and_release, persistent_rdd_ids
     from knowledge_graph_spark.pipeline.build import build_graph_from_entities
-    from knowledge_graph_spark.pipeline.extract import extract_entities, list_files
+    from knowledge_graph_spark.pipeline.extract import (
+        LANGUAGE_BY_EXTENSION,
+        extract_entities,
+    )
 
     before = persistent_rdd_ids(spark)
-    base = tempfile.mkdtemp(prefix="kg-kt-")
-    try:
-        for rel, content in _KT_CORPUS.items():
-            p = os.path.join(base, rel)
-            os.makedirs(os.path.dirname(p), exist_ok=True)
-            with open(p, "w", encoding="utf-8") as f:
-                f.write(content)
-        files = list_files(spark, base)
-        kg = build_graph_from_entities(spark, files, extract_entities(files), "kt-corpus")
+    files = spark.createDataFrame(
+        [
+            (
+                rel,
+                rel.rsplit(".", 1)[-1],
+                LANGUAGE_BY_EXTENSION[rel.rsplit(".", 1)[-1]],
+                len(text.encode()),
+                bytearray(text.encode()),
+            )
+            for rel, text in sorted(_LAMBDA_CORPUS.items())
+        ],
+        "relative_path string, extension string, language string, length long, content binary",
+    )
+    kg = build_graph_from_entities(spark, files, extract_entities(files), "lambda-corpus")
 
-        defs = kg.definitions.select(F.col("id").alias("target_id"), "fqn")
-        de = kg.edges["definition_relationships"]
-        # ONE action over the (deep) resolution plan — per-metric counts
-        # would recompute the whole chase/LCA/hop pipeline each time
-        rel = [
-            (r["type"], r["fqn"])
-            for r in de.filter(F.col("type").isin("CALLS", "AMBIGUOUSLY_CALLS"))
-            .join(defs, "target_id")
-            .select("type", "fqn")
-            .collect()
-        ]
-        n_calls = sum(1 for t, _ in rel if t == "CALLS")
-
-        def _n_to(fqn: str) -> int:
-            return sum(1 for t, f in rel if t == "CALLS" and f == fqn)
-
-        rows = [
-            ("n_files", kg.files.count()),
-            ("n_dirs", kg.directories.count()),
-            ("n_defs", kg.definitions.count()),
-            ("n_imports", kg.imports.count()),
-            ("n_calls_edges", n_calls),
-            ("n_ambiguous_edges", len(rel) - n_calls),
-            ("n_calls_person_getname", _n_to("corp.entities.Person.getName")),
-            ("n_calls_ext_shout", _n_to("corp.ext.shout")),
-            ("n_calls_user_ctor", _n_to("corp.entities.User")),
-        ]
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+    # one aggregate per side: definition_type counts + hierarchy-edge type
+    # counts (single action each over tiny frames)
+    def_counts = {
+        r["definition_type"]: r["n"]
+        for r in kg.definitions.groupBy("definition_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    lam_types = [
+        "CLASS_TO_LAMBDA",
+        "CLASS_TO_PROC",
+        "METHOD_TO_LAMBDA",
+        "INTERFACE_TO_LAMBDA",
+        "LAMBDA_TO_LAMBDA",
+    ]
+    edge_counts = {
+        r["type"]: r["n"]
+        for r in kg.edges["definition_relationships"]
+        .filter(F.col("type").isin(lam_types))
+        .groupBy("type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = [
+        ("n_lambda_defs", def_counts.get("Lambda", 0)),
+        ("n_proc_defs", def_counts.get("Proc", 0)),
+        ("e_class_to_lambda", edge_counts.get("CLASS_TO_LAMBDA", 0)),
+        ("e_class_to_proc", edge_counts.get("CLASS_TO_PROC", 0)),
+        ("e_method_to_lambda", edge_counts.get("METHOD_TO_LAMBDA", 0)),
+        ("e_interface_to_lambda", edge_counts.get("INTERFACE_TO_LAMBDA", 0)),
+        ("e_lambda_to_lambda", edge_counts.get("LAMBDA_TO_LAMBDA", 0)),
+        ("n_lambda_edges_total", sum(edge_counts.values())),
+    ]
+    for df in getattr(kg, "_cached_intermediates", []):
+        df.unpersist()
     out = spark.createDataFrame(rows, "metric string, value long").orderBy("metric")
     return checkpoint_and_release(spark, before, out)
 
 
-KOTLIN_RESOLUTION_STATS_SQL = """
+LAMBDA_EDGES_STATS_SQL = """
 WITH m(metric, value) AS (
-  SELECT 'n_files', 3
-  UNION ALL SELECT 'n_dirs', 3
-  UNION ALL SELECT 'n_defs', 11
-  UNION ALL SELECT 'n_imports', 4
-  UNION ALL SELECT 'n_calls_edges', 9
-  UNION ALL SELECT 'n_ambiguous_edges', 0
-  UNION ALL SELECT 'n_calls_person_getname', 1
-  UNION ALL SELECT 'n_calls_ext_shout', 2
-  UNION ALL SELECT 'n_calls_user_ctor', 4
+  SELECT 'n_lambda_defs', 10
+  UNION ALL SELECT 'n_proc_defs', 1
+  UNION ALL SELECT 'e_class_to_lambda', 2
+  UNION ALL SELECT 'e_class_to_proc', 1
+  UNION ALL SELECT 'e_method_to_lambda', 5
+  UNION ALL SELECT 'e_interface_to_lambda', 1
+  UNION ALL SELECT 'e_lambda_to_lambda', 1
+  -- 10 edges vs 11 Lambda/Proc defs: Ruby's method-scoped arrow lambda is
+  -- a definition with NO hierarchy edge (ruby/analyzer.rs maps only Class
+  -- parents for Lambda/Proc children)
+  UNION ALL SELECT 'n_lambda_edges_total', 10
 )
 SELECT metric, CAST(value AS BIGINT) AS value FROM m ORDER BY metric
 """

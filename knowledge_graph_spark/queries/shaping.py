@@ -318,9 +318,15 @@ def import_usage_xml(
     from the indexed file-line inventory (the reference reads the worktree,
     file_reader_utils.rs). Spark trim == DuckDB trim (space-only) — a
     documented divergence from Rust's str::trim for snippets that start or
-    end with tabs. Plan shape: two broadcast joins against the line
-    inventory, per-file string aggregation, one global sorted aggregation;
-    nothing leaves the JVM.
+    end with tabs.
+
+    Plan shape (fused, round 4): import statements and usage sites are
+    tagged rows of ONE item frame — a single distinct, a single broadcast
+    range-join against the line inventory, a single snippet aggregation,
+    and ONE groupBy(path) assembling BOTH block strings via conditional
+    collect_list — instead of two parallel subpipelines merged afterwards
+    (r3's shape planned 16 exchanges for a 50-row page; this plans ≤6).
+    Nothing leaves the JVM.
     """
     from knowledge_graph_spark import schema as S
     from knowledge_graph_spark.queries.library import _context_lines
@@ -328,142 +334,121 @@ def import_usage_xml(
     paths_lc = [p.lower() for p in import_paths]
     lines = _context_lines(kg)
 
-    # -- imports: unique (file, line-range) with whitespace-normalized text
-    imps = (
-        kg.imports.filter(F.lower(F.col("import_path")).isin(paths_lc))
-        .select(F.col("file_path").alias("path"), "start_line", "end_line")
-        .distinct()
+    # -- tagged item frame: kind 0 = import statement, kind 1 = usage site.
+    # fqn/def_start use sentinels (not NULLs) so the snippet join-back keys
+    # stay equi-joinable.
+    imp_match = kg.imports.filter(F.lower(F.col("import_path")).isin(paths_lc))
+    items_imp = imp_match.select(
+        F.lit(0).alias("kind"),
+        F.col("file_path").alias("path"),
+        F.col("start_line").alias("s"),
+        F.col("end_line").alias("e"),
+        F.lit("").alias("fqn"),
+        F.lit(-1).alias("def_start"),
     )
-    # inner broadcast join for the source text, then a left join back with
-    # the page-sized snippet frame broadcast — a LEFT OUTER join cannot
-    # broadcast its left side, and the line inventory must stay the stream
-    imp_j = F.broadcast(imps).join(
-        lines,
-        (imps.path == lines._path)
-        & (lines._line >= imps.start_line)
-        & (lines._line <= imps.end_line),
-    )
-    one_line = F.regexp_replace(
-        F.trim(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("_line", "_rendered"))),
-                    lambda s: s["_rendered"],
-                ),
-                " ",
-            )
-        ),
-        r"\s+",
-        " ",
-    )
-    imp_snips = imp_j.groupBy("path", "start_line", "end_line").agg(one_line.alias("src"))
-    imp_rows = imps.join(
-        F.broadcast(imp_snips), ["path", "start_line", "end_line"], "left"
-    )
-    imp_entry = F.format_string(
-        "import %s L%d-%d\n",
-        F.coalesce(F.col("src"), F.lit("")),
-        F.col("start_line") + 1,
-        F.col("end_line") + 1,
-    )
-    imports_by_file = (
-        imp_rows.withColumn("entry", imp_entry)
-        .groupBy("path")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("start_line", "end_line", "entry"))
-                    ),
-                    lambda s: s["entry"],
-                ),
-                "",
-            ).alias("imports_text")
-        )
-    )
-
-    # -- usages: def→imp reference edges, source lines from the edge
-    imp_ids = kg.imports.filter(F.lower(F.col("import_path")).isin(paths_lc)).select(
-        F.col("id").alias("_imp_id")
-    )
-    refs = (
+    imp_ids = imp_match.select(F.col("id").alias("_imp_id"))
+    items_use = (
         kg.edge("definition_relationships", S.REFERENCE_EDGE_TYPES)
         .filter(F.col("target_table") == "imported_symbol_nodes")
         .alias("r")
         .join(F.broadcast(imp_ids), F.col("r.target_id") == F.col("_imp_id"))
         .join(kg.definitions.alias("src"), F.col("r.source_id") == F.col("src.id"))
         .select(
+            F.lit(1).alias("kind"),
             F.col("src.primary_file_path").alias("path"),
-            F.coalesce(F.col("r.source_start_line"), F.col("src.start_line")).alias("rs"),
-            F.coalesce(F.col("r.source_end_line"), F.col("src.end_line")).alias("re"),
+            F.coalesce(F.col("r.source_start_line"), F.col("src.start_line")).alias("s"),
+            F.coalesce(F.col("r.source_end_line"), F.col("src.end_line")).alias("e"),
             F.col("src.fqn").alias("fqn"),
             F.col("src.start_line").alias("def_start"),
         )
-        .distinct()
     )
-    u_j = F.broadcast(refs).join(
+    items = items_imp.unionByName(items_use).distinct()
+
+    # -- ONE broadcast range-join for source text (the page-sized item set
+    # broadcasts; the line inventory stays the stream), ONE snippet agg.
+    # A LEFT OUTER join cannot broadcast its left side, so the no-lines rows
+    # rejoin via the broadcast right-side left join below.
+    j = F.broadcast(items).join(
         lines,
-        (refs.path == lines._path)
-        & (lines._line >= refs.rs)
-        & (lines._line <= refs.re),
+        (items.path == lines._path)
+        & (lines._line >= items.s)
+        & (lines._line <= items.e),
     )
-    chunk = F.trim(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("_line", "_rendered"))),
-                lambda s: s["_rendered"],
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("_line", "_rendered"))),
+        lambda st: st["_rendered"],
+    )
+    snips = j.groupBy("kind", "path", "s", "e", "fqn", "def_start").agg(
+        # import statements render whitespace-collapsed on one line;
+        # usage snippets keep their line structure
+        F.regexp_replace(F.trim(F.array_join(ordered, " ")), r"\s+", " ").alias("src"),
+        F.trim(F.array_join(ordered, "\n")).alias("snippet"),
+    )
+    rows = items.join(
+        F.broadcast(snips), ["kind", "path", "s", "e", "fqn", "def_start"], "left"
+    )
+
+    entry = F.when(
+        F.col("kind") == 0,
+        F.format_string(
+            "import %s L%d-%d\n",
+            F.coalesce(F.col("src"), F.lit("")),
+            F.col("s") + 1,
+            F.col("e") + 1,
+        ),
+    ).otherwise(
+        F.concat(
+            F.format_string(
+                "usage %s L%d-%d\n", F.col("fqn"), F.col("s") + 1, F.col("e") + 1
             ),
-            "\n",
+            F.when(F.col("s") >= F.col("def_start"), F.lit("│ ...\n")).otherwise(F.lit("")),
+            F.when(
+                F.col("snippet") != "",
+                F.concat(
+                    F.lit("│ "),
+                    F.replace(F.col("snippet"), F.lit("\n"), F.lit("\n│ ")),
+                    F.lit("\n"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("\n"),
         )
     )
-    u_snips = u_j.groupBy("path", "rs", "re", "fqn", "def_start").agg(chunk.alias("snippet"))
-    u_rows = refs.join(
-        F.broadcast(u_snips), ["path", "rs", "re", "fqn", "def_start"], "left"
-    )
-    u_entry = F.concat(
-        F.format_string("usage %s L%d-%d\n", F.col("fqn"), F.col("rs") + 1, F.col("re") + 1),
-        F.when(F.col("rs") >= F.col("def_start"), F.lit("│ ...\n")).otherwise(F.lit("")),
-        F.when(
-            F.col("snippet") != "",
-            F.concat(
-                F.lit("│ "),
-                F.replace(F.col("snippet"), F.lit("\n"), F.lit("\n│ ")),
-                F.lit("\n"),
-            ),
-        ).otherwise(F.lit("")),
-        F.lit("\n"),
-    )
-    usages_by_file = (
-        u_rows.withColumn("entry", u_entry)
+
+    # -- ONE groupBy(path) assembling both block strings (conditional
+    # collect_list: a null struct from the unmatched kind is skipped), then
+    # pagination over the sorted file list
+    from pyspark.sql import Window
+
+    _kind = F.col("kind")
+    files = (
+        rows.withColumn("entry", entry)
         .groupBy("path")
         .agg(
             F.array_join(
                 F.transform(
                     F.sort_array(
-                        F.collect_list(F.struct("rs", "re", "fqn", "def_start", "entry"))
+                        F.collect_list(
+                            F.when(_kind == 0, F.struct("s", "e", "entry"))
+                        )
                     ),
-                    lambda s: s["entry"],
+                    lambda st: st["entry"],
                 ),
                 "",
-            ).alias("usages_text")
-        )
-    )
-
-    # -- file union, pagination over the sorted file list
-    from pyspark.sql import Window
-
-    # FULL OUTER has no broadcast strategy in Spark; a tagged union +
-    # one small path-keyed aggregation merges the two per-file frames
-    files = (
-        imports_by_file.withColumn("usages_text", F.lit(None).cast("string"))
-        .unionByName(
-            usages_by_file.withColumn("imports_text", F.lit(None).cast("string")),
-            allowMissingColumns=False,
-        )
-        .groupBy("path")
-        .agg(
-            F.coalesce(F.max("imports_text"), F.lit("")).alias("imports_text"),
-            F.coalesce(F.max("usages_text"), F.lit("")).alias("usages_text"),
+            ).alias("imports_text"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                _kind == 1,
+                                F.struct("s", "e", "fqn", "def_start", "entry"),
+                            )
+                        )
+                    ),
+                    lambda st: st["entry"],
+                ),
+                "",
+            ).alias("usages_text"),
         )
         .withColumn("_rn", F.row_number().over(Window.orderBy("path")))
         .withColumn("_total", F.count(F.lit(1)).over(Window.partitionBy()))

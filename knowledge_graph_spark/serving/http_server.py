@@ -20,6 +20,16 @@ Reference mapping (crates/http-server-desktop + crates/mcp):
   POST /api/mcp/{tool} with a JSON argument object; the response mirrors
   each tool's output shape (search_codebase_definitions returns the full
   XML + pagination + system-message contract from queries/shaping.py).
+- MCP protocol framing (mcp/src/http.rs:5 streamable HTTP; sse.rs:6-19):
+  POST /mcp speaks JSON-RPC 2.0 (initialize / tools/list / tools/call with
+  CallToolResult content frames); GET /mcp/sse opens the SSE handshake
+  whose first frame is the ``endpoint`` event naming the session's POST
+  URI (/mcp/message?session=...), responses are returned on the POST body
+  and buffered for (finite) SSE replay.
+- Optional JWT gate (http-server-deployed jwt_authentication.rs): pass
+  ``jwt_secret`` to make_server and every endpoint except /api/health and
+  /api/info requires a valid HS256 Bearer token (exp enforced) — 401
+  otherwise.
 
 Architecture: the server is a thin driver-side shell — every request maps
 to the SAME query-library DataFrame functions the batch surface uses, so
@@ -73,6 +83,7 @@ class GraphService:
         self.manager = manager
         self._graphs: dict[str, KnowledgeGraph] = {}
         self.events: list[dict] = []  # ST6 bus replay buffer
+        self.mcp_sessions: dict[str, list[dict]] = {}  # SSE replay buffers
         self._lock = threading.Lock()
 
     # -- project graph resolution ------------------------------------------
@@ -355,6 +366,7 @@ def _project_json(info) -> dict | None:
 
 class _Handler(BaseHTTPRequestHandler):
     service: GraphService  # injected by make_server
+    jwt_secret: str | None = None  # injected by make_server (None = open)
 
     def log_message(self, fmt, *a):  # silence default stderr chatter
         pass
@@ -370,17 +382,49 @@ class _Handler(BaseHTTPRequestHandler):
     def _not_found(self) -> None:
         self._json(404, {"status": "not found"})
 
+    def _authorized(self, parts: list[str]) -> bool:
+        """JWT gate (jwt_authentication.rs:20-90): health/info public,
+        everything else needs a valid HS256 Bearer token when a secret is
+        configured."""
+        if self.jwt_secret is None or parts[:2] in (["api", "health"], ["api", "info"]):
+            return True
+        from knowledge_graph_spark.serving.mcp_protocol import verify_jwt
+
+        auth = self.headers.get("Authorization", "")
+        return auth.startswith("Bearer ") and verify_jwt(self.jwt_secret, auth[7:])
+
     def do_GET(self) -> None:  # noqa: N802 (stdlib casing)
         try:
             url = urlparse(self.path)
             parts = [unquote(p) for p in url.path.strip("/").split("/")]
             q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            if not self._authorized(parts):
+                return self._json(401, {"status": "unauthorized"})
             if parts[:2] == ["api", "health"]:
                 return self._json(200, {"status": "ok"})
             if parts[:2] == ["api", "info"]:
                 return self._json(
                     200, {"name": SERVER_NAME, "version": SERVER_VERSION}
                 )
+            if parts[:2] == ["mcp", "sse"]:
+                # SSE transport handshake (sse.rs:6-19): the first frame is
+                # the `endpoint` event carrying the session POST URI; any
+                # buffered responses for the session are replayed as
+                # `message` events (finite replay, like /api/events)
+                from knowledge_graph_spark.serving.mcp_protocol import new_session_id
+
+                sid = q.get("session") or new_session_id()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.end_headers()
+                self.wfile.write(
+                    f"event: endpoint\ndata: /mcp/message?session={sid}\n\n".encode()
+                )
+                for msg in self.service.mcp_sessions.get(sid, []):
+                    self.wfile.write(
+                        f"event: message\ndata: {json.dumps(msg)}\n\n".encode()
+                    )
+                return None
             if parts[:3] == ["api", "workspace", "list"]:
                 return self._json(200, self.service.workspace_list())
             if parts[:2] == ["api", "events"]:
@@ -415,8 +459,44 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self) -> None:  # noqa: N802
         try:
             n = int(self.headers.get("Content-Length", 0))
-            args = json.loads(self.rfile.read(n) or b"{}")
-            parts = [unquote(p) for p in urlparse(self.path).path.strip("/").split("/")]
+            raw = self.rfile.read(n) or b"{}"
+            url = urlparse(self.path)
+            parts = [unquote(p) for p in url.path.strip("/").split("/")]
+            if not self._authorized(parts):
+                return self._json(401, {"status": "unauthorized"})
+            if parts == ["mcp"] or parts[:2] == ["mcp", "message"]:
+                # JSON-RPC 2.0 envelope (http.rs:5 streamable HTTP;
+                # /mcp/message is the SSE transport's post_path, sse.rs:24)
+                from knowledge_graph_spark.serving.mcp_protocol import (
+                    PARSE_ERROR,
+                    handle_jsonrpc,
+                )
+
+                try:
+                    payload = json.loads(raw)
+                except ValueError:
+                    return self._json(
+                        200,
+                        {
+                            "jsonrpc": "2.0",
+                            "id": None,
+                            "error": {"code": PARSE_ERROR, "message": "parse error"},
+                        },
+                    )
+                resp = handle_jsonrpc(self.service, payload)
+                if resp is None:  # notification
+                    self.send_response(202)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return None
+                if parts[:2] == ["mcp", "message"]:
+                    sid = {
+                        k: v[0] for k, v in parse_qs(url.query).items()
+                    }.get("session")
+                    if sid:
+                        self.service.mcp_sessions.setdefault(sid, []).append(resp)
+                return self._json(200, resp)
+            args = json.loads(raw)
             if parts[:3] == ["api", "workspace", "index"]:
                 return self._json(
                     200, self.service.workspace_index(args["workspace_folder_path"])
@@ -434,14 +514,18 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(500, {"status": f"error: {exc}"})
 
 
-def make_server(spark, manager: WorkspaceManager, port: int = 0) -> ThreadingHTTPServer:
+def make_server(
+    spark, manager: WorkspaceManager, port: int = 0, jwt_secret: str | None = None
+) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; port 0 binds an ephemeral port.
 
     Start with ``threading.Thread(target=srv.serve_forever).start()`` and
     stop with ``srv.shutdown()`` — the test suite drives it exactly so.
     """
     service = GraphService(spark, manager)
-    handler = type("BoundHandler", (_Handler,), {"service": service})
+    handler = type(
+        "BoundHandler", (_Handler,), {"service": service, "jwt_secret": jwt_secret}
+    )
     srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
     srv.service = service  # type: ignore[attr-defined]
     return srv

@@ -1457,3 +1457,212 @@ def test_repo_map_xml_snippet_dedup(ts_repo):
     block = xml.split("<path>app/models/base_model.ts</path>")[1].split("</file>")[0]
     line = "│ export class BaseModel {"
     assert block.count(line) == 1, block[:500]
+
+
+# ---- Lambda / Proc definitions + the LAMBDA_TO_* edge family ---------------
+# (relationship.rs:36-66; python/analyzer.rs:1084-1112;
+#  ruby/analyzer.rs:214-218; java/analyzer.rs:222-252; kotlin/analyzer.rs:256)
+
+
+def test_java_fixture_lambda_definition_and_edge(java_main):
+    """fixtures/java Main.java:22 (0-based 21) `await(() -> super.run());`
+    carries a real Java lambda: a Lambda definition node on that line whose
+    hierarchy edge is METHOD_TO_LAMBDA from Main.main — while the call
+    INSIDE it (super.run → Application.run) stays attributed to Main.main
+    (java/tests.rs pins that caller at the same line)."""
+    lams = java_main.definitions.filter(F.col("definition_type") == "Lambda")
+    rows = lams.filter(F.col("primary_file_path").endswith("Main.java")).collect()
+    assert len(rows) == 1 and rows[0].start_line == 21, rows
+    de = java_main.edges["definition_relationships"]
+    d = java_main.definitions.select("id", "fqn")
+    pairs = {
+        (r.caller, r.callee)
+        for r in de.filter(F.col("type") == "METHOD_TO_LAMBDA")
+        .join(d.withColumnsRenamed({"id": "source_id", "fqn": "caller"}), "source_id")
+        .join(d.withColumnsRenamed({"id": "target_id", "fqn": "callee"}), "target_id")
+        .collect()
+    }
+    assert ("com.example.app.Main.main", "com.example.app.Main.main.lambda_21_14") in pairs, pairs
+    # the call inside the lambda still attributes to the METHOD (the
+    # reference pins Main.main→Application.run at this line)
+    assert ("Application::run", "Application::run") not in pairs
+
+
+def test_ruby_blocks_are_not_lambdas(ruby_refs):
+    """Plain `do |x| ... end` iterator blocks are NOT definitions — Block is
+    not a RubyDefinitionType (ruby/analyzer.rs:248 comment); only
+    lambda/->/proc/Proc.new forms are. The ruby-references fixture is full
+    of do-blocks and has zero Lambda/Proc nodes."""
+    n = ruby_refs.definitions.filter(
+        F.col("definition_type").isin("Lambda", "Proc")
+    ).count()
+    assert n == 0
+
+
+def test_ts_arrows_are_not_lambdas(ts_repo):
+    """TypeScript has NO Lambda definition type (typescript.rs; the 84-count
+    inventory in tests.rs:415-419 covers a fixture full of anonymous
+    callbacks) — anonymous arrows must not emit definitions."""
+    n = ts_repo.definitions.filter(
+        F.col("definition_type").isin("Lambda", "Proc")
+    ).count()
+    assert n == 0
+
+
+LAMBDA_GOLDEN_CORPUS = {
+    "py/app.py": (
+        "class H:\n"
+        "    make = lambda s: s\n"
+        "    def run(self):\n"
+        "        f = lambda x: lambda y: x + y\n"
+        "        pairs = sorted(xs, key=lambda a: a)\n"
+    ),
+    "rb/jobs.rb": (
+        "class Jobs\n"
+        "  GREET = lambda { |n| n }\n"
+        "  PACK = proc { |x| x }\n"
+        "  HOOK = Proc.new { |y| y }\n"
+        "  def run\n"
+        "    inner = ->(v) { v }\n"
+        "  end\n"
+        "end\n"
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def lambda_repo(spark, tmp_path_factory):
+    return _index_corpus(spark, tmp_path_factory, LAMBDA_GOLDEN_CORPUS, "lambda-repo")
+
+
+def _edge_types(kg) -> dict[tuple[str, str], str]:
+    de = kg.edges["definition_relationships"]
+    d = kg.definitions.select("id", "fqn")
+    return {
+        (r.p, r.c): r.type
+        for r in de.filter(F.col("target_table") == "definition_nodes")
+        .join(d.withColumnsRenamed({"id": "source_id", "fqn": "p"}), "source_id")
+        .join(d.withColumnsRenamed({"id": "target_id", "fqn": "c"}), "target_id")
+        .select("p", "c", "type")
+        .collect()
+    }
+
+
+def test_python_lambda_fqns_and_edges(lambda_repo):
+    """Python: class-attribute lambda → CLASS_TO_LAMBDA; method-local →
+    METHOD_TO_LAMBDA; same-line nested lambda → LAMBDA_TO_LAMBDA with the
+    outer lambda's FQN as its scope parent; sibling callback args do NOT
+    nest (python/analyzer.rs:1084-1112 pair table)."""
+    et = _edge_types(lambda_repo)
+    assert et[("py.app.H", "py.app.H.lambda_1_11")] == "CLASS_TO_LAMBDA"
+    assert et[("py.app.H.run", "py.app.H.run.lambda_3_12")] == "METHOD_TO_LAMBDA"
+    assert (
+        et[("py.app.H.run.lambda_3_12", "py.app.H.run.lambda_3_12.lambda_3_22")]
+        == "LAMBDA_TO_LAMBDA"
+    )
+    # the sorted(key=...) lambda is a sibling of run, not of lambda_3_*
+    assert et[("py.app.H.run", "py.app.H.run.lambda_4_31")] == "METHOD_TO_LAMBDA"
+
+
+def test_ruby_lambda_proc_edges_and_method_suppression(lambda_repo):
+    """Ruby: class-body lambda → CLASS_TO_LAMBDA, proc/Proc.new →
+    CLASS_TO_PROC; the method-scoped arrow lambda emits a definition but NO
+    hierarchy edge (ruby/analyzer.rs:203-235 maps only Class parents for
+    Lambda/Proc children)."""
+    et = _edge_types(lambda_repo)
+    assert et[("Jobs", "Jobs::lambda_1_10")] == "CLASS_TO_LAMBDA"
+    assert et[("Jobs", "Jobs::proc_2_9")] == "CLASS_TO_PROC"
+    assert et[("Jobs", "Jobs::proc_3_9")] == "CLASS_TO_PROC"
+    defs = {
+        r.fqn
+        for r in lambda_repo.definitions.filter(
+            F.col("definition_type").isin("Lambda", "Proc")
+        ).collect()
+    }
+    assert "Jobs::run::lambda_5_12" in defs  # definition exists...
+    assert not any(c == "Jobs::run::lambda_5_12" for _, c in et)  # ...edge-less
+
+
+# ---- Multi-line signatures (masking-pass continuation joining) -------------
+
+
+MULTILINE_CORPUS = {
+    "jv/Wide.java": (
+        "package mx;\n"
+        "public class Wide\n"
+        "        extends Base {\n"
+        "    public static java.util.Map<String, Integer>\n"
+        "            countItems(java.util.List<String> items) {\n"
+        "        return null;\n"
+        "    }\n"
+        "}\n"
+        "class Base {\n"
+        "    public void ping() {\n"
+        "    }\n"
+        "}\n"
+    ),
+    "cs/Big.cs": (
+        "namespace mx;\n"
+        "public class Big {\n"
+        "    public virtual System.Collections.Generic.List<int>\n"
+        "            Fetch(int id) {\n"
+        "        return null;\n"
+        "    }\n"
+        "}\n"
+    ),
+    "kt/Wrap.kt": (
+        "package mx\n"
+        "class Wrap {\n"
+        "    fun wrapped(\n"
+        "        a: Int,\n"
+        "        b: String\n"
+        "    ): Int {\n"
+        "        return a\n"
+        "    }\n"
+        "}\n"
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def multiline_repo(spark, tmp_path_factory):
+    return _index_corpus(spark, tmp_path_factory, MULTILINE_CORPUS, "ml-repo")
+
+
+def test_multiline_java_signature(multiline_repo):
+    """A Java signature whose return type wraps BEFORE the member name
+    extracts with start_line = the head line (the reference's tree-sitter
+    nodes span the whole signature; parsing/processor.rs), and the wrapped
+    `extends` clause still feeds the inheritance chain."""
+    d = {
+        r.fqn: r.start_line
+        for r in multiline_repo.definitions.filter(
+            F.col("primary_file_path").endswith(".java")
+        ).collect()
+    }
+    assert d["mx.Wide.countItems"] == 3, d
+    assert d["mx.Wide"] == 1
+    # no phantom CALLS row from the continuation line (`countItems(...)`)
+    pairs = _call_pairs(multiline_repo)
+    assert ("mx.Wide.countItems", "mx.Wide.countItems") not in pairs
+
+
+def test_multiline_csharp_signature(multiline_repo):
+    d = {
+        r.fqn: r.start_line
+        for r in multiline_repo.definitions.filter(
+            F.col("primary_file_path").endswith(".cs")
+        ).collect()
+    }
+    # C# FQNs carry the module-path prefix before the namespace chain
+    assert d["cs.Big.mx.Big.Fetch"] == 2, d
+
+
+def test_multiline_kotlin_fun(multiline_repo):
+    d = {
+        r.fqn: r.start_line
+        for r in multiline_repo.definitions.filter(
+            F.col("primary_file_path").endswith(".kt")
+        ).collect()
+    }
+    assert d["mx.Wrap.wrapped"] == 2, d

@@ -274,3 +274,227 @@ def test_mcp_repo_map_xml_contract(served):
     assert "app" in rm["xml"]
     assert "class User" in rm["xml"] or "def notify_user" in rm["xml"]
     assert "Returned" in rm["system_message"]
+
+
+# ---------------------------------------------------------------------------
+# MCP protocol framing: JSON-RPC 2.0 envelope + SSE handshake
+# (mcp/src/http.rs:5 streamable HTTP; sse.rs:6-19; the 8-tool registry of
+#  available_tools_service.rs:41-121)
+# ---------------------------------------------------------------------------
+
+
+def _rpc(served, method, params=None, req_id=1, path="/mcp"):
+    payload = {"jsonrpc": "2.0", "id": req_id, "method": method}
+    if params is not None:
+        payload["params"] = params
+    return served["post"](path, payload)[1]
+
+
+def test_mcp_initialize_handshake(served):
+    out = _rpc(served, "initialize", {"protocolVersion": "2024-11-05"})
+    assert out["jsonrpc"] == "2.0" and out["id"] == 1
+    res = out["result"]
+    assert res["serverInfo"]["name"] == "knowledge-graph-spark"
+    assert "tools" in res["capabilities"]
+
+
+def test_mcp_tools_list_names_and_schemas(served):
+    """tools/list publishes all 8 reference tool names with object input
+    schemas (available_tools_service.rs:41-121; to_mcp_tool per tool)."""
+    out = _rpc(served, "tools/list")
+    tools = {t["name"]: t for t in out["result"]["tools"]}
+    assert set(tools) == {
+        "list_projects",
+        "search_codebase_definitions",
+        "index_project",
+        "get_references",
+        "import_usage",
+        "get_definition",
+        "read_definitions",
+        "repo_map",
+    }
+    for t in tools.values():
+        assert t["inputSchema"]["type"] == "object"
+        assert t["description"]
+
+
+def test_mcp_tools_call_all_eight(served):
+    """Every tool dispatches through the JSON-RPC envelope and returns a
+    CallToolResult-shaped content frame."""
+    ws, proj = served["ws"], served["proj"]
+    base = {"workspace_folder_path": ws, "project_path": proj}
+    calls = {
+        "list_projects": {},
+        "index_project": {"project_path": proj},
+        "search_codebase_definitions": {**base, "search_terms": ["User"]},
+        "get_references": {
+            **base,
+            "definition_name": "notify_user",
+            "relative_file_path": "app/models/user.py",
+        },
+        "import_usage": {**base, "import_paths": ["app.models.user"]},
+        "get_definition": {
+            **base,
+            "file_path": "app/main.py",
+            "line_content": "    u.activate()",
+            "symbol_name": "activate",
+        },
+        "read_definitions": {
+            **base,
+            "definitions": [{"name": "User", "file_path": "app/models/user.py"}],
+        },
+        "repo_map": {**base, "depth": 2},
+    }
+    for name, args in calls.items():
+        out = _rpc(served, "tools/call", {"name": name, "arguments": args})
+        res = out["result"]
+        assert res["isError"] is False, (name, res)
+        assert res["content"][0]["type"] == "text" and res["content"][0]["text"], name
+    # XML-contract tools carry the rendered document as the text content
+    out = _rpc(
+        served,
+        "tools/call",
+        {
+            "name": "search_codebase_definitions",
+            "arguments": {**base, "search_terms": ["User"]},
+        },
+    )
+    assert out["result"]["content"][0]["text"].startswith("<ToolResponse>")
+
+
+def test_mcp_jsonrpc_error_paths(served):
+    assert _rpc(served, "no/such/method")["error"]["code"] == -32601
+    out = _rpc(served, "tools/call", {"name": "not_a_tool", "arguments": {}})
+    assert out["error"]["code"] == -32602
+    # malformed JSON → -32700
+    import urllib.request as _ur
+
+    req = _ur.Request(
+        served["base"] + "/mcp",
+        data=b"{not json",
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with _ur.urlopen(req, timeout=60) as r:
+        out = json.loads(r.read())
+    assert out["error"]["code"] == -32700
+    # tool-level failure (unindexed project) is an isError result, not a
+    # protocol error (CallToolResult::error contract)
+    out = _rpc(
+        served,
+        "tools/call",
+        {
+            "name": "import_usage",
+            "arguments": {
+                "workspace_folder_path": served["ws"],
+                "project_path": "/nope",
+                "import_paths": ["x"],
+            },
+        },
+    )
+    assert out["result"]["isError"] is True
+
+
+def test_mcp_notification_gets_no_body(served):
+    import urllib.request as _ur
+
+    req = _ur.Request(
+        served["base"] + "/mcp",
+        data=json.dumps(
+            {"jsonrpc": "2.0", "method": "notifications/initialized"}
+        ).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with _ur.urlopen(req, timeout=60) as r:
+        assert r.status == 202 and r.read() == b""
+
+
+def test_mcp_sse_handshake_and_replay(served):
+    """GET /mcp/sse opens with the `endpoint` event naming the session POST
+    URI (sse.rs sse_path/post_path contract); a JSON-RPC POST there is
+    buffered and replayed as a `message` event on the next stream."""
+    import urllib.request as _ur
+
+    with _ur.urlopen(served["base"] + "/mcp/sse?session=s1", timeout=60) as r:
+        frames = r.read().decode()
+    assert "event: endpoint" in frames
+    assert "data: /mcp/message?session=s1" in frames
+    out = _rpc(served, "tools/list", path="/mcp/message?session=s1")
+    assert "tools" in out["result"]
+    with _ur.urlopen(served["base"] + "/mcp/sse?session=s1", timeout=60) as r:
+        frames = r.read().decode()
+    assert "event: message" in frames and '"tools"' in frames
+
+
+# ---------------------------------------------------------------------------
+# JWT auth gate (http-server-deployed/tests/jwt_authentication.rs:20-120)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def jwt_served(spark, tmp_path_factory):
+    from knowledge_graph_spark.serving.http_server import make_server
+    from knowledge_graph_spark.workspace import WorkspaceManager
+
+    mgr = WorkspaceManager(str(tmp_path_factory.mktemp("jwt-data")))
+    srv = make_server(spark, mgr, port=0, jwt_secret="test-secret-for-jwt-tests")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _status(url, token=None, method="GET", payload=None):
+    import urllib.error
+    import urllib.request as _ur
+
+    headers = {"Content-Type": "application/json"}
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
+    req = _ur.Request(
+        url,
+        data=json.dumps(payload).encode() if payload is not None else None,
+        headers=headers,
+        method=method,
+    )
+    try:
+        with _ur.urlopen(req, timeout=60) as r:
+            return r.status
+    except urllib.error.HTTPError as e:
+        return e.code
+
+
+def test_jwt_public_endpoints_open(jwt_served):
+    """health/info stay public (jwt_authentication.rs:20-40)."""
+    assert _status(jwt_served + "/api/health") == 200
+    assert _status(jwt_served + "/api/info") == 200
+
+
+def test_jwt_protected_endpoints_401_without_token(jwt_served):
+    assert _status(jwt_served + "/api/workspace/list") == 401
+    assert (
+        _status(
+            jwt_served + "/mcp",
+            method="POST",
+            payload={"jsonrpc": "2.0", "id": 1, "method": "tools/list"},
+        )
+        == 401
+    )
+
+
+def test_jwt_valid_token_admits(jwt_served):
+    from knowledge_graph_spark.serving.mcp_protocol import generate_jwt
+
+    tok = generate_jwt("test-secret-for-jwt-tests", expires_in_s=3600)
+    assert _status(jwt_served + "/api/workspace/list", token=tok) == 200
+
+
+def test_jwt_invalid_and_expired_rejected(jwt_served):
+    from knowledge_graph_spark.serving.mcp_protocol import generate_jwt
+
+    wrong = generate_jwt("some-other-secret", expires_in_s=3600)
+    assert _status(jwt_served + "/api/workspace/list", token=wrong) == 401
+    expired = generate_jwt("test-secret-for-jwt-tests", expires_in_s=-10)
+    assert _status(jwt_served + "/api/workspace/list", token=expired) == 401
+    assert _status(jwt_served + "/api/workspace/list", token="not.a.jwt") == 401
