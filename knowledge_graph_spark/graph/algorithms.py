@@ -597,20 +597,25 @@ def resolve_import_chains(kg: KnowledgeGraph, max_depth: int = 10) -> DataFrame:
     return _checkpoint_and_release(kg.spark, before, out)
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst", orient: str = "degree"
+) -> DataFrame:
     """Global triangle count over an undirected graph given as (src, dst)
     pairs (any direction, duplicates fine). Returns one row (n_triangles).
 
-    Canonical orientation (u < v) + the join pattern e1(u,v)⋈e2(v,w)⋈e3(u,w)
-    enumerates each triangle exactly once (u < v < w). At 100 TB the standard
-    refinement is degree ordering instead of key ordering — orienting every
-    edge from the lower-degree endpoint bounds the wedge fan-out per node by
-    O(sqrt(m)) (arboricity argument), turning the worst hub node from a
-    quadratic wedge generator into a bounded one; same plan shape, one extra
-    degree join. Measured at sf0.1 (no extreme hubs): degree ordering is
-    NET SLOWER (25s vs 18s) because the two degree joins cost more than the
-    wedge savings — apply it only when a degree profile
-    (library.degree_distribution) shows real hubs.
+    A canonical total-order orientation + the join pattern
+    e1(u,v)⋈e2(v,w)⋈e3(u,w) enumerates each triangle exactly once. The
+    DEFAULT orientation is DEGREE ordering — every edge points from its
+    lower-(degree, id) endpoint, bounding the wedge fan-out per node by
+    O(sqrt(m)) (arboricity argument), so a hub node never becomes a
+    quadratic wedge generator; the 3-join pattern is unchanged because rank
+    orientation is a total order exactly like u < v. Measured (round 4,
+    xxhash64 long keys): degree beats key ordering at BOTH scales — 4.7 s
+    vs 5.9 s at sf0.1, and 24.7 s vs 207.5 s on the 10x-replicated sf1
+    whose shared-directory hubs (max degree 643 → 6421) blow the key path
+    up superlinearly (exponent 1.47 → 0.73; ROUND_NOTES r4). The r3 note
+    that degree ordering was net slower predates the long-key change.
+    ``orient="key"`` keeps the plain u < v path for comparison.
     """
     spark = edges.sparkSession
     before = _persistent_rdd_ids(spark)
@@ -623,6 +628,27 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .distinct()
         .cache()
     )
+    if orient != "key":
+        deg = (
+            e.select(F.explode(F.array("u", "v")).alias("n"))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        du = deg.withColumnsRenamed({"n": "u", "d": "_du"})
+        dv = deg.withColumnsRenamed({"n": "v", "d": "_dv"})
+        lower_first = (F.col("_du") < F.col("_dv")) | (
+            (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+        )
+        e = (
+            e.join(du, "u")
+            .join(dv, "v")
+            .select(
+                F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("_a"),
+                F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("_b"),
+            )
+            .withColumnsRenamed({"_a": "u", "_b": "v"})
+            .cache()
+        )
     e1 = e
     e2 = e.select(F.col("u").alias("v2"), F.col("v").alias("w"))
     e3 = e.select(F.col("u").alias("u3"), F.col("v").alias("w3"))

@@ -1164,7 +1164,8 @@ def get_definition_xml(
             F.col("r.source_end_col").alias("c1"),
             (F.col("r.type") == "AMBIGUOUSLY_CALLS").alias("amb"),
         )
-        .distinct()
+        # no distinct: the best-hit window below keeps exactly one row per
+        # tid anyway, and duplicate rows cannot change the rn=1 winner
     )
     imp_hits = (
         edges.filter(F.col("r.target_table") == "imported_symbol_nodes")
@@ -1182,25 +1183,25 @@ def get_definition_xml(
             (F.col("r.type") == "AMBIGUOUSLY_CALLS").alias("amb"),
         )
     )
-    # select_best_hits: defs dedupe by id; imports keep the NARROWEST
-    # column interval per id (service.rs:256-283)
+    # select_best_hits: defs dedupe by id picking the (c0, c1, amb)-first
+    # row; imports keep the NARROWEST column interval per id
+    # (service.rs:256-283). ONE window over the tagged union — within a
+    # (ttype, tid) partition the type is constant, so conditional order
+    # keys reproduce both orderings with a single exchange instead of two
     from pyspark.sql import Window
 
-    wdef = Window.partitionBy("tid").orderBy("c0", "c1", "amb")
-    defs_best = (
-        defs_hits.withColumn("_rn", F.row_number().over(wdef))
+    _is_imp = F.col("ttype") == "ImportedSymbol"
+    wbest = Window.partitionBy("ttype", "tid").orderBy(
+        F.when(_is_imp, F.col("c1") - F.col("c0")).otherwise(F.col("c0")),
+        F.when(_is_imp, F.col("c0")).otherwise(F.col("c1")),
+        "amb",
+    )
+    hits = (
+        defs_hits.unionByName(imp_hits)
+        .withColumn("_rn", F.row_number().over(wbest))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    wimp = Window.partitionBy("tid").orderBy(
-        (F.col("c1") - F.col("c0")).asc(), "c0", "amb"
-    )
-    imps_best = (
-        imp_hits.withColumn("_rn", F.row_number().over(wimp))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    hits = defs_best.unionByName(imps_best)
     j = F.broadcast(hits).join(
         lines,
         (hits.tpath == lines._path)

@@ -1,0 +1,136 @@
+"""One-off scale-evidence run: replicate sf0.1 10x into a synthetic sf1 and
+measure how the data-sized headline queries scale.
+
+Usage: python scripts/scale_run.py [out_json]
+
+The sf1 set is sf0.1 unioned 10x with per-replica key shifts (every join
+key +replica*10^12, so fan-outs and distincts scale honestly instead of
+collapsing); region/nation stay unreplicated (they are broadcast dims at
+every scale, like the real TPC-H spec). Written to /tmp/kg_scale_sf1 (NOT
+/root/testdata, which is read-only). Fixed-size semantics checks
+(incremental/workspace/watcher/kotlin corpora, XML page renders) are
+excluded by design — their cost does not scale with data.
+
+Output: one JSON line {query: {"sf0.1": s, "sf1": s, "exponent": e}} where
+e = log10(t_sf1 / t_sf01); e == 1 is linear scaling, < 1 sublinear. The
+table lands in ROUND_NOTES.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/kg_scale_sf1"
+REPLICAS = 10
+SHIFT = 10**12
+
+# per-table join-key columns to shift per replica
+KEYS = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "nation": None,  # broadcast dims: copied, not replicated
+    "region": None,
+}
+
+# data-sized headline queries (fixed-size semantics checks excluded)
+QUERIES = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "sessionize",
+    "asof_last_click",
+    "ngram_jaccard_pairs",
+    "dup_ngram_stats",
+    "decontaminate",
+    "bm25",
+    "cosine_topk",
+    "dedup_clusters",
+    "triangle_count",
+    "k_core_sizes",
+    "pagerank_exact",
+    "connected_components_sizes",
+    "lpa_invariants",
+]
+
+
+def build_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(DST, "_DONE")):
+        return
+    os.makedirs(DST, exist_ok=True)
+    for t, keys in KEYS.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        if keys is None:
+            out = df
+        else:
+            parts = []
+            for r in range(REPLICAS):
+                d = df
+                for k in keys:
+                    d = d.withColumn(k, F.col(k) + F.lit(r * SHIFT))
+                parts.append(d)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+        print(f"built {t}", flush=True)
+    open(os.path.join(DST, "_DONE"), "w").write("ok")
+
+
+def main() -> None:
+    from knowledge_graph_spark.session import get_spark
+
+    import __spark_entry__ as mod
+
+    spark = get_spark("kg-scale-run")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    build_sf1(spark)
+
+    from knowledge_graph_spark.persist import (
+        persistent_rdd_ids,
+        release_persisted_since,
+    )
+
+    results: dict[str, dict] = {}
+    for sf_dir, label in ((SRC, "sf0.1"), (DST, "sf1")):
+        kg = mod._graph(spark, sf_dir)
+        kg.materialize()
+        protected = persistent_rdd_ids(spark)
+        qs = mod.queries()
+        cache_creators = getattr(mod, "SESSION_CACHE_QUERIES", set())
+        for name in QUERIES:
+            t0 = time.time()
+            qs[name](spark, sf_dir).collect()
+            dt = round(time.time() - t0, 2)
+            results.setdefault(name, {})[label] = dt
+            print(f"{label} {name}: {dt}s", flush=True)
+            if name in cache_creators:
+                protected = persistent_rdd_ids(spark)
+            else:
+                release_persisted_since(spark, protected, set())
+
+    for name, r in results.items():
+        if r.get("sf0.1") and r.get("sf1"):
+            r["exponent"] = round(math.log10(max(r["sf1"], 0.01) / max(r["sf0.1"], 0.01)), 2)
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_run.json"
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
