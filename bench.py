@@ -85,6 +85,13 @@ def main() -> None:
                 protected = persistent_rdd_ids(spark)
             else:
                 release_persisted_since(spark, protected, set())
+            if runs[-1] >= 2.0:
+                # long-session hygiene #2: shuffle files and broadcast blocks
+                # are reclaimed on JVM GC of their dependencies; without a
+                # forced collection the debris of a heavy query inflates the
+                # NEXT heavy query 2-5x (measured: debounce 24.8s -> 3.5s,
+                # workspace_index_stats 129s -> 50s after adding this)
+                spark.sparkContext._jvm.System.gc()
             # variance discipline (ROUND_NOTES r3: the VM's envelope on
             # scheduling-bound queries is ~1.6x, so single samples below
             # that are noise): queries ≥10s get 3 runs and report the
