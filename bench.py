@@ -106,16 +106,37 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+    # key order matters: the driver's capture keeps the LAST ~2000 chars of
+    # the line (BENCH_r03 recorded a front-truncated tail), so the headline
+    # fields go LAST — they survive truncation verbatim even when the full
+    # line no longer parses. The pretty copy lands in BENCH_LOCAL.json.
     payload = {
+        "queries": timings,
         "metric": "graph_build+query_library_total_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
     }
-    # compact separators keep the line inside the driver's tail-capture
-    # window so it parses; the pretty copy lands in BENCH_LOCAL.json
-    print(json.dumps(payload, separators=(",", ":")))
+    line = json.dumps(payload, separators=(",", ":"))
+    print(line)
+    if len(line) > 1900:
+        # a second, fully-parseable line with the headline + the slowest
+        # queries trimmed to the capture window — tail-captures and
+        # last-line parsers both recover the totals from it
+        top = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+        small = None
+        for n in range(len(top), 0, -1):
+            small = {
+                "queries": dict(list(top.items())[:n]),
+                "queries_truncated_to_top_n": n,
+                "metric": payload["metric"],
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+            }
+            if len(json.dumps(small, separators=(",", ":"))) <= 1900:
+                break
+        print(json.dumps(small, separators=(",", ":")))
     try:
         with open(os.path.join(os.path.dirname(__file__), "BENCH_LOCAL.json"), "w") as f:
             # the local copy additionally carries every raw run for the
