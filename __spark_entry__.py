@@ -1011,10 +1011,11 @@ def _q_media_decode_stats(spark, sf_dir):  # real PPM + WAV decode, KGMM video
     )
 
 
-# Oracle twin of the decode: images are real PPMs (w=doc%96+8, h=doc%12+4,
-# payload w*h*3 pixel bytes); audio rows are real RIFF/WAVE PCM (rate =
-# 8000+doc%8*1000, n_samples = doc%2000+100, payload 2 B/sample); video
-# carries the KGMM header + utf-8 text
+# Oracle twin of the decode — all three containers are REAL formats:
+# images are PPMs (w=doc%96+8, h=doc%12+4, payload w*h*3 pixel bytes);
+# audio is RIFF/WAVE PCM (rate = 8000+doc%8*1000, n_samples = doc%2000+100,
+# payload 2 B/sample); video is YUV4MPEG2 C420 (w=(doc%48+8)*2,
+# h=(doc%6+2)*2, n_frames = doc%12+1, payload n*w*h*3/2 planar bytes)
 MEDIA_DECODE_STATS_SQL = """
 SELECT kind, CAST(count(*) AS BIGINT) AS n, CAST(max(width) AS INT) AS max_width,
        CAST(sum(payload) AS BIGINT) AS total_payload,
@@ -1023,11 +1024,12 @@ SELECT kind, CAST(count(*) AS BIGINT) AS n, CAST(max(width) AS INT) AS max_width
 FROM (
   SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
          CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 96 + 8 AS INT)
-              WHEN doc_id % 3 = 2 THEN CAST(doc_id % 640 + 16 AS INT)
+              WHEN doc_id % 3 = 2 THEN CAST(((doc_id % 48) + 8) * 2 AS INT)
               ELSE NULL END AS width,
          CASE WHEN doc_id % 3 = 0 THEN (doc_id % 96 + 8) * (doc_id % 12 + 4) * 3
               WHEN doc_id % 3 = 1 THEN (doc_id % 2000 + 100) * 2
-              ELSE octet_length(encode(text)) END AS payload,
+              ELSE (doc_id % 12 + 1) * (((doc_id % 48) + 8) * 2)
+                   * (((doc_id % 6) + 2) * 2) * 3 / 2 END AS payload,
          CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 8) * 1000 ELSE NULL END AS rate,
          CASE WHEN doc_id % 3 = 1 THEN doc_id % 2000 + 100 ELSE NULL END AS audio_frames
   FROM documents
@@ -1044,11 +1046,12 @@ def _q_media_frame_sample(spark, sf_dir):  # oracle-backed (closed-form)
     )
 
 
+# Y4M videos carry doc%12+1 real frames; every 10th index is sampled
 MEDIA_FRAME_SAMPLE_SQL = """
 SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(f AS INT) AS frame_idx
 FROM documents
-CROSS JOIN (SELECT * FROM generate_series(0, 110, 10) AS g(f)) t
-WHERE doc_id % 3 = 2 AND f <= doc_id % 120
+CROSS JOIN (SELECT * FROM generate_series(0, 11, 10) AS g(f)) t
+WHERE doc_id % 3 = 2 AND f <= doc_id % 12
 ORDER BY media_id, frame_idx
 """
 

@@ -3,14 +3,16 @@ typed metadata (north-star component).
 
 The Spark-side plumbing is real: schema, partition-friendly batch shapes,
 Arrow-batched ``mapInPandas`` UDF signatures identical to what a production
-decode would use. TWO real codecs ship: IMAGE rows are binary PPM (P6)
-files with actual pixel bytes (decode + nearest-neighbor resize in pure
-Python), and AUDIO rows are real RIFF/WAVE PCM files (chunk-walk decode of
-rate/frames + a real sample-decimation downsample; the stdlib ``wave``
-module opens both the input and the output). Video remains STUBBED behind
-the synthetic KGMM header — this container ships no video libraries — with
-``decoder=`` hooks: passing ``decoder="pillow"`` (etc.) raises
-``NotImplementedError`` with the swap instructions.
+decode would use. ALL THREE media kinds are REAL codecs:
+IMAGE rows are binary PPM (P6) files with actual pixel bytes (decode +
+nearest-neighbor resize in pure Python); AUDIO rows are real RIFF/WAVE PCM
+files (chunk-walk decode of rate/frames + a real sample-decimation
+downsample; the stdlib ``wave`` module opens input AND output); VIDEO rows
+are real YUV4MPEG2 (.y4m) streams (header-token decode of dims, frame
+count from the C420 frame arithmetic, and a real per-plane nearest-neighbor
+frame resample). The ``decoder=`` hooks remain the swap point for richer
+codecs: passing ``decoder="pillow"`` (etc.) raises ``NotImplementedError``
+with the swap instructions, since this container ships no media libraries.
 
 At 100 TB: binary payloads dominate row size — media tables are stored one
 row per asset with metadata in columns so pruning (`select` without `data`)
@@ -65,6 +67,10 @@ def _le_bytes(val, nbytes: int):
 # audio synth parameters (closed-form in doc_id so DuckDB oracles can twin)
 _WAV_RATE = "8000 + (doc_id % 8) * 1000"
 _WAV_NSAMPLES = "doc_id % 2000 + 100"
+# video synth parameters: even dims (C420 chroma subsampling needs them)
+_Y4M_W = "((doc_id % 48) + 8) * 2"   # 16..110
+_Y4M_H = "((doc_id % 6) + 2) * 2"    # 4..14
+_Y4M_NFRAMES = "doc_id % 12 + 1"     # 1..12
 
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
@@ -76,19 +82,15 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     pixel channel the same doc-derived byte). AUDIO rows are REAL RIFF/WAVE
     files (PCM s16le, mono, rate = 8000 + doc%8 kHz-steps, n_samples =
     doc%2000 + 100, every sample the same doc-derived 16-bit value) — the
-    stdlib ``wave`` module opens them. Video keeps the synthetic KGMM
-    header (no dependency-free container is that simple for video)."""
+    stdlib ``wave`` module opens them. VIDEO rows are REAL YUV4MPEG2 (.y4m)
+    streams (the raw-video interchange format ffmpeg/mpv play): a C420
+    stream of n = doc%12+1 frames at (doc%48+8)*2 x (doc%6+2)*2, each frame
+    a ``FRAME\\n`` marker + w*h*3/2 planar YUV bytes. All three media kinds
+    are real, externally-readable containers built ENTIRELY with JVM-side
+    expressions (little-endian ints and frame payloads via hex/unhex)."""
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
-    )
-    header = F.concat(
-        F.lit(_MAGIC),
-        F.encode(F.substring(kind, 1, 1), "utf-8"),
-        # width/height/frames encoded as zero-padded ascii (simple + portable)
-        F.encode(F.lpad((F.col("doc_id") % 640 + 16).cast("string"), 5, "0"), "utf-8"),
-        F.encode(F.lpad((F.col("doc_id") % 480 + 16).cast("string"), 5, "0"), "utf-8"),
-        F.encode(F.lpad((F.col("doc_id") % 120 + 1).cast("string"), 5, "0"), "utf-8"),
     )
     w_img = (F.col("doc_id") % 96 + 8).cast("string")
     h_img = (F.col("doc_id") % 12 + 4).cast("string")
@@ -125,15 +127,36 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
         _le_bytes(data_len, 4),
         F.unhex(F.repeat(sample_hex, n_samples.cast("int"))),
     )
+    # REAL YUV4MPEG2: ASCII stream header, then per frame a "FRAME\n"
+    # marker + w*h (Y) + w*h/4 (U) + w*h/4 (V) planar bytes. Frame payloads
+    # are a repeated doc-derived byte, built via hex/unhex like the WAV PCM
+    # ("FRAME\n" = hex 4652414d450a).
+    w_vid = F.expr(_Y4M_W)
+    h_vid = F.expr(_Y4M_H)
+    nf_vid = F.expr(_Y4M_NFRAMES)
+    frame_px = (w_vid * h_vid * 3 / 2).cast("int")
+    byte_hex = F.lpad(F.hex(F.col("doc_id") % 64 + 32), 2, "0")
+    y4m = F.concat(
+        F.encode(
+            F.format_string("YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n", w_vid, h_vid),
+            "utf-8",
+        ),
+        F.unhex(
+            F.repeat(
+                F.concat(F.lit("4652414d450a"), F.repeat(byte_hex, frame_px)),
+                nf_vid.cast("int"),
+            )
+        ),
+    )
     data = (
         F.when(kind == "image", ppm)
         .when(kind == "audio", wav)
-        .otherwise(F.concat(header, F.encode(F.col("text"), "utf-8")))
+        .otherwise(y4m)
     )
     mime = (
         F.when(kind == "image", F.lit("image/x-portable-pixmap"))
         .when(kind == "audio", F.lit("audio/wav"))
-        .otherwise(F.concat(F.lit("x-kg/"), kind))
+        .otherwise(F.lit("video/x-yuv4mpegpipe"))
     )
     return docs.select(
         F.col("doc_id").alias("media_id"),
@@ -151,6 +174,26 @@ def _parse_ppm(b: bytes) -> tuple[int, int, int]:
     w, h = (int(x) for x in b[3:nl1].split())
     nl2 = b.index(b"\n", nl1 + 1)  # maxval line
     return w, h, nl2 + 1
+
+
+def _parse_y4m(b: bytes) -> tuple[int, int, int, int]:
+    """(width, height, n_frames, header_end) of a YUV4MPEG2 stream — real
+    parameter-token parse of the stream header; frame count from the body
+    length (every C420 frame is 6 + w*h*3/2 bytes). Raises on garbage."""
+    if not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("not YUV4MPEG2")
+    nl = b.index(b"\n")
+    w = h = None
+    for tok in b[9:nl].split():
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+    if not w or not h:
+        raise ValueError("missing W/H params")
+    frame_sz = 6 + w * h * 3 // 2  # FRAME\n + planar YUV
+    nf = (len(b) - nl - 1) // frame_sz
+    return w, h, nf, nl + 1
 
 
 def _parse_wav(b: bytes) -> tuple[int, int, int, int]:
@@ -229,6 +272,17 @@ def decode_metadata(media: DataFrame, decoder: str = "synthetic") -> DataFrame:
                     except (ValueError, IndexError, struct.error):
                         out.append((mid, kind, None, None, None, len(b), None))
                     continue
+                if b.startswith(b"YUV4MPEG2"):
+                    # REAL Y4M decode: dims from the header tokens, frame
+                    # count from body length; payload = raw YUV bytes
+                    try:
+                        w, h, nf, off = _parse_y4m(b)
+                        out.append(
+                            (mid, kind, w, h, nf, nf * (w * h * 3 // 2), None)
+                        )
+                    except (ValueError, IndexError):
+                        out.append((mid, kind, None, None, None, len(b), None))
+                    continue
                 if not b.startswith(_MAGIC):
                     out.append((mid, kind, None, None, None, len(b), None))
                     continue
@@ -287,13 +341,14 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
 def resize_media(
     media: DataFrame, max_width: int = 64, decoder: str = "synthetic"
 ) -> DataFrame:
-    """Resize step (STUB codec): downscale every image/video wider than
-    ``max_width``, preserving aspect ratio; smaller assets pass through.
+    """Resize step: downscale every image/video wider than ``max_width``,
+    preserving aspect ratio; smaller assets pass through.
 
-    The synthetic transform rewrites the KGMM header dimensions and truncates
-    the payload proportionally to the area change — deterministic, so tests
-    can assert exact output sizes. A real implementation swaps the body of
-    ``run`` for a Pillow/ffmpeg batch resize with the identical
+    PPM images get a REAL nearest-neighbor pixel resample; Y4M videos get a
+    REAL per-frame, per-plane (Y/U/V) resample re-encoded as a valid
+    stream; legacy KGMM rows keep the deterministic header-rewrite fallback.
+    A richer implementation swaps the body of ``run`` for a Pillow/ffmpeg
+    batch resize with the identical
     (Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame] contract; schema,
     partitioning, and batch shape are unchanged.
 
@@ -335,6 +390,50 @@ def resize_media(
                             p = (sy * w + sx) * 3
                             out_px += px[p : p + 3]
                     nb = f"P6\n{nw} {nh}\n255\n".encode() + bytes(out_px)
+                    rows.append((mid, kind, nw, nh, nb, True))
+                    continue
+                if b.startswith(b"YUV4MPEG2"):
+                    # REAL video resize: per-frame nearest-neighbor resample
+                    # of the Y, U and V planes (C420: chroma at half dims),
+                    # re-encoded as a valid smaller Y4M stream
+                    try:
+                        w, h, nf, off = _parse_y4m(b)
+                    except (ValueError, IndexError):
+                        rows.append((mid, kind, None, None, b, False))
+                        continue
+                    if w <= max_width:
+                        rows.append((mid, kind, w, h, b, False))
+                        continue
+                    nw = max(2, max_width - (max_width % 2))
+                    nh = max(2, (h * nw // w) - ((h * nw // w) % 2))
+
+                    def _nn(plane, pw, ph, tw, th):
+                        o = bytearray()
+                        for y2 in range(th):
+                            sy = y2 * ph // th
+                            row_off = sy * pw
+                            for x2 in range(tw):
+                                o.append(plane[row_off + x2 * pw // tw])
+                        return bytes(o)
+
+                    fs = w * h * 3 // 2
+                    out_frames = []
+                    body = b[off:]
+                    for i in range(nf):
+                        fr = body[i * (6 + fs) + 6 : (i + 1) * (6 + fs)]
+                        ypl = fr[: w * h]
+                        upl = fr[w * h : w * h + (w // 2) * (h // 2)]
+                        vpl = fr[w * h + (w // 2) * (h // 2) :]
+                        out_frames.append(
+                            b"FRAME\n"
+                            + _nn(ypl, w, h, nw, nh)
+                            + _nn(upl, w // 2, h // 2, nw // 2, nh // 2)
+                            + _nn(vpl, w // 2, h // 2, nw // 2, nh // 2)
+                        )
+                    nb = (
+                        f"YUV4MPEG2 W{nw} H{nh} F25:1 Ip A1:1 C420\n".encode()
+                        + b"".join(out_frames)
+                    )
                     rows.append((mid, kind, nw, nh, nb, True))
                     continue
                 if kind == "audio" or not b.startswith(_MAGIC):
