@@ -24,8 +24,9 @@ Reference mapping (crates/http-server-desktop + crates/mcp):
   POST /mcp speaks JSON-RPC 2.0 (initialize / tools/list / tools/call with
   CallToolResult content frames); GET /mcp/sse opens the SSE handshake
   whose first frame is the ``endpoint`` event naming the session's POST
-  URI (/mcp/message?session=...), responses are returned on the POST body
-  and buffered for (finite) SSE replay.
+  URI (/mcp/message?session=...); responses are returned on the POST body
+  AND pushed live down the open stream (per-session queue; the stream
+  closes after ?idle_ms without traffic so clients/tests terminate).
 - Optional JWT gate (http-server-deployed jwt_authentication.rs): pass
   ``jwt_secret`` to make_server and every endpoint except /api/health and
   /api/info requires a valid HS256 Bearer token (exp enforced) — 401
@@ -83,7 +84,12 @@ class GraphService:
         self.manager = manager
         self._graphs: dict[str, KnowledgeGraph] = {}
         self.events: list[dict] = []  # ST6 bus replay buffer
-        self.mcp_sessions: dict[str, list[dict]] = {}  # SSE replay buffers
+        # per-session SSE channels: responses POSTed to /mcp/message are
+        # queued here and PUSHED down any open /mcp/sse stream
+        import queue as _queue
+
+        self.mcp_sessions: dict[str, "_queue.Queue[dict]"] = {}
+        self._queue_mod = _queue
         self._lock = threading.Lock()
 
     # -- project graph resolution ------------------------------------------
@@ -414,16 +420,31 @@ class _Handler(BaseHTTPRequestHandler):
                 from knowledge_graph_spark.serving.mcp_protocol import new_session_id
 
                 sid = q.get("session") or new_session_id()
+                # LIVE push channel: the stream stays open and messages
+                # queued by /mcp/message POSTs are flushed to it as they
+                # arrive (each handler runs in its own thread under
+                # ThreadingHTTPServer); the stream closes after idle_ms
+                # without traffic so tests and curl terminate cleanly
+                idle_s = int(q.get("idle_ms", "1000")) / 1000.0
+                chan = self.service.mcp_sessions.setdefault(
+                    sid, self.service._queue_mod.Queue()
+                )
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
                 self.end_headers()
                 self.wfile.write(
                     f"event: endpoint\ndata: /mcp/message?session={sid}\n\n".encode()
                 )
-                for msg in self.service.mcp_sessions.get(sid, []):
+                self.wfile.flush()
+                while True:
+                    try:
+                        msg = chan.get(timeout=idle_s)
+                    except self.service._queue_mod.Empty:
+                        break
                     self.wfile.write(
                         f"event: message\ndata: {json.dumps(msg)}\n\n".encode()
                     )
+                    self.wfile.flush()
                 return None
             if parts[:3] == ["api", "workspace", "list"]:
                 return self._json(200, self.service.workspace_list())
@@ -494,7 +515,9 @@ class _Handler(BaseHTTPRequestHandler):
                         k: v[0] for k, v in parse_qs(url.query).items()
                     }.get("session")
                     if sid:
-                        self.service.mcp_sessions.setdefault(sid, []).append(resp)
+                        self.service.mcp_sessions.setdefault(
+                            sid, self.service._queue_mod.Queue()
+                        ).put(resp)
                 return self._json(200, resp)
             args = json.loads(raw)
             if parts[:3] == ["api", "workspace", "index"]:

@@ -412,19 +412,51 @@ def test_mcp_notification_gets_no_body(served):
 
 def test_mcp_sse_handshake_and_replay(served):
     """GET /mcp/sse opens with the `endpoint` event naming the session POST
-    URI (sse.rs sse_path/post_path contract); a JSON-RPC POST there is
-    buffered and replayed as a `message` event on the next stream."""
+    URI (sse.rs sse_path/post_path contract); a JSON-RPC POST while no
+    stream is open is queued and delivered on the next stream."""
     import urllib.request as _ur
 
-    with _ur.urlopen(served["base"] + "/mcp/sse?session=s1", timeout=60) as r:
+    with _ur.urlopen(served["base"] + "/mcp/sse?session=s1&idle_ms=200", timeout=60) as r:
         frames = r.read().decode()
     assert "event: endpoint" in frames
     assert "data: /mcp/message?session=s1" in frames
     out = _rpc(served, "tools/list", path="/mcp/message?session=s1")
     assert "tools" in out["result"]
-    with _ur.urlopen(served["base"] + "/mcp/sse?session=s1", timeout=60) as r:
+    with _ur.urlopen(served["base"] + "/mcp/sse?session=s1&idle_ms=200", timeout=60) as r:
         frames = r.read().decode()
     assert "event: message" in frames and '"tools"' in frames
+
+
+def test_mcp_sse_live_push(served):
+    """The SSE channel is a real push stream: a response POSTed while the
+    stream is OPEN arrives on it without reconnecting."""
+    import threading as _th
+    import urllib.request as _ur
+
+    got: dict = {}
+
+    def reader():
+        with _ur.urlopen(
+            served["base"] + "/mcp/sse?session=live1&idle_ms=8000", timeout=60
+        ) as r:
+            buf = b""
+            while b"event: message" not in buf:
+                chunk = r.read1(65536)
+                if not chunk:
+                    break
+                buf += chunk
+            got["frames"] = buf.decode()
+
+    t = _th.Thread(target=reader, daemon=True)
+    t.start()
+    import time as _time
+
+    _time.sleep(0.5)  # stream open, endpoint frame sent
+    out = _rpc(served, "ping", path="/mcp/message?session=live1")
+    assert out["result"] == {}
+    t.join(timeout=30)
+    assert "event: message" in got.get("frames", ""), got
+    assert '"jsonrpc"' in got["frames"]
 
 
 # ---------------------------------------------------------------------------
