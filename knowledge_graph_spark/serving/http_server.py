@@ -505,8 +505,24 @@ class _Handler(BaseHTTPRequestHandler):
                         },
                     )
                 resp = handle_jsonrpc(self.service, payload)
+                # streamable-HTTP session contract (rmcp LocalSessionManager,
+                # http.rs:27): initialize mints an Mcp-Session-Id; later
+                # requests carry it and the server echoes it back
+                sess_hdr = self.headers.get("Mcp-Session-Id")
+                if (
+                    sess_hdr is None
+                    and isinstance(payload, dict)
+                    and payload.get("method") == "initialize"
+                ):
+                    from knowledge_graph_spark.serving.mcp_protocol import (
+                        new_session_id,
+                    )
+
+                    sess_hdr = new_session_id()
                 if resp is None:  # notification
                     self.send_response(202)
+                    if sess_hdr:
+                        self.send_header("Mcp-Session-Id", sess_hdr)
                     self.send_header("Content-Length", "0")
                     self.end_headers()
                     return None
@@ -518,7 +534,15 @@ class _Handler(BaseHTTPRequestHandler):
                         self.service.mcp_sessions.setdefault(
                             sid, self.service._queue_mod.Queue()
                         ).put(resp)
-                return self._json(200, resp)
+                body = json.dumps(resp).encode("utf-8")
+                self.send_response(200)
+                if sess_hdr:
+                    self.send_header("Mcp-Session-Id", sess_hdr)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return None
             args = json.loads(raw)
             if parts[:3] == ["api", "workspace", "index"]:
                 return self._json(

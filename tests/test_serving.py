@@ -530,3 +530,30 @@ def test_jwt_invalid_and_expired_rejected(jwt_served):
     expired = generate_jwt("test-secret-for-jwt-tests", expires_in_s=-10)
     assert _status(jwt_served + "/api/workspace/list", token=expired) == 401
     assert _status(jwt_served + "/api/workspace/list", token="not.a.jwt") == 401
+
+
+def test_mcp_session_id_header(served):
+    """Streamable-HTTP session contract: initialize mints an Mcp-Session-Id
+    response header; subsequent requests carrying it get it echoed back."""
+    import urllib.request as _ur
+
+    req = _ur.Request(
+        served["base"] + "/mcp",
+        data=json.dumps(
+            {"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}}
+        ).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with _ur.urlopen(req, timeout=60) as r:
+        sid = r.headers.get("Mcp-Session-Id")
+        assert sid and json.loads(r.read())["result"]["serverInfo"]
+    req2 = _ur.Request(
+        served["base"] + "/mcp",
+        data=json.dumps({"jsonrpc": "2.0", "id": 2, "method": "tools/list"}).encode(),
+        headers={"Content-Type": "application/json", "Mcp-Session-Id": sid},
+        method="POST",
+    )
+    with _ur.urlopen(req2, timeout=60) as r:
+        assert r.headers.get("Mcp-Session-Id") == sid
+        assert json.loads(r.read())["result"]["tools"]
