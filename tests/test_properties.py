@@ -241,3 +241,123 @@ def test_k_core_matches_bruteforce(spark, pairs, k):
         (ord(name[n][0]) * 100 + 1, sum(1 for e in und if n in e)) for n in alive
     }
     assert got == expect
+
+
+# -- masking pre-pass invariants ----------------------------------------------
+# (extract._mask_text: the per-line char-length contract every downstream
+# column/byte offset depends on)
+
+_mask_inputs = st.tuples(
+    st.sampled_from(
+        ["Python", "Ruby", "TypeScript", "Java", "Kotlin", "CSharp", "Rust"]
+    ),
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                list("abc_ ()#\"'`/*=\\{}.;:") + ["\t"]
+            ),
+            max_size=24,
+        ),
+        max_size=8,
+    ),
+)
+
+
+@given(_mask_inputs)
+@settings(**SETTINGS)
+def test_mask_text_preserves_line_geometry(inputs):
+    """Both masked variants of every line have EXACTLY the source line's
+    char length, and the line count is unchanged — the property all
+    downstream column and byte-offset math silently assumes."""
+    from knowledge_graph_spark.pipeline.extract import _mask_text
+
+    language, lines = inputs
+    text = "\n".join(lines)
+    masked = _mask_text(language, text)
+    src = text.split("\n")
+    assert len(masked) == len(src)
+    for (code, imp), orig in zip(masked, src):
+        assert len(code) == len(orig)
+        assert len(imp) == len(orig)
+
+
+@given(st.sampled_from(["Python", "Java", "Kotlin", "CSharp", "Rust", "Ruby"]),
+       st.lists(st.sampled_from(
+           ["def f():", "x = 1", "class A:", "  return x", "fn main() {", "}"]),
+           max_size=6))
+@settings(**SETTINGS)
+def test_mask_text_identity_on_plain_code(language, lines):
+    """Lines with no comments or strings mask to themselves."""
+    from knowledge_graph_spark.pipeline.extract import _mask_text
+
+    text = "\n".join(lines)
+    for (code, imp), orig in zip(_mask_text(language, text), text.split("\n")):
+        assert code == orig and imp == orig
+
+
+# -- WAV / Y4M codec round-trips ----------------------------------------------
+# (beyond.multimodal: synth params -> bytes -> parse returns the same params;
+# the synthesizers here are plain-Python twins of the Catalyst expressions)
+
+
+@given(
+    st.integers(4000, 48000),  # rate
+    st.integers(1, 2),         # channels
+    st.integers(1, 500),       # n frames
+)
+@settings(**SETTINGS)
+def test_wav_parse_roundtrip(rate, ch, n):
+    import struct as _s
+
+    from knowledge_graph_spark.beyond.multimodal import _parse_wav
+
+    block = ch * 2
+    payload = bytes(n * block)
+    b = (
+        b"RIFF" + _s.pack("<I", 36 + len(payload)) + b"WAVEfmt "
+        + _s.pack("<IHHIIHH", 16, 1, ch, rate, rate * block, block, 16)
+        + b"data" + _s.pack("<I", len(payload)) + payload
+    )
+    assert _parse_wav(b) == (rate, ch, 16, len(payload))
+
+
+@given(
+    st.integers(1, 100).map(lambda v: v * 2),  # even width
+    st.integers(1, 50).map(lambda v: v * 2),   # even height
+    st.integers(1, 12),                        # frames
+)
+@settings(**SETTINGS)
+def test_y4m_parse_roundtrip(w, h, n):
+    from knowledge_graph_spark.beyond.multimodal import _parse_y4m
+
+    frame = b"FRAME\n" + bytes(w * h * 3 // 2)
+    b = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode() + frame * n
+    pw, ph, pn, off = _parse_y4m(b)
+    assert (pw, ph, pn) == (w, h, n)
+    assert b[off : off + 6] == b"FRAME\n"
+
+
+# -- same-line lambda nesting vs a bracket-matching reference ------------------
+
+
+@given(st.sampled_from([
+    ("lambda x: lambda y: x + y", True),
+    ("f(lambda a: a, lambda b: b)", False),
+    ("f(lambda a: g(a, b), lambda c: c)", False),
+    ("sorted(v, key=lambda p: (lambda q: q)(p))", True),
+]))
+@settings(max_examples=8, deadline=None)
+def test_py_nested_same_line_cases(case):
+    """Pinned classifications for the paren-depth comma scan that decides
+    whether a second same-line lambda nests inside the first."""
+    import re
+
+    from knowledge_graph_spark.pipeline.extract import (
+        _PY_LAMBDA,
+        _py_nested_same_line,
+    )
+
+    line, nested = case
+    cols = [m.start() for m in _PY_LAMBDA.finditer(line)]
+    assert len(cols) == 2
+    assert _py_nested_same_line(line, cols[0], cols[1]) is nested
