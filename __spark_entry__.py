@@ -50,7 +50,6 @@ ROWS_ONLY = {
     "ivf_ann",
     "pagerank_top20",
     "label_prop_communities",
-    "media_resize_stats",
     "approx_user_counts",
 }
 
@@ -1056,7 +1055,7 @@ ORDER BY media_id, frame_idx
 """
 
 
-def _q_media_resize_stats(spark, sf_dir):  # rows-only (mapInPandas stub)
+def _q_media_resize_stats(spark, sf_dir):  # real PPM/Y4M resample stats
     from knowledge_graph_spark.beyond.multimodal import resize_media
 
     return (
@@ -1069,6 +1068,50 @@ def _q_media_resize_stats(spark, sf_dir):  # rows-only (mapInPandas stub)
         )
         .orderBy("kind", "resized")
     )
+
+
+# Oracle twin of the resize: with all three containers real, output byte
+# counts are closed-form — PPM header (9 + digits) + w*h*3 pixels, WAV 44 +
+# 2*n_samples (passthrough), Y4M header (33 + digits) + n*(6 + w*h*3/2)
+# frames; resize targets nw=64 (even), PPM nh = max(1, h*64/w), Y4M nh =
+# max(2, even(h*64/w))
+MEDIA_RESIZE_STATS_SQL = """
+WITH m AS (
+  SELECT doc_id,
+    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    doc_id % 96 + 8 AS iw, doc_id % 12 + 4 AS ih,
+    doc_id % 2000 + 100 AS ns,
+    ((doc_id % 48) + 8) * 2 AS vw, ((doc_id % 6) + 2) * 2 AS vh,
+    doc_id % 12 + 1 AS nf
+  FROM documents
+), r AS (
+  SELECT kind,
+    CASE WHEN kind = 'image' THEN iw > 64
+         WHEN kind = 'video' THEN vw > 64
+         ELSE FALSE END AS resized,
+    CASE WHEN kind = 'image' THEN least(iw, 64)
+         WHEN kind = 'video' THEN least(vw, 64)
+         ELSE NULL END AS width,
+    CASE
+      WHEN kind = 'audio' THEN 44 + ns * 2
+      WHEN kind = 'image' AND iw <= 64
+        THEN 9 + length(CAST(iw AS VARCHAR)) + length(CAST(ih AS VARCHAR)) + iw * ih * 3
+      WHEN kind = 'image'
+        THEN 9 + 2 + length(CAST(greatest(1, ih * 64 // iw) AS VARCHAR))
+             + 64 * greatest(1, ih * 64 // iw) * 3
+      WHEN kind = 'video' AND vw <= 64
+        THEN 33 + length(CAST(vw AS VARCHAR)) + length(CAST(vh AS VARCHAR))
+             + nf * (6 + vw * vh * 3 // 2)
+      ELSE 33 + 2 + length(CAST(greatest(2, (vh * 64 // vw) - (vh * 64 // vw) % 2) AS VARCHAR))
+           + nf * (6 + 64 * greatest(2, (vh * 64 // vw) - (vh * 64 // vw) % 2) * 3 // 2)
+    END AS nbytes
+  FROM m
+)
+SELECT kind, resized, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(width) AS INT) AS max_width,
+       CAST(sum(nbytes) AS BIGINT) AS total_bytes
+FROM r GROUP BY kind, resized ORDER BY kind, resized
+"""
 
 
 def _q_order_priority_rollup(spark, sf_dir):  # beyond §2.12: grouping lattice
@@ -1476,5 +1519,6 @@ def oracle_sql() -> dict[str, str]:
             IMPORT_CHAIN_SQL, extra_ctes=IMPORT_CHAIN_CTE, recursive=True
         ),
         "media_decode_stats": MEDIA_DECODE_STATS_SQL,
+        "media_resize_stats": MEDIA_RESIZE_STATS_SQL,
         "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
     }
