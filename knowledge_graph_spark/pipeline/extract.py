@@ -203,6 +203,17 @@ _TS_ARROW = re.compile(
     r"^(\s*)(?:export\s+)?(?:default\s+)?(?:const|let|var)\s+([A-Za-z_$][\w$]*)"
     r"\s*(?::[^=]+)?=\s*(?:async\s+)?(?:\([^)]*\)|[A-Za-z_$][\w$]*)\s*(?::[^=>]+)?=>"
 )
+# const/let/var binding of a class or (generator) function EXPRESSION — the
+# reference folds NamedClassExpression → Class and NamedFunctionExpression /
+# NamedGeneratorFunctionExpression / NamedArrowFunction → Function
+# (typescript.rs:286-303), keyed by the declarator name. NamedCallExpression
+# (`const x = factory(...)`) is NOT extracted here: the fixture's method
+# bodies are full of such bindings and the reference's own 84-definition
+# count over fixtures/typescript/test-repo excludes them (tests.rs:369-454).
+_TS_NAMED_EXPR = re.compile(
+    r"^(\s*)(?:export\s+)?(?:default\s+)?(?:const|let|var)\s+([A-Za-z_$][\w$]*)"
+    r"\s*(?::[^=]+)?=\s*(?:(class)\b|(?:async\s+)?function\b\s*\*?)"
+)
 # Brace-language analyzers (Java/Kotlin/C#/Rust): type + member declarations.
 # Same contract as the tree-sitter analyzers they stand in for
 # (parsing/processor.rs:195-204 lists the 7 supported languages).
@@ -330,6 +341,10 @@ _CS_LAMBDA = re.compile(
     r"(?:[=,(:]\s*|\breturn\s+)(?:\(([^()]*)\)|(?P<csid>[_a-z]\w*))\s*=>"
 )
 _JV_SWITCH_ARM = re.compile(r"^\s*(?:case[\s(]|default\s*(?:->|:))")
+# A Java 14 switch ARM arrow is the first `->` after a `case <label>` /
+# `default` head; matching the arrow position lets genuine lambdas on the
+# same line (`case A -> run(() -> f());`) still extract
+_JV_ARM_ARROW = re.compile(r"(?:\bcase\b[^;{}]*?|\bdefault\s*)->")
 
 # Multi-line signature head (Java/C#): a modifier-led declaration line whose
 # return type wraps BEFORE the member name — no parens/brace/semicolon yet
@@ -355,11 +370,15 @@ def _lambda_hits(language: str, line: str) -> list[tuple[int, str]]:
         hits += [(m.start(), "Proc") for m in _RB_PROC.finditer(line)]
         return sorted(hits)
     if language == "Java":
-        # Java 14 switch arrows are not lambdas: arm lines (`case X ->`,
-        # `default ->`) and inline single-line switch blocks are skipped
-        if _JV_SWITCH_ARM.match(line) or re.search(r"\bswitch\b", line):
-            return []
-        return [(m.start(), "Lambda") for m in _JV_LAMBDA.finditer(line)]
+        # Java 14 switch arrows are not lambdas — but only the ARM arrows
+        # themselves are suppressed (by position), so a genuine lambda on a
+        # mixed line (`case A -> run(() -> f());`) still extracts
+        arm_ends = {a.end() for a in _JV_ARM_ARROW.finditer(line)}
+        return [
+            (m.start(), "Lambda")
+            for m in _JV_LAMBDA.finditer(line)
+            if m.end() not in arm_ends
+        ]
     if language == "Kotlin":
         out = []
         for m in _KT_LAMBDA.finditer(line):
@@ -370,11 +389,25 @@ def _lambda_hits(language: str, line: str) -> list[tuple[int, str]]:
             out.append((m.start(), "Lambda"))
         return out
     if language == "CSharp":
-        if re.search(r"\bswitch\b", line):  # switch-expression arms
-            return []
+        # switch-expression arm lists: everything between `switch {` and its
+        # matching `}` (to end-of-line if unclosed). Arms in there are
+        # branches, not lambdas; arrows OUTSIDE the arm list on the same
+        # line (a real lambda argument or assignment) still extract.
+        regions = []
+        for sw in re.finditer(r"\bswitch\s*\{", line):
+            depth, i = 1, sw.end()
+            while i < len(line) and depth:
+                if line[i] == "{":
+                    depth += 1
+                elif line[i] == "}":
+                    depth -= 1
+                i += 1
+            regions.append((sw.end(), i))
         out = []
         for m in _CS_LAMBDA.finditer(line):
             if m.group("csid") in ("get", "set", "value"):
+                continue
+            if any(lo <= m.start() < hi for lo, hi in regions):
                 continue
             out.append((m.start(1) if m.group(1) is not None else m.start("csid"), "Lambda"))
         return out
@@ -883,8 +916,14 @@ def _extract_one_scan(
                 hit, name_col = None, None
             if hit is None and language == "TypeScript":
                 am = _TS_ARROW.match(line)
+                ne = _TS_NAMED_EXPR.match(line) if am is None else None
                 if am:
                     hit, name_col = (len(am.group(1)), "function", am.group(2)), None
+                elif ne:
+                    # named class/function expression folds to Class/Function
+                    # under the declarator name (typescript.rs:286-303)
+                    kw = "class" if ne.group(3) else "function"
+                    hit, name_col = (len(ne.group(1)), kw, ne.group(2)), None
                 else:
                     mm = _TS_METHOD.match(line)
                     if mm is None:

@@ -34,6 +34,9 @@ class IndexingStats:
     total_relationships: int
     files_per_second: float
     per_language: dict = field(default_factory=dict)
+    # the reference reports these two separately (stats.rs WorkspaceStatistics)
+    total_definition_relationships: int = 0
+    total_imported_symbol_relationships: int = 0
 
 
 def index_repository(
@@ -65,12 +68,35 @@ def index_repository(
     n_files = kg.files.count()
     n_defs = kg.definitions.count()
     n_imps = kg.imports.count()
-    n_rels = sum(kg.edges[k].count() for k in kg.edges)
+    edge_counts = {k: kg.edges[k].count() for k in kg.edges}
+    n_rels = sum(edge_counts.values())
     dur = time.time() - t0
     per_lang = {
         r["language"]: {"files": r["files"]}
         for r in kg.files.groupBy("language").agg(F.count(F.lit(1)).alias("files")).collect()
     }
+    # per-language definition counts + definition-type breakdown — one
+    # aggregated collect over the (small) definition frame; the reference's
+    # LanguageStatistics shape (stats.rs:96-139: file_count,
+    # definitions_count, definition_type_counts)
+    lang_by_path = kg.files.select(F.col("path"), F.col("language"))
+    def_lang = (
+        kg.definitions.join(
+            F.broadcast(lang_by_path),
+            kg.definitions.primary_file_path == lang_by_path.path,
+            "left",
+        )
+        .groupBy("language", "definition_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in def_lang:
+        lang = r["language"]
+        if lang is None or lang not in per_lang:
+            continue
+        entry = per_lang[lang]
+        entry["definitions_count"] = entry.get("definitions_count", 0) + r["n"]
+        entry.setdefault("definition_type_counts", {})[r["definition_type"]] = r["n"]
     stats = IndexingStats(
         repository_name=repository_name,
         duration_seconds=round(dur, 3),
@@ -80,5 +106,9 @@ def index_repository(
         total_relationships=n_rels,
         files_per_second=round(n_files / dur, 2) if dur > 0 else 0.0,
         per_language=per_lang,
+        total_definition_relationships=edge_counts.get("definition_relationships", 0),
+        total_imported_symbol_relationships=edge_counts.get(
+            "imported_symbol_relationships", 0
+        ),
     )
     return kg, stats

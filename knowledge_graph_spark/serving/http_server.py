@@ -91,6 +91,28 @@ class GraphService:
         self.mcp_sessions: dict[str, "_queue.Queue[dict]"] = {}
         self._queue_mod = _queue
         self._lock = threading.Lock()
+        # bound on live session channels — unauthenticated callers must not
+        # grow this unboundedly; oldest session is evicted at the cap
+        self.max_mcp_sessions = 256
+
+    def mcp_channel(self, sid: str):
+        """Get-or-create the session's push queue, evicting the oldest
+        session past the cap (dict preserves insertion order)."""
+        with self._lock:
+            chan = self.mcp_sessions.get(sid)
+            if chan is None:
+                while len(self.mcp_sessions) >= self.max_mcp_sessions:
+                    self.mcp_sessions.pop(next(iter(self.mcp_sessions)))
+                chan = self._queue_mod.Queue()
+                self.mcp_sessions[sid] = chan
+            return chan
+
+    def mcp_close(self, sid: str) -> None:
+        """Drop the session channel (and any undelivered responses) when its
+        SSE stream closes, so long-running servers don't leak one Queue per
+        session id."""
+        with self._lock:
+            self.mcp_sessions.pop(sid, None)
 
     # -- project graph resolution ------------------------------------------
     def project_info(self, ws: str, proj: str):
@@ -423,28 +445,43 @@ class _Handler(BaseHTTPRequestHandler):
                 # LIVE push channel: the stream stays open and messages
                 # queued by /mcp/message POSTs are flushed to it as they
                 # arrive (each handler runs in its own thread under
-                # ThreadingHTTPServer); the stream closes after idle_ms
-                # without traffic so tests and curl terminate cleanly
-                idle_s = int(q.get("idle_ms", "1000")) / 1000.0
-                chan = self.service.mcp_sessions.setdefault(
-                    sid, self.service._queue_mod.Queue()
-                )
+                # ThreadingHTTPServer). Like the reference's SseServer, the
+                # channel lives for the session: on idle we emit an SSE
+                # keepalive comment and only stop when the client
+                # disconnects. Tests pass an explicit ?idle_ms= to make the
+                # stream finite (close on first quiet window).
+                explicit_idle = "idle_ms" in q
+                idle_s = int(q.get("idle_ms", "15000")) / 1000.0
+                chan = self.service.mcp_channel(sid)
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
                 self.end_headers()
-                self.wfile.write(
-                    f"event: endpoint\ndata: /mcp/message?session={sid}\n\n".encode()
-                )
-                self.wfile.flush()
-                while True:
-                    try:
-                        msg = chan.get(timeout=idle_s)
-                    except self.service._queue_mod.Empty:
-                        break
+                try:
                     self.wfile.write(
-                        f"event: message\ndata: {json.dumps(msg)}\n\n".encode()
+                        f"event: endpoint\ndata: /mcp/message?session={sid}\n\n".encode()
                     )
                     self.wfile.flush()
+                    while True:
+                        try:
+                            msg = chan.get(timeout=idle_s)
+                        except self.service._queue_mod.Empty:
+                            if explicit_idle:
+                                break
+                            # keepalive comment; a dead client raises here
+                            # and ends the stream
+                            self.wfile.write(b": keepalive\n\n")
+                            self.wfile.flush()
+                            continue
+                        self.wfile.write(
+                            f"event: message\ndata: {json.dumps(msg)}\n\n".encode()
+                        )
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError, OSError):
+                    pass
+                finally:
+                    # session lifetime == SSE stream lifetime: reclaim the
+                    # queue so servers don't leak one per session id
+                    self.service.mcp_close(sid)
                 return None
             if parts[:3] == ["api", "workspace", "list"]:
                 return self._json(200, self.service.workspace_list())
@@ -531,9 +568,7 @@ class _Handler(BaseHTTPRequestHandler):
                         k: v[0] for k, v in parse_qs(url.query).items()
                     }.get("session")
                     if sid:
-                        self.service.mcp_sessions.setdefault(
-                            sid, self.service._queue_mod.Queue()
-                        ).put(resp)
+                        self.service.mcp_channel(sid).put(resp)
                 body = json.dumps(resp).encode("utf-8")
                 self.send_response(200)
                 if sess_hdr:

@@ -302,7 +302,10 @@ def verify_jwt(secret: str, token: str) -> bool:
         if not hmac.compare_digest(expect, _b64url_decode(sig_s)):
             return False
         payload = json.loads(_b64url_decode(payload_s))
+        # exp is a REQUIRED claim (jsonwebtoken Validation::default() puts
+        # "exp" in required_spec_claims) — a token without one is rejected,
+        # not valid forever.
         exp = payload.get("exp")
-        return exp is None or int(time.time()) < int(exp)
+        return exp is not None and int(time.time()) < int(exp)
     except Exception:  # noqa: BLE001 — any parse failure is a 401
         return False

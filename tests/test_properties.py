@@ -361,3 +361,34 @@ def test_py_nested_same_line_cases(case):
     cols = [m.start() for m in _PY_LAMBDA.finditer(line)]
     assert len(cols) == 2
     assert _py_nested_same_line(line, cols[0], cols[1]) is nested
+
+
+# ---- Switch-arm vs lambda disambiguation (Java / C#) ------------------------
+
+
+@given(st.sampled_from([
+    # (language, masked line, expected lambda count)
+    ("Java", "switch (x) { case A -> run(() -> f()); }", 1),
+    ("Java", "case a -> handle(v -> v + 1);", 1),
+    ("Java", "default -> fallback();", 0),
+    ("Java", "case LOW, HIGH -> 0;", 0),
+    ("Java", "list.forEach(item -> process(item));", 1),
+    # `casey` must not be mistaken for a `case` head
+    ("Java", "casey -> run();", 1),
+    ("CSharp", "var r = x switch { Big b => b.Size, _ => 0 };", 0),
+    # a real lambda argument sharing a line with a switch expression
+    ("CSharp", "var r = Map(x switch { A => 1, _ => 0 }, y => y * 2);", 1),
+    ("CSharp", "items.Select(a => a.Name);", 1),
+    ("CSharp", "int F() => x;", 0),  # expression-bodied member
+]))
+@settings(max_examples=12, deadline=None)
+def test_switch_arm_arrows_are_not_lambdas(case):
+    """Only actual switch ARM arrows are suppressed — genuine lambdas on
+    mixed lines containing `switch`/`case` still extract (the reference's
+    tree-sitter grammars distinguish switch arms from lambda expressions
+    structurally; this pins the regex analyzer to the same classification)."""
+    from knowledge_graph_spark.pipeline.extract import _lambda_hits
+
+    language, line, n = case
+    hits = _lambda_hits(language, line)
+    assert len(hits) == n, (line, hits)

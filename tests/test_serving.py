@@ -64,7 +64,14 @@ def served(spark, tmp_path_factory):
     # index through the endpoint itself (workspace_index.rs analog)
     status, out = post("/api/workspace/index", {"workspace_folder_path": str(ws_root)})
     assert status == 200 and out["status"] == "completed", out
-    yield {"get": get, "post": post, "ws": str(ws_root), "proj": str(proj), "base": base}
+    yield {
+        "get": get,
+        "post": post,
+        "ws": str(ws_root),
+        "proj": str(proj),
+        "base": base,
+        "service": srv.service,
+    }
     srv.shutdown()
 
 
@@ -557,3 +564,52 @@ def test_mcp_session_id_header(served):
     with _ur.urlopen(req2, timeout=60) as r:
         assert r.headers.get("Mcp-Session-Id") == sid
         assert json.loads(r.read())["result"]["tools"]
+
+
+def test_jwt_missing_exp_rejected(jwt_served):
+    """exp is a REQUIRED claim (jsonwebtoken Validation::default() lists it
+    in required_spec_claims) — a signed token with no exp must be a 401,
+    not valid forever."""
+    import hashlib as _hl
+    import hmac as _hm
+
+    from knowledge_graph_spark.serving.mcp_protocol import _b64url, verify_jwt
+
+    header = _b64url(json.dumps({"alg": "HS256", "typ": "JWT"}).encode())
+    payload = _b64url(json.dumps({"sub": "u1"}).encode())  # no exp
+    sig = _b64url(
+        _hm.new(
+            b"test-secret-for-jwt-tests",
+            f"{header}.{payload}".encode("ascii"),
+            _hl.sha256,
+        ).digest()
+    )
+    tok = f"{header}.{payload}.{sig}"
+    assert verify_jwt("test-secret-for-jwt-tests", tok) is False
+    assert _status(jwt_served + "/api/workspace/list", token=tok) == 401
+
+
+def test_mcp_session_queue_reclaimed_on_sse_close(served):
+    """Session lifetime == SSE stream lifetime: when the stream closes the
+    channel is dropped, so a long-running server doesn't leak one Queue per
+    session id; the cap evicts the oldest session when exceeded."""
+    import urllib.request as _ur
+
+    with _ur.urlopen(
+        served["base"] + "/mcp/sse?session=reclaim1&idle_ms=200", timeout=60
+    ) as r:
+        r.read()
+    assert "reclaim1" not in served["service"].mcp_sessions
+    # cap eviction: oldest session goes first
+    svc = served["service"]
+    old_cap = svc.max_mcp_sessions
+    try:
+        svc.max_mcp_sessions = 2
+        svc.mcp_channel("a")
+        svc.mcp_channel("b")
+        svc.mcp_channel("c")
+        assert set(svc.mcp_sessions) == {"b", "c"}
+    finally:
+        svc.max_mcp_sessions = old_cap
+        for sid in ("a", "b", "c"):
+            svc.mcp_close(sid)
