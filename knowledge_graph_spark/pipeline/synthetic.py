@@ -885,7 +885,76 @@ def watcher_queue_stats(
         rerun = list(jobs_seen)
 
         # ST6 lifecycle vocabulary from the batch twin of the same job set
-        n_started = lifecycle_events(debounced_jobs(ev)).count()
+        batch_jobs = debounced_jobs(ev)
+        n_started = lifecycle_events(batch_jobs).count()
+
+        # ST3 priorities + cancellation (queue/job.rs:6-84, dispatch.rs:88-91,
+        # worker.rs:122-138): turn the batch-twin job set into a dispatch log
+        # — every debounced window dispatches a Normal-priority
+        # ReindexProjectFolderWithWatchedFiles job in (window, project) order
+        # — then interleave per-project High-priority jobs: a same-type user
+        # reindex LANDING MID-LOG (supersedes every earlier queued job of its
+        # type) and a different-type IndexWorkspaceFolder job at the log head
+        # (cancels nothing: type-scoped, and nothing of its type precedes it).
+        from pyspark.sql import Window
+
+        from knowledge_graph_spark.streaming.watcher import (
+            JOB_INDEX_WORKSPACE,
+            JOB_REINDEX_PROJECT,
+            PRIORITY_HIGH,
+            PRIORITY_NORMAL,
+            prioritized_queue,
+            queue_lifecycle_events,
+        )
+
+        # seq spaced ×10 so injected High seqs (…+5) never tie a Normal seq —
+        # the supersede rule is strictly-later and ties would be ill-defined.
+        # Global row_number is fine here: the dispatch log is a bounded
+        # fixed-size frame (one row per debounce window), never data-scale.
+        log_n = batch_jobs.select(
+            "project",
+            F.lit(JOB_REINDEX_PROJECT).alias("job_type"),
+            F.lit(PRIORITY_NORMAL).alias("priority"),
+            (
+                F.row_number().over(Window.orderBy("window_start", "project")) * 10
+            ).cast("long").alias("seq"),
+        )
+        projects = log_n.select("project").distinct()
+        mid = log_n.agg(
+            (F.floor(F.count(F.lit(1)) / 2) * 10 + 5).cast("long").alias("seq")
+        )
+        hi_reindex = projects.crossJoin(F.broadcast(mid)).select(
+            "project",
+            F.lit(JOB_REINDEX_PROJECT).alias("job_type"),
+            F.lit(PRIORITY_HIGH).alias("priority"),
+            "seq",
+        )
+        hi_index = projects.select(
+            "project",
+            F.lit(JOB_INDEX_WORKSPACE).alias("job_type"),
+            F.lit(PRIORITY_HIGH).alias("priority"),
+            F.lit(5).cast("long").alias("seq"),
+        )
+        statused = prioritized_queue(
+            log_n.unionByName(hi_reindex).unionByName(hi_index)
+        )
+        qrow = statused.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum((F.col("status") == "Cancelled").cast("long")).alias("cancelled"),
+            F.sum((F.col("status") == "Pending").cast("long")).alias("pending"),
+            F.sum((F.col("priority") == PRIORITY_HIGH).cast("long")).alias("high"),
+            F.sum(
+                (
+                    (F.col("job_type") == JOB_INDEX_WORKSPACE)
+                    & (F.col("status") == "Cancelled")
+                ).cast("long")
+            ).alias("index_cancelled"),
+        ).collect()[0]
+        n_cancel_events = (
+            queue_lifecycle_events(statused)
+            .filter(F.col("event_type") == "JobCancelled")
+            .count()
+        )
 
         per_proj = {f"proj{k}": 0 for k in range(3)}
         for p, _, _ in run1:
@@ -899,6 +968,14 @@ def watcher_queue_stats(
             ("total_deleted_paths", sum(d for _, _, d in run1)),
             ("n_jobs_rerun_no_new_events", len(rerun)),
             ("n_lifecycle_started_events", n_started),
+            ("n_queue_jobs_total", qrow["total"]),
+            ("n_jobs_cancelled", qrow["cancelled"]),
+            ("n_jobs_pending_after_supersede", qrow["pending"]),
+            ("n_high_priority_jobs", qrow["high"]),
+            # type-scoping pin: the High IndexWorkspaceFolder job cancels
+            # nothing and is never itself cancelled (no later High of its type)
+            ("n_index_type_jobs_cancelled", qrow["index_cancelled"]),
+            ("n_job_cancelled_events", n_cancel_events),
         ]
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -921,6 +998,30 @@ jobs AS (
          count(DISTINCT CASE WHEN change_type = 'deleted' THEN path END) AS nd
   FROM ev GROUP BY 1, 2
 ),
+-- ST3 dispatch log: Normal reindex job per debounce window, plus per-project
+-- High jobs (same-type mid-log + different-type at head) — the supersede rule
+-- of dispatch.rs:88-91 / worker.rs:122-138 as a correlated strictly-later
+-- EXISTS over (project, job_type)
+log AS (
+  SELECT project, 'ReindexProjectFolderWithWatchedFiles' AS job_type,
+         1 AS priority,
+         10 * row_number() OVER (ORDER BY w, project) AS seq
+  FROM jobs
+  UNION ALL
+  SELECT DISTINCT project, 'ReindexProjectFolderWithWatchedFiles', 2,
+         10 * CAST(floor((SELECT count(*) FROM jobs) / 2) AS BIGINT) + 5
+  FROM jobs
+  UNION ALL
+  SELECT DISTINCT project, 'IndexWorkspaceFolder', 2, 5 FROM jobs
+),
+statused AS (
+  SELECT l.*, CASE WHEN EXISTS (
+      SELECT 1 FROM log l2
+      WHERE l2.project = l.project AND l2.job_type = l.job_type
+        AND l2.priority = 2 AND l2.seq > l.seq)
+    THEN 'Cancelled' ELSE 'Pending' END AS status
+  FROM log l
+),
 m(metric, value) AS (
   SELECT 'n_jobs', (SELECT count(*) FROM jobs)
   UNION ALL SELECT 'n_jobs_proj0', (SELECT count(*) FROM jobs WHERE project = 'proj0')
@@ -930,6 +1031,18 @@ m(metric, value) AS (
   UNION ALL SELECT 'total_deleted_paths', (SELECT sum(nd) FROM jobs)
   UNION ALL SELECT 'n_jobs_rerun_no_new_events', 0
   UNION ALL SELECT 'n_lifecycle_started_events', (SELECT count(*) FROM jobs)
+  UNION ALL SELECT 'n_queue_jobs_total', (SELECT count(*) FROM statused)
+  UNION ALL SELECT 'n_jobs_cancelled',
+    (SELECT count(*) FROM statused WHERE status = 'Cancelled')
+  UNION ALL SELECT 'n_jobs_pending_after_supersede',
+    (SELECT count(*) FROM statused WHERE status = 'Pending')
+  UNION ALL SELECT 'n_high_priority_jobs',
+    (SELECT count(*) FROM statused WHERE priority = 2)
+  UNION ALL SELECT 'n_index_type_jobs_cancelled',
+    (SELECT count(*) FROM statused
+     WHERE job_type = 'IndexWorkspaceFolder' AND status = 'Cancelled')
+  UNION ALL SELECT 'n_job_cancelled_events',
+    (SELECT count(*) FROM statused WHERE status = 'Cancelled')
 )
 SELECT metric, CAST(value AS BIGINT) AS value FROM m ORDER BY metric
 """

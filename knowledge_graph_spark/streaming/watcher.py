@@ -149,6 +149,61 @@ def run_debounced_reindex(
     return writer.start()
 
 
+# -- ST3 job-queue priorities + cancellation ---------------------------------
+# queue/job.rs:12-17: Low=0 < Normal=1 < High=2 (Normal is the default).
+PRIORITY_LOW, PRIORITY_NORMAL, PRIORITY_HIGH = 0, 1, 2
+
+# queue/job.rs:48-52 — the three job variants routed to workspace queues.
+JOB_INDEX_WORKSPACE = "IndexWorkspaceFolder"
+JOB_REINDEX_WORKSPACE = "ReindexWorkspaceFolderWithWatchedFiles"
+JOB_REINDEX_PROJECT = "ReindexProjectFolderWithWatchedFiles"
+
+
+def prioritized_queue(log: DataFrame, seq_col: str = "seq") -> DataFrame:
+    """Apply the reference's supersede rule to a dispatch log.
+
+    dispatch.rs:88-91: a High-priority dispatch first sends
+    ``CancelJobsOfType(job_type)`` to the workspace's queue;
+    worker.rs:122-138 then drops every still-queued job of that type
+    (whatever its own priority). Declaratively: a job is **Cancelled** iff
+    a High-priority job with the same ``(project, job_type)`` appears later
+    in the dispatch order, else **Pending**. Already-running jobs are not in
+    the worker's queue and hence not in this frame — the rule only ever
+    sees queued work, exactly like the reference.
+
+    One shuffle on the queue key ``(project, job_type)``; the "is any later
+    job High?" existence test is a single descending-ordered window max, so
+    the operator stays linear at any log size.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("project", "job_type")
+        .orderBy(F.col(seq_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    later_high = F.max(
+        F.when(F.col("priority") == PRIORITY_HIGH, F.col(seq_col))
+    ).over(w)
+    return log.withColumn(
+        "status",
+        F.when(later_high.isNotNull(), F.lit("Cancelled")).otherwise(F.lit("Pending")),
+    )
+
+
+def queue_lifecycle_events(log_with_status: DataFrame) -> DataFrame:
+    """JobStatus vocabulary rows (job.rs:131-138): one event per queue
+    decision — Cancelled jobs surface to the event bus like the reference's
+    'Cancelling job {} ({})' lifecycle logging (worker.rs:126-133)."""
+    return log_with_status.select(
+        F.concat(F.lit("Job"), F.col("status")).alias("event_type"),
+        "project",
+        "job_type",
+        F.col("priority"),
+        F.col("seq").alias("at_seq"),
+    )
+
+
 def lifecycle_events(jobs: DataFrame) -> DataFrame:
     """ST6: typed lifecycle event rows from job aggregates (the event-bus
     vocabulary: {Project} × {Indexing,Reindexing} × {Started,Completed})."""

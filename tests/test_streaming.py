@@ -177,3 +177,55 @@ def test_debounce_drops_excluded_dir_entry_events(spark):
     assert len(jobs) == 1
     assert list(jobs[0].changed_paths) == ["src/app.py"]
     assert list(jobs[0].deleted_paths) == []
+
+
+def test_priority_queue_supersede(spark):
+    """ST3 priorities: a High-priority dispatch cancels every still-queued
+    job of the same (workspace, job_type) — dispatch.rs:88-91 +
+    worker.rs:122-138 — scoped by type, and Normal/Low never cancel."""
+    from knowledge_graph_spark.streaming.watcher import (
+        JOB_INDEX_WORKSPACE,
+        JOB_REINDEX_PROJECT,
+        PRIORITY_HIGH,
+        PRIORITY_LOW,
+        PRIORITY_NORMAL,
+        prioritized_queue,
+        queue_lifecycle_events,
+    )
+
+    log = spark.createDataFrame(
+        [
+            # background Normal reindex queued first...
+            ("ws1", JOB_REINDEX_PROJECT, PRIORITY_NORMAL, 10),
+            ("ws1", JOB_REINDEX_PROJECT, PRIORITY_LOW, 20),
+            # ...then a user-triggered High reindex → both above cancelled
+            ("ws1", JOB_REINDEX_PROJECT, PRIORITY_HIGH, 30),
+            # queued AFTER the High job → survives
+            ("ws1", JOB_REINDEX_PROJECT, PRIORITY_NORMAL, 40),
+            # different type, same workspace → untouched (type-scoped)
+            ("ws1", JOB_INDEX_WORKSPACE, PRIORITY_NORMAL, 15),
+            # different workspace → untouched (queue per workspace)
+            ("ws2", JOB_REINDEX_PROJECT, PRIORITY_NORMAL, 5),
+            # Normal after Low does NOT cancel (only High supersedes)
+            ("ws2", JOB_REINDEX_PROJECT, PRIORITY_LOW, 6),
+            ("ws2", JOB_REINDEX_PROJECT, PRIORITY_NORMAL, 7),
+        ],
+        "project string, job_type string, priority int, seq long",
+    )
+    out = {
+        (r["project"], r["job_type"], r["seq"]): r["status"]
+        for r in prioritized_queue(log).collect()
+    }
+    assert out[("ws1", JOB_REINDEX_PROJECT, 10)] == "Cancelled"
+    assert out[("ws1", JOB_REINDEX_PROJECT, 20)] == "Cancelled"
+    assert out[("ws1", JOB_REINDEX_PROJECT, 30)] == "Pending"  # the High job itself
+    assert out[("ws1", JOB_REINDEX_PROJECT, 40)] == "Pending"
+    assert out[("ws1", JOB_INDEX_WORKSPACE, 15)] == "Pending"
+    assert out[("ws2", JOB_REINDEX_PROJECT, 5)] == "Pending"
+    assert out[("ws2", JOB_REINDEX_PROJECT, 6)] == "Pending"
+    assert out[("ws2", JOB_REINDEX_PROJECT, 7)] == "Pending"
+
+    events = queue_lifecycle_events(prioritized_queue(log)).collect()
+    cancelled = [e for e in events if e["event_type"] == "JobCancelled"]
+    assert len(cancelled) == 2
+    assert {e["at_seq"] for e in cancelled} == {10, 20}
