@@ -320,13 +320,16 @@ def import_usage_xml(
     documented divergence from Rust's str::trim for snippets that start or
     end with tabs.
 
-    Plan shape (fused, round 4): import statements and usage sites are
-    tagged rows of ONE item frame — a single distinct, a single broadcast
-    range-join against the line inventory, a single snippet aggregation,
-    and ONE groupBy(path) assembling BOTH block strings via conditional
-    collect_list — instead of two parallel subpipelines merged afterwards
-    (r3's shape planned 16 exchanges for a 50-row page; this plans ≤6).
-    Nothing leaves the JVM.
+    Plan shape (fused, round 4; page-first, round 5): import statements and
+    usage sites are tagged rows of ONE item frame — a single distinct, a
+    single broadcast range-join against the line inventory, a single snippet
+    aggregation, and ONE groupBy(path) assembling BOTH block strings via
+    conditional collect_list. Round 5 moved PAGINATION IN FRONT of the
+    expensive work: the page's file set is chosen from a slim distinct-path
+    frame first, and the item distinct, snippet range-join, and render then
+    touch only the page's files — the r4 shape assembled snippets for every
+    matched usage site in the corpus (276 k items at sf0.1) to emit 50 file
+    blocks. Nothing leaves the JVM.
     """
     from knowledge_graph_spark import schema as S
     from knowledge_graph_spark.queries.library import _context_lines
@@ -362,7 +365,34 @@ def import_usage_xml(
             F.col("src.start_line").alias("def_start"),
         )
     )
-    items = items_imp.unionByName(items_use).distinct()
+    all_items = items_imp.unionByName(items_use)
+
+    # -- page-first: pick the page's file set (and the corpus-wide file
+    # total for next-page) from a slim distinct over paths alone, BEFORE any
+    # snippet work — the r4 shape assembled snippets for every matched usage
+    # site in the corpus to emit page_size file blocks. The page selection
+    # is a bounded driver collect (≤ page_size paths + one total, the same
+    # LIMIT-bounded pattern as every serving result); the paths then push
+    # down as literal isin filters, so the snippet range-join and render
+    # touch only the page's files and the main plan reads the item subtree
+    # ONCE instead of re-deriving it behind a broadcast-window barrier.
+    from pyspark.sql import Window
+
+    sel = (
+        all_items.select("path")
+        .distinct()
+        .withColumn("_rn", F.row_number().over(Window.orderBy("path")))
+        .withColumn("_total", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(
+            (F.col("_rn") > (page - 1) * page_size)
+            & (F.col("_rn") <= page * page_size)
+        )
+        .select("path", "_total")
+        .collect()
+    )
+    page_list = [r["path"] for r in sel]
+    total_files = int(sel[0]["_total"]) if sel else 0
+    items = all_items.filter(F.col("path").isin(page_list)).distinct()
 
     # -- ONE broadcast range-join for source text (the page-sized item set
     # broadcasts; the line inventory stays the stream), ONE snippet agg.
@@ -415,10 +445,9 @@ def import_usage_xml(
     )
 
     # -- ONE groupBy(path) assembling both block strings (conditional
-    # collect_list: a null struct from the unmatched kind is skipped), then
-    # pagination over the sorted file list
-    from pyspark.sql import Window
-
+    # collect_list: a null struct from the unmatched kind is skipped); the
+    # frame is already page-restricted, so the join back to page_paths only
+    # attaches the corpus-wide _total for next-page arithmetic
     _kind = F.col("kind")
     files = (
         rows.withColumn("entry", entry)
@@ -450,11 +479,6 @@ def import_usage_xml(
                 "",
             ).alias("usages_text"),
         )
-        .withColumn("_rn", F.row_number().over(Window.orderBy("path")))
-        .withColumn("_total", F.count(F.lit(1)).over(Window.partitionBy()))
-    )
-    pagef = files.filter(
-        (F.col("_rn") > (page - 1) * page_size) & (F.col("_rn") <= page * page_size)
     )
     block = F.format_string(
         _FILE_FMT,
@@ -462,7 +486,7 @@ def import_usage_xml(
         F.col("imports_text"),
         F.col("usages_text"),
     )
-    agg = pagef.withColumn("block", block).groupBy().agg(
+    agg = files.withColumn("block", block).groupBy().agg(
         F.array_join(
             F.transform(
                 F.sort_array(F.collect_list(F.struct("path", "block"))),
@@ -471,12 +495,14 @@ def import_usage_xml(
             "\n",
         ).alias("files_xml"),
         F.count(F.lit(1)).alias("n_files"),
-        F.max("_total").alias("_total"),
     )
-    next_page = F.when(
-        F.coalesce(F.col("_total"), F.lit(0)) > page * page_size,
-        F.lit(page + 1).cast("long"),
-    ).otherwise(F.lit(None).cast("long"))
+    # next-page arithmetic is driver-side: the corpus-wide file total came
+    # back with the page selection
+    next_page = (
+        F.lit(page + 1).cast("long")
+        if total_files > page * page_size
+        else F.lit(None).cast("long")
+    )
     system_message = F.format_string(
         "Returned %d file block(s). page=%d page_size=%d.%s",
         F.col("n_files"),
