@@ -48,10 +48,12 @@ ROWS_ONLY = {
     "simhash_buckets",
     "hyperplane_lsh_ann",
     "ivf_ann",
-    "pagerank_top20",
-    "label_prop_communities",
     "approx_user_counts",
 }
+# graduated in r5: pagerank_top20 (BIGINT fixed-point recurrence at 5
+# iterations, top-20 projection — same oracle family as pagerank_exact) and
+# label_prop_communities (size-conservation + label-containment invariants
+# of the real LPA run — community labels themselves are engine-local hashes)
 
 # ---------------------------------------------------------------------------
 # graph construction (cached per (session, sf_dir))
@@ -685,6 +687,7 @@ JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
 
 
 _CC_CACHE: dict = {}
+_LPA_CACHE: dict = {}
 
 # queries that deliberately leave session-scoped caches behind (shared CC
 # run, shared synthetic base graph) — bench.py protects their blocks
@@ -694,6 +697,7 @@ SESSION_CACHE_QUERIES = {
     "incremental_merge_stats",
     "connected_components_sizes",
     "lpa_invariants",
+    "label_prop_communities",
 }
 
 
@@ -717,16 +721,32 @@ def _cc(spark, sf_dir):
     return df
 
 
+def _lpa(spark, sf_dir):
+    """2-round LPA cached per (session, sf_dir) with the same persisted-set
+    validation as :func:`_cc` — lpa_invariants and label_prop_communities
+    both consume the one fixpoint run (each extra run is ~3 shuffles of the
+    full both-direction edge list per round)."""
+    from knowledge_graph_spark.persist import persistent_rdd_ids
+
+    key = (id(spark), sf_dir)
+    ent = _LPA_CACHE.get(key)
+    live = persistent_rdd_ids(spark)
+    if ent is not None and ent[1] <= live:
+        return ent[0]
+    from knowledge_graph_spark.graph.algorithms import label_propagation
+
+    df = label_propagation(_graph(spark, sf_dir), rounds=2)
+    _LPA_CACHE[key] = (df, persistent_rdd_ids(spark) - live)
+    return df
+
+
 def _q_lpa_invariants(spark, sf_dir):  # LPA driver-checked via invariants
     """Exact LPA output is not SQL-expressible, but two invariants are:
     every edge-endpoint node gets exactly one label (n_labeled equals the
     SQL-computable endpoint count), and no community spans two connected
     components (violations must hash-match the oracle's literal 0, with the
     violation count genuinely computed from LPA ⋈ CC)."""
-    from knowledge_graph_spark.graph.algorithms import label_propagation
-
-    kg = _graph(spark, sf_dir)
-    lpa = label_propagation(kg, rounds=2)
+    lpa = _lpa(spark, sf_dir)
     cc = _cc(spark, sf_dir)
     viol = (
         lpa.join(cc, ["node_table", "node_id"])
@@ -751,6 +771,24 @@ SELECT CAST((SELECT count(DISTINCT e) FROM (
          UNION ALL SELECT target_table || '#' || target_id FROM imported_symbol_relationships
        ) ep(e)) AS BIGINT) AS n_labeled,
        CAST(0 AS BIGINT) AS n_violations
+"""
+
+# label_prop_communities twin: conservation (sizes sum to the endpoint
+# count) is closed-form; containment (no community label outside the hash
+# set of labeled nodes) is the literal 0 the Spark side must genuinely
+# compute via its anti-join
+LPA_COMMUNITY_SIZES_SQL = """
+SELECT CAST((SELECT count(DISTINCT e) FROM (
+         SELECT source_table || '#' || source_id AS e FROM directory_relationships
+         UNION ALL SELECT target_table || '#' || target_id FROM directory_relationships
+         UNION ALL SELECT source_table || '#' || source_id FROM file_relationships
+         UNION ALL SELECT target_table || '#' || target_id FROM file_relationships
+         UNION ALL SELECT source_table || '#' || source_id FROM definition_relationships
+         UNION ALL SELECT target_table || '#' || target_id FROM definition_relationships
+         UNION ALL SELECT source_table || '#' || source_id FROM imported_symbol_relationships
+         UNION ALL SELECT target_table || '#' || target_id FROM imported_symbol_relationships
+       ) ep(e)) AS BIGINT) AS n_labeled_total,
+       CAST(0 AS BIGINT) AS n_foreign_labels
 """
 
 
@@ -885,6 +923,15 @@ PAGERANK_EXACT_SQL = """
 SELECT node, rank FROM r{iterations} ORDER BY rank DESC, node LIMIT {top}
 """
 
+PAGERANK_TOP20_SQL = """
+SELECT CAST(row_number() OVER (ORDER BY rank DESC, node) AS INT) AS position,
+       split_part(node, '#', 1) AS node_table,
+       CAST(split_part(node, '#', 2) AS BIGINT) AS node_id,
+       rank
+FROM (SELECT node, rank FROM r{iterations} ORDER BY rank DESC, node LIMIT {top}) t
+ORDER BY position
+"""
+
 
 IMPORT_CHAIN_CTE = """ii AS (
   SELECT source_id AS src, target_id AS dst FROM imported_symbol_relationships
@@ -925,10 +972,26 @@ ORDER BY import_id
 """
 
 
-def _q_pagerank_top20(spark, sf_dir):  # rows-only (iterative float)
-    from knowledge_graph_spark.graph.algorithms import pagerank
+def _q_pagerank_top20(spark, sf_dir):  # exact: 5-iteration recurrence, top-20
+    """Graduated from rows-only (r5): float PageRank cannot hash-compare
+    across engines, so the entry surfaces the top-20 through the same BIGINT
+    fixed-point recurrence as pagerank_exact but at FIVE iterations (the
+    float variant's depth), projected as (position, node_table, node_id,
+    rank) with the ``table#id`` key split back apart. The float variant
+    stays available as graph.algorithms.pagerank and is pinned against this
+    recurrence by pytest (same ordering)."""
+    from pyspark.sql import Window
 
-    return pagerank(_graph(spark, sf_dir), iterations=5).limit(20)
+    from knowledge_graph_spark.graph.algorithms import pagerank_exact
+
+    pr = pagerank_exact(_graph(spark, sf_dir), iterations=5).limit(20)
+    w = Window.orderBy(F.desc("rank"), "node")
+    return pr.select(
+        F.row_number().over(w).alias("position"),
+        F.substring_index("node", "#", 1).alias("node_table"),
+        F.substring_index("node", "#", -1).cast("long").alias("node_id"),
+        "rank",
+    )
 
 
 def _q_connected_components_sizes(spark, sf_dir):  # exact: size histogram
@@ -951,18 +1014,26 @@ def _q_pagerank_exact(spark, sf_dir):  # exact: integer fixed-point ranks
     return pagerank_exact(_graph(spark, sf_dir), iterations=3).limit(20)
 
 
-def _q_label_prop_communities(spark, sf_dir):  # rows-only (iterative LPA)
-    from knowledge_graph_spark.graph.algorithms import label_propagation
-
-    return (
-        # 2 rounds: the community-size snapshot stabilizes early; each extra
-        # round is ~3 shuffles of the full both-direction edge list
-        label_propagation(_graph(spark, sf_dir), rounds=2)
-        .groupBy("community")
-        .agg(F.count(F.lit(1)).alias("size"))
-        .orderBy(F.desc("size"), "community")
-        .limit(50)
+def _q_label_prop_communities(spark, sf_dir):  # exact: size-distribution invariants
+    """Graduated from rows-only (r5): community LABELS are xxhash64 node-key
+    hashes (engine-local), so the entry surfaces the invariant vector of the
+    community-size distribution computed from the real 2-round LPA run —
+    conservation (community sizes sum to the SQL-computable edge-endpoint
+    count) and label containment (every community label is the hash of some
+    labeled node; the anti-join count must hash-match the oracle's literal
+    0). The size rows themselves remain available via
+    graph.algorithms.label_propagation and are pinned by the pytest
+    invariant suite."""
+    lpa = _lpa(spark, sf_dir)
+    sizes = lpa.groupBy("community").agg(F.count(F.lit(1)).alias("size"))
+    node_hashes = lpa.select(
+        F.xxhash64("node_table", "node_id").alias("community")
+    ).distinct()
+    foreign = sizes.join(node_hashes, "community", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_foreign_labels")
     )
+    total = sizes.agg(F.sum("size").cast("long").alias("n_labeled_total"))
+    return total.crossJoin(foreign)
 
 
 def _q_k_core_sizes(spark, sf_dir):  # rows-only (iterative peeling)
@@ -1515,6 +1586,11 @@ def oracle_sql() -> dict[str, str]:
             PAGERANK_EXACT_SQL.format(iterations=3, top=20),
             extra_ctes=_pagerank_exact_sql(iterations=3),
         ),
+        "pagerank_top20": o(
+            PAGERANK_TOP20_SQL.format(iterations=5, top=20),
+            extra_ctes=_pagerank_exact_sql(iterations=5),
+        ),
+        "label_prop_communities": o(LPA_COMMUNITY_SIZES_SQL),
         "import_chain_resolution": o(
             IMPORT_CHAIN_SQL, extra_ctes=IMPORT_CHAIN_CTE, recursive=True
         ),

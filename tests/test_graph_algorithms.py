@@ -202,3 +202,41 @@ def test_label_propagation_invariants(spark):
     assert len(left) == 1 and len(right) == 1  # cliques converge to one label
     rows2 = label_propagation(kg).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
+
+
+def test_pagerank_top20_matches_float_ordering(kg):
+    """The graduated pagerank_top20 entry surfaces the BIGINT fixed-point
+    recurrence at the float variant's depth (5 iterations): the top-20 node
+    SET must agree with float PageRank, and the heads must coincide — the
+    integer micro-unit math is the same recurrence with deterministic
+    rounding, not a different algorithm."""
+    from knowledge_graph_spark.graph.algorithms import pagerank, pagerank_exact
+
+    fl = pagerank(kg, iterations=5).limit(20).collect()
+    ex = pagerank_exact(kg, iterations=5).limit(20).collect()
+    fl_set = {(r.node_table, r.node_id) for r in fl}
+    ex_set = {
+        (r.node.split("#", 1)[0], int(r.node.split("#", 1)[1])) for r in ex
+    }
+    # boundary positions may swap on float-vs-integer rounding near-ties;
+    # the bulk of the set and the head must agree
+    assert len(fl_set & ex_set) >= 18, sorted(fl_set ^ ex_set)
+    head = ex[0].node.split("#", 1)
+    assert (fl[0].node_table, fl[0].node_id) == (head[0], int(head[1]))
+
+
+def test_label_prop_community_size_invariants(kg):
+    """The graduated label_prop_communities entry's two invariants, checked
+    at test scale directly from the LPA output: sizes sum to the labeled
+    node count, and every community label is the xxhash of a labeled node."""
+    from knowledge_graph_spark.graph.algorithms import label_propagation
+
+    lpa = label_propagation(kg, rounds=2).cache()
+    n = lpa.count()
+    sizes = lpa.groupBy("community").agg(F.count(F.lit(1)).alias("size"))
+    assert sizes.agg(F.sum("size")).collect()[0][0] == n
+    node_hashes = lpa.select(
+        F.xxhash64("node_table", "node_id").alias("community")
+    ).distinct()
+    assert sizes.join(node_hashes, "community", "left_anti").count() == 0
+    lpa.unpersist()
