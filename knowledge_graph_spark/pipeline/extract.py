@@ -200,8 +200,11 @@ _TS_IMPORT_FROM = re.compile(r"from\s*['\"]")
 # in modern TS; the reference's tree-sitter grammar extracts these as
 # functions alongside `function` declarations
 _TS_ARROW = re.compile(
+    # return-type annotation: [^=]*? is non-greedy and cannot cross the `=`
+    # of the arrow, but DOES admit `>` so generic returns
+    # (`: Promise<string> =>`) fold like plain ones
     r"^(\s*)(?:export\s+)?(?:default\s+)?(?:const|let|var)\s+([A-Za-z_$][\w$]*)"
-    r"\s*(?::[^=]+)?=\s*(?:async\s+)?(?:\([^)]*\)|[A-Za-z_$][\w$]*)\s*(?::[^=>]+)?=>"
+    r"\s*(?::[^=]+)?=\s*(?:async\s+)?(?:\([^)]*\)|[A-Za-z_$][\w$]*)\s*(?::[^=]*?)?\s*=>"
 )
 # const/let/var binding of a class or (generator) function EXPRESSION — the
 # reference folds NamedClassExpression → Class and NamedFunctionExpression /

@@ -1666,3 +1666,83 @@ def test_multiline_kotlin_fun(multiline_repo):
         ).collect()
     }
     assert d["mx.Wrap.wrapped"] == 2, d
+
+
+# ---- TypeScript named-expression folding (typescript.rs:286-303) -----------
+
+_TS_NAMED_EXPR_SRC = {
+    "web/store.ts": (
+        "export const makeStore = () => {\n"
+        "  return {};\n"
+        "};\n"
+        "const Registry = class {\n"
+        "  register(): void {\n"
+        "  }\n"
+        "};\n"
+        "const walk = function named(t: number) {\n"
+        "  return t;\n"
+        "};\n"
+        "let gen = function* () {\n"
+        "  yield 1;\n"
+        "};\n"
+        "export const api = createApi({ reducerPath: 'x' });\n"
+        "const fetchUser = async (id: number): Promise<string> => {\n"
+        "  return String(id);\n"
+        "};\n"
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def ts_named_expr(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ts_named")
+    for rel, content in _TS_NAMED_EXPR_SRC.items():
+        p = root / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(content)
+    return _index(spark, str(root))
+
+
+def test_ts_named_arrow_folds_to_function(ts_named_expr):
+    """NamedArrowFunction → Function under the declarator name
+    (typescript.rs:294-296), including async + typed arrows."""
+    defs = {
+        r.name: r.definition_type
+        for r in ts_named_expr.definitions.select("name", "definition_type").collect()
+    }
+    assert defs.get("makeStore") == "Function"
+    assert defs.get("fetchUser") == "Function"
+
+
+def test_ts_named_class_expression_folds_to_class(ts_named_expr):
+    """NamedClassExpression → Class (typescript.rs:288-290); members inside
+    the class expression body scope under the declarator name."""
+    defs = {
+        r.name: r.definition_type
+        for r in ts_named_expr.definitions.select("name", "definition_type").collect()
+    }
+    assert defs.get("Registry") == "Class"
+
+
+def test_ts_named_function_and_generator_expressions(ts_named_expr):
+    """NamedFunctionExpression / NamedGeneratorFunctionExpression → Function,
+    keyed by the DECLARATOR name, not the inner expression name
+    (typescript.rs:291-293,297-299)."""
+    defs = {
+        r.name: r.definition_type
+        for r in ts_named_expr.definitions.select("name", "definition_type").collect()
+    }
+    assert defs.get("walk") == "Function"
+    assert defs.get("gen") == "Function"
+    assert "named" not in defs  # the inner expression name is not a definition
+
+
+def test_ts_named_call_expression_excluded(ts_named_expr):
+    """`const api = createApi(...)` is NOT a definition: the reference's own
+    84-definition inventory over fixtures/typescript/test-repo excludes
+    const bindings of call expressions (tests.rs:369-454), and method bodies
+    are full of them (`const index = storage.findIndex(...)`)."""
+    names = {r.name for r in ts_named_expr.definitions.select("name").collect()}
+    assert "api" not in names
+    # exactly the six folded definitions + the class-expression method
+    assert names == {"makeStore", "Registry", "register", "walk", "gen", "fetchUser"}
