@@ -554,13 +554,23 @@ def _node_label_df(kg: KnowledgeGraph, table: str) -> DataFrame:
     return df.withColumn("node_type", F.lit(table))
 
 
-def neighbors(kg: KnowledgeGraph, node_table: str, node_id: int, limit: int = 100) -> DataFrame:
+def neighbors(
+    kg: KnowledgeGraph,
+    node_table: str,
+    node_id: int,
+    limit: int = 100,
+    include_edge_table: bool = False,
+) -> DataFrame:
     """1-hop neighborhood of a node, both directions, across every edge table
     whose (from,to) pairs touch the node's type.
 
     Reference: library.rs:667-785 + graph_neighbors.rs:96-170 — generated
     undirected sections ``MATCH (n)-[r]-(m)`` per relationship config, padded
     UNION, app-side dedup by id (U3 → dropDuplicates), LIMIT (G1, J3).
+
+    ``include_edge_table=True`` adds the physical edge-table column the HTTP
+    contract layer needs for ``relationship_name`` (the reference's section
+    constant, library.rs:204-255); the default keeps the oracle schema.
     """
     pieces = []
     for edge_table, pairs in S.EDGE_TABLES.items():
@@ -573,6 +583,9 @@ def neighbors(kg: KnowledgeGraph, node_table: str, node_id: int, limit: int = 10
             )
             tgt_nodes = _node_label_df(kg, to_table)
             src_nodes = _node_label_df(kg, from_table)
+            extra = (
+                [F.lit(edge_table).alias("edge_table")] if include_edge_table else []
+            )
             if from_table == node_table:
                 pieces.append(
                     e.filter(F.col("source_id") == node_id)
@@ -583,6 +596,7 @@ def neighbors(kg: KnowledgeGraph, node_table: str, node_id: int, limit: int = 10
                         F.col("node_type").alias("neighbor_type"),
                         F.col("id").alias("neighbor_id"),
                         F.col("label").alias("neighbor_label"),
+                        *extra,
                     )
                 )
             if to_table == node_table:
@@ -595,6 +609,7 @@ def neighbors(kg: KnowledgeGraph, node_table: str, node_id: int, limit: int = 10
                         F.col("node_type").alias("neighbor_type"),
                         F.col("id").alias("neighbor_id"),
                         F.col("label").alias("neighbor_label"),
+                        *extra,
                     )
                 )
     out = reduce(lambda a, b: a.unionByName(b), pieces)

@@ -47,6 +47,9 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
 
+from pyspark.sql import functions as F
+
+from knowledge_graph_spark import schema as S
 from knowledge_graph_spark.graph.model import KnowledgeGraph
 from knowledge_graph_spark.queries import library as L
 from knowledge_graph_spark.queries import shaping as SHAPE
@@ -72,6 +75,95 @@ _NODE_TABLE_BY_TYPE = {
     "DefinitionNode": "definition_nodes",
     "ImportedSymbolNode": "imported_symbol_nodes",
 }
+_TYPE_BY_NODE_TABLE = {v: k for k, v in _NODE_TABLE_BY_TYPE.items()}
+
+# Per-section limits of the initial graph query, keyed by the reference's
+# priority groups (library.rs:454-529: directory sections use
+# $directory_limit, file sections $file_limit, definition→imported_symbol
+# sections $imported_symbol_limit, other definition sections
+# $definition_limit, import sections $imported_symbol_limit).
+_INITIAL_LIMIT_KEYS = {
+    "directory_relationships": "directory_limit",
+    "file_relationships": "file_limit",
+    "definition_relationships": "definition_limit",
+    "imported_symbol_relationships": "imported_symbol_limit",
+}
+_INITIAL_DEFAULTS = {
+    "directory_limit": 100,
+    "file_limit": 200,
+    "definition_limit": 500,
+    "imported_symbol_limit": 50,
+}
+
+
+def _s(v) -> str:
+    """Null-safe string, matching the reference's get_string_value over
+    nullable Kuzu columns (graph/shared.rs:108-137)."""
+    return "" if v is None else str(v)
+
+
+def _typed_node(node_type: str, r) -> dict:
+    """One TypedGraphNode JSON object — exact field names and nesting of
+    endpoints/graph/shared.rs:50-75 (serde tag ``node_type``, ``id`` =
+    ``{node_type}_{node_id}``, ``label`` = name, per-type ``properties``)."""
+    base = {
+        "node_type": node_type,
+        "id": f"{node_type}_{r.id}",
+        "node_id": str(r.id),
+        "label": _s(r.name),
+    }
+    if node_type == "DirectoryNode":
+        props = {
+            "path": _s(r.path),
+            "absolute_path": _s(r.absolute_path),
+            "repository_name": _s(r.repository_name),
+        }
+    elif node_type == "FileNode":
+        props = {
+            "path": _s(r.path),
+            "absolute_path": _s(r.absolute_path),
+            "repository_name": _s(r.repository_name),
+            "language": _s(r.language),
+            "extension": _s(r.extension),
+        }
+    elif node_type == "DefinitionNode":
+        props = {
+            "path": _s(r.primary_file_path),
+            "fqn": _s(r.fqn),
+            "definition_type": _s(r.definition_type),
+            "start_line": int(r.start_line or 0),
+            "primary_start_byte": int(r.primary_start_byte or 0),
+            "primary_end_byte": int(r.primary_end_byte or 0),
+            "total_locations": int(r.total_locations or 0),
+        }
+    else:  # ImportedSymbolNode
+        props = {
+            "path": _s(r.file_path),
+            "start_line": int(r.start_line or 0),
+            "primary_start_byte": int(r.start_byte or 0),
+            "primary_end_byte": int(r.end_byte or 0),
+            "import_type": _s(r.import_type),
+            "import_path": _s(r.import_path),
+            "import_alias": _s(r.alias),
+        }
+    base["properties"] = props
+    return base
+
+
+def _relationship(edge_table: str, src_type: str, src_id, tgt_type: str, tgt_id, rel_type: str) -> dict:
+    """One GraphRelationship JSON object (graph/shared.rs:78-86):
+    ``relationship_name`` is the physical table section constant,
+    ``relationship_type`` the row's ``r.type``; the reference's opaque
+    internal id is synthesized deterministically from the endpoints."""
+    source = f"{src_type}_{src_id}"
+    target = f"{tgt_type}_{tgt_id}"
+    return {
+        "id": f"{edge_table}:{source}->{target}:{rel_type}",
+        "source": source,
+        "target": target,
+        "relationship_name": edge_table.upper(),
+        "relationship_type": rel_type,
+    }
 
 
 class GraphService:
@@ -142,6 +234,20 @@ class GraphService:
         self.events.append(ev)
 
     # -- endpoint bodies -----------------------------------------------------
+    def _hydrate_nodes(self, kg: KnowledgeGraph, keys) -> dict:
+        """(node_type, id) → TypedGraphNode JSON, via ≤4 bounded id-filtered
+        collects (every caller caps the key set by its LIMIT contract)."""
+        by_type: dict[str, set] = {}
+        for node_type, nid in keys:
+            by_type.setdefault(node_type, set()).add(int(nid))
+        out: dict[tuple, dict] = {}
+        for node_type, ids in by_type.items():
+            table = _NODE_TABLE_BY_TYPE[node_type]
+            rows = kg.nodes[table].filter(F.col("id").isin(sorted(ids))).collect()
+            for r in rows:
+                out[(node_type, int(r.id))] = _typed_node(node_type, r)
+        return out
+
     def stats(self, ws: str, proj: str) -> dict | None:
         kg = self.kg(ws, proj)
         if kg is None:
@@ -156,10 +262,18 @@ class GraphService:
             "definition_count": rows.get(("definition_nodes", ""), 0),
             "imported_symbol_count": rows.get(("imported_symbol_nodes", ""), 0),
         }
-        rel_counts: dict[str, int] = {}
+        # GraphRelationshipCountsResponse (graph_stats.rs:33-38) carries
+        # exactly three buckets; imported-symbol relationships are counted by
+        # the query but excluded from the response AND the total
+        # (graph_stats.rs:203-206 sums dir+file+def only).
+        rel_counts = {
+            "directory_relationships": 0,
+            "file_relationships": 0,
+            "definition_relationships": 0,
+        }
         for (tab, typ), n in rows.items():
-            if typ:
-                rel_counts[tab] = rel_counts.get(tab, 0) + n
+            if typ and tab in rel_counts:
+                rel_counts[tab] += n
         info = self.project_info(ws, proj)
         return {
             "total_nodes": sum(node_counts.values()),
@@ -169,59 +283,109 @@ class GraphService:
             "project_info": _project_json(info),
         }
 
-    def initial(self, ws: str, proj: str) -> dict | None:
+    def initial(self, ws: str, proj: str, limits: dict | None = None) -> dict | None:
+        """GraphInitialSuccessResponse (graph_initial.rs:41-45): edge-driven
+        sections per relationship config, nodes deduped from the endpoints,
+        relationships deduped by id — process_graph_row parity."""
         kg = self.kg(ws, proj)
         if kg is None:
             return None
-        nodes = [
-            {"node_type": r.node_type, "id": str(r.id), "label": r.label}
-            for r in L.initial_graph(kg).collect()
-        ]
-        return {"nodes": nodes, "project_info": _project_json(self.project_info(ws, proj))}
+        lims = dict(_INITIAL_DEFAULTS, **(limits or {}))
+        edge_rows: list[tuple] = []  # (edge_table, row), priority-ordered
+        for edge_table, pairs in S.EDGE_TABLES.items():
+            for from_table, to_table in pairs:
+                key = _INITIAL_LIMIT_KEYS[edge_table]
+                if edge_table == "definition_relationships" and to_table == "imported_symbol_nodes":
+                    key = "imported_symbol_limit"
+                rows = (
+                    kg.edges[edge_table]
+                    .filter(
+                        (F.col("source_table") == from_table)
+                        & (F.col("target_table") == to_table)
+                    )
+                    .orderBy("source_id", "target_id", "type")
+                    .limit(int(lims[key]))
+                    .select("source_id", "target_id", "type")
+                    .collect()
+                )
+                edge_rows.extend(
+                    (edge_table, from_table, to_table, r) for r in rows
+                )
+        keys = set()
+        for _, from_table, to_table, r in edge_rows:
+            keys.add((_TYPE_BY_NODE_TABLE[from_table], r.source_id))
+            keys.add((_TYPE_BY_NODE_TABLE[to_table], r.target_id))
+        hydrated = self._hydrate_nodes(kg, keys)
+        nodes, rels, seen_nodes, seen_rels = [], [], set(), set()
+        for edge_table, from_table, to_table, r in edge_rows:
+            sk = (_TYPE_BY_NODE_TABLE[from_table], r.source_id)
+            tk = (_TYPE_BY_NODE_TABLE[to_table], r.target_id)
+            for k in (sk, tk):
+                if k not in seen_nodes and k in hydrated:
+                    seen_nodes.add(k)
+                    nodes.append(hydrated[k])
+            rel = _relationship(edge_table, sk[0], sk[1], tk[0], tk[1], r["type"])
+            if rel["id"] not in seen_rels:
+                seen_rels.add(rel["id"])
+                rels.append(rel)
+        return {
+            "nodes": nodes,
+            "relationships": rels,
+            "project_info": _project_json(self.project_info(ws, proj)),
+        }
 
     def search(self, ws: str, proj: str, term: str, limit: int) -> dict | None:
+        """GraphSearchSuccessResponse (graph_search.rs:36-40): typed nodes +
+        project_info, no relationships."""
         kg = self.kg(ws, proj)
         if kg is None:
             return None
+        hits = L.search_nodes(kg, term, limit=limit).collect()
+        hydrated = self._hydrate_nodes(
+            kg, {(r.node_type, r.id) for r in hits}
+        )
         nodes = [
-            {
-                "node_type": r.node_type,
-                "id": str(r.id),
-                "label": r.name,
-                "properties": {
-                    "path": r.path,
-                    "fqn": r.fqn,
-                    "start_line": r.start_line,
-                },
-            }
-            for r in L.search_nodes(kg, term, limit=limit).collect()
+            hydrated[(r.node_type, r.id)]
+            for r in hits
+            if (r.node_type, r.id) in hydrated
         ]
         return {"nodes": nodes, "project_info": _project_json(self.project_info(ws, proj))}
 
     def neighbors(
         self, ws: str, proj: str, node_type: str, node_id: int, limit: int
     ) -> dict | None:
+        """GraphNeighborsSuccessResponse (graph_neighbors.rs:40-44): the
+        anchor + its 1-hop neighborhood as typed nodes, one relationship per
+        matched edge (both endpoints always in ``nodes``)."""
         kg = self.kg(ws, proj)
         table = _NODE_TABLE_BY_TYPE.get(node_type)
         if kg is None or table is None:
             return None
-        rows = L.neighbors(kg, table, node_id, limit=limit).collect()
-        nodes = [
-            {
-                "node_type": r.neighbor_type,
-                "id": str(r.neighbor_id),
-                "label": r.neighbor_label,
-            }
-            for r in rows
-        ]
-        rels = [
-            {
-                "relationship_type": r.rel_type,
-                "source_id": str(node_id) if r.direction == "out" else str(r.neighbor_id),
-                "target_id": str(r.neighbor_id) if r.direction == "out" else str(node_id),
-            }
-            for r in rows
-        ]
+        rows = L.neighbors(
+            kg, table, node_id, limit=limit, include_edge_table=True
+        ).collect()
+        keys = {(node_type, node_id)} | {
+            (_TYPE_BY_NODE_TABLE[r.neighbor_type], r.neighbor_id) for r in rows
+        }
+        hydrated = self._hydrate_nodes(kg, keys)
+        nodes, seen = [], set()
+        for k in [(node_type, node_id)] + [
+            (_TYPE_BY_NODE_TABLE[r.neighbor_type], int(r.neighbor_id)) for r in rows
+        ]:
+            if k not in seen and k in hydrated:
+                seen.add(k)
+                nodes.append(hydrated[k])
+        rels = []
+        for r in rows:
+            ntype = _TYPE_BY_NODE_TABLE[r.neighbor_type]
+            if r.direction == "out":
+                rels.append(
+                    _relationship(r.edge_table, node_type, node_id, ntype, r.neighbor_id, r.rel_type)
+                )
+            else:
+                rels.append(
+                    _relationship(r.edge_table, ntype, r.neighbor_id, node_type, node_id, r.rel_type)
+                )
         return {
             "nodes": nodes,
             "relationships": rels,
@@ -381,14 +545,27 @@ class GraphService:
 
 
 def _project_json(info) -> dict | None:
+    """TSProjectInfo (event-bus/src/types/project_info.rs:7-16) — exact field
+    set; ``last_indexed_at`` is an Option<String> (ISO-8601 here); the parquet
+    directory IS the database in this engine, so both path fields name it."""
     if info is None:
         return None
+    from datetime import datetime, timezone
+
+    indexed_at = (
+        datetime.fromtimestamp(info.last_indexed_at, tz=timezone.utc).isoformat()
+        if info.last_indexed_at
+        else None
+    )
     return {
-        "workspace_folder_path": info.workspace_folder_path,
         "project_path": info.project_path,
+        "workspace_folder_path": info.workspace_folder_path,
         "project_hash": info.project_hash,
         "status": info.status,
+        "last_indexed_at": indexed_at,
         "error_message": info.error_message,
+        "database_path": info.graph_dir,
+        "parquet_directory": info.graph_dir,
     }
 
 
@@ -494,22 +671,47 @@ class _Handler(BaseHTTPRequestHandler):
                     self.wfile.write(f"data: {json.dumps(ev)}\n\n".encode())
                 return None
             if parts[:2] == ["api", "graph"] and len(parts) >= 5:
+                # error-shape contract (graph_*.rs handlers): 400
+                # empty_*/invalid_node_type, 404 project_not_found, 500
+                # database_not_found — all StatusResponse bodies.
                 kind, ws, proj = parts[2], parts[3], parts[4]
+                if not proj.strip():
+                    return self._json(400, {"status": "empty_project_path"})
+                if self.service.project_info(ws, proj) is None:
+                    return self._json(404, {"status": "project_not_found"})
                 if kind == "stats":
                     out = self.service.stats(ws, proj)
                 elif kind == "initial":
-                    out = self.service.initial(ws, proj)
+                    out = self.service.initial(
+                        ws,
+                        proj,
+                        limits={
+                            k: int(q[k])
+                            for k in _INITIAL_DEFAULTS
+                            if k in q
+                        },
+                    )
                 elif kind == "search":
                     out = self.service.search(
                         ws, proj, q.get("search_term", ""), int(q.get("limit", 100))
                     )
                 elif kind == "neighbors" and len(parts) >= 7:
+                    if not parts[5].strip():
+                        return self._json(400, {"status": "empty_node_type"})
+                    if not parts[6].strip():
+                        return self._json(400, {"status": "empty_node_id"})
+                    if parts[5] not in _NODE_TABLE_BY_TYPE:
+                        return self._json(400, {"status": "invalid_node_type"})
                     out = self.service.neighbors(
                         ws, proj, parts[5], int(parts[6]), int(q.get("limit", 100))
                     )
                 else:
-                    out = None
-                return self._json(200, out) if out is not None else self._not_found()
+                    return self._not_found()
+                return (
+                    self._json(200, out)
+                    if out is not None
+                    else self._json(500, {"status": "database_not_found"})
+                )
             return self._not_found()
         except Exception as exc:  # noqa: BLE001 — endpoint error contract (500)
             return self._json(500, {"status": f"error: {exc}"})

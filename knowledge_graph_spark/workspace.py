@@ -88,6 +88,7 @@ class ProjectInfo:
     status: str
     graph_dir: str
     error_message: str | None = None
+    last_indexed_at: float | None = None
 
 
 class WorkspaceManager:
@@ -167,6 +168,7 @@ class WorkspaceManager:
             status=p.status,
             graph_dir=os.path.join(self._project_dir(ws, p), "graph"),
             error_message=p.error_message,
+            last_indexed_at=p.last_indexed_at,
         )
 
     def get_project_info(self, workspace_path: str, project_path: str) -> ProjectInfo | None:

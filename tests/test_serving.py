@@ -118,12 +118,151 @@ def test_graph_neighbors_endpoint(served):
     node = next(n for n in s["nodes"] if n["node_type"] == "DefinitionNode"
                 and n["label"] == "User")
     _, out = served["get"](
-        "/api/graph/neighbors" + _pp(served) + f"/DefinitionNode/{node['id']}"
+        "/api/graph/neighbors" + _pp(served) + f"/DefinitionNode/{node['node_id']}"
     )
     labels = {n["label"] for n in out["nodes"]}
     # CLASS_TO_METHOD edge to activate, FILE_DEFINES from the file
     assert any("activate" in l for l in labels), labels
-    assert len(out["relationships"]) == len(out["nodes"])
+    # both endpoints of every relationship are in the node list (the anchor
+    # node is included), so rels == nodes - 1 when every neighbor is distinct
+    assert len(out["relationships"]) == len(out["nodes"]) - 1
+
+
+# ---------------------------------------------------------------------------
+# HTTP contract-shape tests — exact JSON field names/nesting mirrored from
+# the reference's endpoint structs (endpoints/graph/*.rs + graph/shared.rs)
+# and its own endpoint tests (graph_stats.rs / graph_initial.rs `mod tests`).
+# ---------------------------------------------------------------------------
+
+_PROJECT_INFO_FIELDS = {
+    # TSProjectInfo, event-bus/src/types/project_info.rs:7-16
+    "project_path", "workspace_folder_path", "project_hash", "status",
+    "last_indexed_at", "error_message", "database_path", "parquet_directory",
+}
+_RELATIONSHIP_FIELDS = {
+    # GraphRelationship, endpoints/graph/shared.rs:78-86
+    "id", "source", "target", "relationship_name", "relationship_type",
+}
+_NODE_PROP_FIELDS = {
+    # endpoints/graph/shared.rs:8-46 per-kind property structs
+    "DirectoryNode": {"path", "absolute_path", "repository_name"},
+    "FileNode": {"path", "absolute_path", "repository_name", "language", "extension"},
+    "DefinitionNode": {"path", "fqn", "definition_type", "start_line",
+                       "primary_start_byte", "primary_end_byte", "total_locations"},
+    "ImportedSymbolNode": {"path", "start_line", "primary_start_byte",
+                           "primary_end_byte", "import_type", "import_path",
+                           "import_alias"},
+}
+
+
+def _assert_typed_node(n):
+    # TypedGraphNode serde shape: tag `node_type`, id = "{type}_{node_id}"
+    assert set(n) == {"node_type", "id", "node_id", "label", "properties"}, n
+    assert n["id"] == f"{n['node_type']}_{n['node_id']}"
+    assert set(n["properties"]) == _NODE_PROP_FIELDS[n["node_type"]], n
+
+
+def test_contract_graph_stats_shape(served):
+    """GraphStatsSuccessResponse (graph_stats.rs:41-47): fixed node_counts +
+    relationship_counts structs; total_relationships sums dir+file+def only
+    (graph_stats.rs:203-206 — imported-symbol rels excluded)."""
+    _, out = served["get"]("/api/graph/stats" + _pp(served))
+    assert set(out) == {"total_nodes", "total_relationships", "node_counts",
+                        "relationship_counts", "project_info"}
+    assert set(out["node_counts"]) == {
+        "directory_count", "file_count", "definition_count",
+        "imported_symbol_count"}
+    assert set(out["relationship_counts"]) == {
+        "directory_relationships", "file_relationships",
+        "definition_relationships"}
+    assert out["total_relationships"] == sum(out["relationship_counts"].values())
+    assert set(out["project_info"]) == _PROJECT_INFO_FIELDS
+    assert out["project_info"]["last_indexed_at"] is not None  # indexed
+
+
+def test_contract_graph_initial_shape(served):
+    """GraphInitialSuccessResponse (graph_initial.rs:41-45): typed nodes with
+    per-kind properties, GraphRelationship rows whose source/target point at
+    node ids in the same payload (process_graph_row parity)."""
+    _, out = served["get"]("/api/graph/initial" + _pp(served))
+    assert set(out) == {"nodes", "relationships", "project_info"}
+    assert out["nodes"] and out["relationships"]
+    for n in out["nodes"]:
+        _assert_typed_node(n)
+    ids = {n["id"] for n in out["nodes"]}
+    for r in out["relationships"]:
+        assert set(r) == _RELATIONSHIP_FIELDS, r
+        assert r["source"] in ids and r["target"] in ids
+        assert r["relationship_name"] in {
+            "DIRECTORY_RELATIONSHIPS", "FILE_RELATIONSHIPS",
+            "DEFINITION_RELATIONSHIPS", "IMPORTED_SYMBOL_RELATIONSHIPS"}
+    # per-section limits honored (limit params of graph_initial.rs:32-37)
+    _, small = served["get"](
+        "/api/graph/initial" + _pp(served) + "?definition_limit=1&file_limit=1"
+    )
+    n_defrels = sum(
+        1 for r in small["relationships"]
+        if r["relationship_name"] == "DEFINITION_RELATIONSHIPS")
+    assert n_defrels <= 2  # def→def and def→imp sections, 1 row each
+
+
+def test_contract_graph_search_shape(served):
+    """GraphSearchSuccessResponse (graph_search.rs:36-40): nodes +
+    project_info only — search returns no relationships."""
+    _, out = served["get"](
+        "/api/graph/search" + _pp(served) + "?search_term=user&limit=10")
+    assert set(out) == {"nodes", "project_info"}
+    assert out["nodes"]
+    for n in out["nodes"]:
+        _assert_typed_node(n)
+    defn = next(n for n in out["nodes"] if n["node_type"] == "DefinitionNode")
+    assert defn["properties"]["fqn"]
+    assert isinstance(defn["properties"]["start_line"], int)
+
+
+def test_contract_graph_neighbors_shape(served):
+    """GraphNeighborsSuccessResponse (graph_neighbors.rs:40-44) + the
+    error-string contract of its handler (empty/invalid node type)."""
+    _, s = served["get"]("/api/graph/search" + _pp(served) + "?search_term=User")
+    anchor = next(n for n in s["nodes"]
+                  if n["node_type"] == "DefinitionNode" and n["label"] == "User")
+    _, out = served["get"](
+        "/api/graph/neighbors" + _pp(served)
+        + f"/DefinitionNode/{anchor['node_id']}")
+    assert set(out) == {"nodes", "relationships", "project_info"}
+    for n in out["nodes"]:
+        _assert_typed_node(n)
+    ids = {n["id"] for n in out["nodes"]}
+    assert anchor["id"] in ids  # the anchor itself is in the payload
+    for r in out["relationships"]:
+        assert set(r) == _RELATIONSHIP_FIELDS
+        assert anchor["id"] in (r["source"], r["target"])
+
+
+def test_contract_graph_error_shapes(served):
+    """StatusResponse error contract (endpoints/shared.rs:4-8 + the handlers'
+    literal status strings, mirrored from graph_stats.rs mod tests)."""
+    import urllib.error
+
+    def get_err(path):
+        try:
+            served["get"](path)
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+        raise AssertionError(f"expected error for {path}")
+
+    ws_enc = quote(served["ws"], safe="")
+    # project_not_found (graph_stats.rs:144-153)
+    code, body = get_err(f"/api/graph/stats/{ws_enc}/{quote('/nope', safe='')}")
+    assert (code, body) == (404, {"status": "project_not_found"})
+    # empty_project_path (graph_stats.rs:122-130) — %20 survives the split
+    code, body = get_err(f"/api/graph/stats/{ws_enc}/%20")
+    assert (code, body) == (400, {"status": "empty_project_path"})
+    # invalid_node_type (graph_neighbors.rs:170-177)
+    proj_enc = quote(served["proj"], safe="")
+    code, body = get_err(
+        f"/api/graph/neighbors/{ws_enc}/{proj_enc}/BogusNode/1")
+    assert (code, body) == (400, {"status": "invalid_node_type"})
 
 
 def test_events_sse_replay(served):
