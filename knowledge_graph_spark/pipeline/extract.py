@@ -561,6 +561,18 @@ _LANG_SYNTAX = {
 _MULTILINE_STRINGS = ('"""', "'''", "`")
 
 
+# Ruby heredoc opener, matched in code position: `<<~EOS` / `<<-EOS` /
+# `<<'EOS'` / `<<"EOS"` always open one; bare `<<IDENT` only when IDENT is
+# ALL-CAPS (the dominant convention) so `x<<y` / `arr << item` shift/append
+# expressions don't false-positive. The body runs until a line equal to the
+# tag (stripped for ~/-, column-0 for bare/quoted), and is data, not code —
+# tree-sitter never sees heredoc contents as statements (ruby/analyzer.rs
+# operates on the parsed tree), so both mask views blank it.
+_HEREDOC_OPEN = re.compile(
+    r"<<(?:([~-])(['\"]?)([A-Za-z_]\w*)\2|(['\"])([A-Za-z_]\w*)\4|([A-Z][A-Z0-9_]*)\b)"
+)
+
+
 def _mask_text(language: str, text: str) -> list[tuple[str, str]]:
     """Per line: (code_line, import_line), both exactly as long as the
     original line (chars), so every column/width downstream stays valid."""
@@ -572,10 +584,20 @@ def _mask_text(language: str, text: str) -> list[tuple[str, str]]:
     lc = cfg.get("line_comment")
     blk = cfg.get("block")
     blk_line = cfg.get("block_line")
+    heredocs = language == "Ruby"
+    pending_heredocs: list[tuple[str, bool]] = []  # (tag, indent_ok), FIFO
     out: list[tuple[str, str]] = []
     state: object = None  # None | ("str", delim) | "block" | "block_line"
     for line in lines:
         n = len(line)
+        if pending_heredocs and not isinstance(state, tuple):
+            # inside a heredoc body: the whole line is data in BOTH views
+            out.append((" " * n, " " * n))
+            tag, indent_ok = pending_heredocs[0]
+            terminated = line.strip() == tag if indent_ok else line == tag
+            if terminated:
+                pending_heredocs.pop(0)
+            continue
         if blk_line is not None and not isinstance(state, tuple) and state != "block":
             if state == "block_line":
                 out.append((" " * n, " " * n))
@@ -604,6 +626,17 @@ def _mask_text(language: str, text: str) -> list[tuple[str, str]]:
                     i += len(blk[0])
                     state = "block"
                     continue
+                if heredocs and line.startswith("<<", i):
+                    m = _HEREDOC_OPEN.match(line, i)
+                    if m is not None:
+                        tag = m.group(3) or m.group(5) or m.group(6)
+                        indent_ok = m.group(1) is not None
+                        pending_heredocs.append((tag, indent_ok))
+                        frag = m.group(0)
+                        code.append(frag)
+                        imp.append(frag)
+                        i += len(frag)
+                        continue
                 delim = next((d for d in strings if line.startswith(d, i)), None)
                 if delim is not None:
                     code.append(delim)

@@ -646,6 +646,43 @@ def test_masking_ruby_negatives():
         assert bad not in names, bad
 
 
+def test_masking_ruby_heredocs():
+    """Heredoc bodies are data, not code (tree-sitter parity): no phantom
+    defs/classes/imports from heredoc content; `<<` shift/append expressions
+    are untouched; stacked same-line heredocs terminate FIFO."""
+    out = _names(
+        "h.rb",
+        "Ruby",
+        "class Reports\n"
+        "  def build\n"
+        "    sql = <<~SQL\n"
+        "      def fake_method\n"
+        "      require 'phantom'\n"
+        "    SQL\n"
+        "    raw = <<-EOS\n"
+        "      class Phantom\n"
+        "    EOS\n"
+        "    doc = <<DOC\n"
+        "def bare_body\n"
+        "DOC\n"
+        "    queue << item\n"
+        "    multi = foo(<<~A, <<~B)\n"
+        "      def inside_a\n"
+        "    A\n"
+        "      def inside_b\n"
+        "    B\n"
+        "    x = 1\n"
+        "  end\n"
+        "  def after_heredocs\n"
+        "  end\n"
+        "end\n",
+    )
+    names = {n for _, n in out}
+    assert {"Reports", "build", "after_heredocs"} <= names
+    for bad in ("fake_method", "Phantom", "bare_body", "inside_a", "inside_b"):
+        assert bad not in names, bad
+
+
 def test_masking_typescript_negatives():
     out = _names(
         "m.ts",
