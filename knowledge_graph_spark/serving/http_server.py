@@ -183,6 +183,7 @@ class GraphService:
         self.mcp_sessions: dict[str, "_queue.Queue[dict]"] = {}
         self._queue_mod = _queue
         self._lock = threading.Lock()
+        self.metrics = RequestMetrics()
         # bound on live session channels — unauthenticated callers must not
         # grow this unboundedly; oldest session is evicted at the cap
         self.max_mcp_sessions = 256
@@ -569,6 +570,65 @@ def _project_json(info) -> dict | None:
     }
 
 
+# Prometheus-contract latency buckets — the deployed server's histogram
+# boundaries (http-server-deployed/src/metrics.rs:8-16).
+_METRIC_BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0)
+
+
+class RequestMetrics:
+    """In-process request metrics with Prometheus text exposition — the
+    deployed server's request_metrics_middleware (metrics.rs:18-35): one
+    total-requests counter + a (method, path)-labelled latency histogram."""
+
+    def __init__(self) -> None:
+        self.total = 0
+        # (method, path) -> [per-bucket cumulative-style raw counts, sum, n]
+        self.hist: dict[tuple[str, str], list] = {}
+        self._lock = threading.Lock()
+
+    def observe(self, method: str, path: str, seconds: float) -> None:
+        with self._lock:
+            self.total += 1
+            h = self.hist.setdefault(
+                (method, path), [[0] * (len(_METRIC_BUCKETS) + 1), 0.0, 0]
+            )
+            idx = next(
+                (i for i, b in enumerate(_METRIC_BUCKETS) if seconds <= b),
+                len(_METRIC_BUCKETS),
+            )
+            h[0][idx] += 1
+            h[1] += seconds
+            h[2] += 1
+
+    def render(self) -> str:
+        """Prometheus text exposition format, version 0.0.4."""
+        out = [
+            "# HELP gkg_http_requests_total Total number of HTTP requests",
+            "# TYPE gkg_http_requests_total counter",
+            f"gkg_http_requests_total {self.total}",
+            "# HELP gkg_http_request_duration_seconds HTTP request latencies in seconds",
+            "# TYPE gkg_http_request_duration_seconds histogram",
+        ]
+        with self._lock:
+            for (method, path), (counts, total_s, n) in sorted(self.hist.items()):
+                labels = f'method="{method}",path="{path}"'
+                cum = 0
+                for b, c in zip(_METRIC_BUCKETS, counts):
+                    cum += c
+                    out.append(
+                        f'gkg_http_request_duration_seconds_bucket{{{labels},le="{b}"}} {cum}'
+                    )
+                cum += counts[-1]
+                out.append(
+                    f'gkg_http_request_duration_seconds_bucket{{{labels},le="+Inf"}} {cum}'
+                )
+                out.append(
+                    f"gkg_http_request_duration_seconds_sum{{{labels}}} {total_s:.6f}"
+                )
+                out.append(f"gkg_http_request_duration_seconds_count{{{labels}}} {n}")
+        return "\n".join(out) + "\n"
+
+
 class _Handler(BaseHTTPRequestHandler):
     service: GraphService  # injected by make_server
     jwt_secret: str | None = None  # injected by make_server (None = open)
@@ -588,10 +648,14 @@ class _Handler(BaseHTTPRequestHandler):
         self._json(404, {"status": "not found"})
 
     def _authorized(self, parts: list[str]) -> bool:
-        """JWT gate (jwt_authentication.rs:20-90): health/info public,
+        """JWT gate (jwt_authentication.rs:20-90): health/info/metrics
+        public (the deployed server's PUBLIC_ENDPOINTS, endpoints.rs:10),
         everything else needs a valid HS256 Bearer token when a secret is
         configured."""
-        if self.jwt_secret is None or parts[:2] in (["api", "health"], ["api", "info"]):
+        if self.jwt_secret is None or parts[:2] in (
+            ["api", "health"],
+            ["api", "info"],
+        ) or parts[:1] == ["metrics"]:
             return True
         from knowledge_graph_spark.serving.mcp_protocol import verify_jwt
 
@@ -599,6 +663,30 @@ class _Handler(BaseHTTPRequestHandler):
         return auth.startswith("Bearer ") and verify_jwt(self.jwt_secret, auth[7:])
 
     def do_GET(self) -> None:  # noqa: N802 (stdlib casing)
+        # request_metrics_middleware parity (metrics.rs:18-35): count + time
+        # every request, labelled (method, path)
+        import time as _time
+
+        t0 = _time.time()
+        try:
+            self._route_GET()
+        finally:
+            self.service.metrics.observe(
+                "GET", urlparse(self.path).path, _time.time() - t0
+            )
+
+    def do_POST(self) -> None:  # noqa: N802
+        import time as _time
+
+        t0 = _time.time()
+        try:
+            self._route_POST()
+        finally:
+            self.service.metrics.observe(
+                "POST", urlparse(self.path).path, _time.time() - t0
+            )
+
+    def _route_GET(self) -> None:
         try:
             url = urlparse(self.path)
             parts = [unquote(p) for p in url.path.strip("/").split("/")]
@@ -611,6 +699,16 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._json(
                     200, {"name": SERVER_NAME, "version": SERVER_VERSION}
                 )
+            if parts == ["metrics"]:
+                # Prometheus scrape endpoint (http-server-deployed
+                # metrics.rs; PUBLIC_ENDPOINTS endpoints.rs:10)
+                body = self.service.metrics.render().encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return None
             if parts[:2] == ["mcp", "sse"]:
                 # SSE transport handshake (sse.rs:6-19): the first frame is
                 # the `endpoint` event carrying the session POST URI; any
@@ -716,7 +814,7 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as exc:  # noqa: BLE001 — endpoint error contract (500)
             return self._json(500, {"status": f"error: {exc}"})
 
-    def do_POST(self) -> None:  # noqa: N802
+    def _route_POST(self) -> None:
         try:
             n = int(self.headers.get("Content-Length", 0))
             raw = self.rfile.read(n) or b"{}"
@@ -776,6 +874,15 @@ class _Handler(BaseHTTPRequestHandler):
                 if sess_hdr:
                     self.send_header("Mcp-Session-Id", sess_hdr)
                 self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return None
+            if parts in (["indexer", "v1", "index"], ["webserver", "v1", "tool"]):
+                # the deployed server ships these routes as explicit 501
+                # stubs (endpoints/indexer.rs:10-12, webserver.rs:10-12)
+                body = b"Not implemented"
+                self.send_response(501)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)

@@ -265,6 +265,47 @@ def test_contract_graph_error_shapes(served):
     assert (code, body) == (400, {"status": "invalid_node_type"})
 
 
+def test_metrics_endpoint_prometheus_exposition(served):
+    """/metrics (http-server-deployed metrics.rs + PUBLIC_ENDPOINTS
+    endpoints.rs:10): Prometheus text format with the reference's metric
+    names and histogram buckets, labelled by (method, path)."""
+    served["get"]("/api/health")  # ensure at least one observed request
+    with urllib.request.urlopen(served["base"] + "/metrics", timeout=60) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    assert "# TYPE gkg_http_requests_total counter" in text
+    assert "# TYPE gkg_http_request_duration_seconds histogram" in text
+    total = int(next(
+        l.split()[1] for l in text.splitlines()
+        if l.startswith("gkg_http_requests_total ")))
+    assert total >= 1
+    # health was hit: its histogram series exists with the reference buckets
+    assert 'method="GET",path="/api/health",le="0.005"' in text
+    assert 'method="GET",path="/api/health",le="+Inf"' in text
+    assert 'gkg_http_request_duration_seconds_count{method="GET",path="/api/health"}' in text
+    # cumulative bucket counts are monotonic for one series
+    hb = [int(l.rsplit(" ", 1)[1]) for l in text.splitlines()
+          if l.startswith('gkg_http_request_duration_seconds_bucket{method="GET",path="/api/health"')]
+    assert hb == sorted(hb) and hb[-1] >= 1
+
+
+def test_deployed_stub_routes_return_501(served):
+    """/indexer/v1/index and /webserver/v1/tool ship as explicit 501 stubs
+    in the deployed server (endpoints/indexer.rs:10-12, webserver.rs)."""
+    import urllib.error
+
+    for path in ("/indexer/v1/index", "/webserver/v1/tool"):
+        req = urllib.request.Request(
+            served["base"] + path, data=b"{}", method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raise AssertionError("expected 501")
+        except urllib.error.HTTPError as e:
+            assert e.code == 501
+            assert e.read() == b"Not implemented"
+
+
 def test_events_sse_replay(served):
     """Lifecycle events captured during indexing replay as SSE data frames
     (events.rs SSE endpoint; event-bus vocabulary)."""
