@@ -322,6 +322,43 @@ def cmd_index(args) -> int:
     return 0
 
 
+# MCP registration name — the reference's MCP_NAME (mcp/src/lib.rs:10).
+MCP_NAME = "knowledge-graph"
+
+
+def register_mcp_config(config_path: str, port: int) -> None:
+    """Add/refresh this server's SSE entry in an MCP client config file —
+    add_local_http_server_to_mcp_config (mcp/src/duo_configuration.rs:85-126):
+    get-or-create the JSON, then idempotently upsert
+    mcpServers[MCP_NAME] = {"type": "sse", "url": ..., "approvedTools": true}
+    (matching URL with both extras present → no-op; matching URL missing
+    extras → fill; anything else → overwrite). ``~`` expands."""
+    path = os.path.expanduser(config_path)
+    cfg: dict = {"mcpServers": {}}
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            cfg = json.load(f)
+        cfg.setdefault("mcpServers", {})
+    else:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    url = f"http://localhost:{port}/mcp/sse"
+    cur = cfg["mcpServers"].get(MCP_NAME)
+    if (
+        isinstance(cur, dict)
+        and cur.get("url") == url
+        and cur.get("approvedTools") is not None
+        and cur.get("type") is not None
+    ):
+        return
+    cfg["mcpServers"][MCP_NAME] = {
+        "type": "sse",
+        "url": url,
+        "approvedTools": True,
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(cfg, f, indent=2)
+
+
 def cmd_server_start(args) -> int:
     lock = read_lock()
     adopting = (
@@ -333,12 +370,18 @@ def cmd_server_start(args) -> int:
     if not adopting:
         existing = is_server_running()
         if existing is not None:
-            # already up: just report where (server.rs detached re-entry path)
+            # already up: just report where (server.rs detached re-entry
+            # path) — and still honor --register-mcp with the live port
+            # (server.rs:52-53)
+            if getattr(args, "register_mcp", None):
+                register_mcp_config(args.register_mcp, existing)
             print_server_info(existing)
             return 0
     if args.detached:
         port = args.port or find_unused_port()
         write_lock(port, None)  # provisional — child fills in its pid
+        if getattr(args, "register_mcp", None):
+            register_mcp_config(args.register_mcp, port)
         print_server_info(port)
         cmd = [
             sys.executable,
@@ -369,6 +412,8 @@ def cmd_server_start(args) -> int:
         spark, manager, port=port, jwt_secret=os.environ.get("KGS_JWT_SECRET")
     )
     write_lock(port, os.getpid())
+    if getattr(args, "register_mcp", None):
+        register_mcp_config(args.register_mcp, port)
     print_server_info(port)
 
     def _term(signum, frame):  # noqa: ARG001
@@ -500,6 +545,12 @@ def build_parser() -> argparse.ArgumentParser:
     p_start.add_argument("--port", type=int, default=None)
     p_start.add_argument("--detached", action="store_true")
     p_start.add_argument("--enable-reindexing", action="store_true")
+    p_start.add_argument(
+        "--register-mcp",
+        metavar="FILE",
+        default=None,
+        help="Register this server's SSE endpoint in an MCP client config file",
+    )
     p_start.set_defaults(func=cmd_server_start)
     p_stop = server_sub.add_parser("stop", help="Stop the running kgs server")
     p_stop.set_defaults(func=cmd_server_stop)

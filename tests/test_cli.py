@@ -101,6 +101,42 @@ def test_lock_roundtrip(tmp_path, monkeypatch):
     assert not os.path.exists(cli.lock_path())
 
 
+def test_register_mcp_config(tmp_path):
+    """--register-mcp upsert semantics (mcp/src/duo_configuration.rs:85-126):
+    creates the file, is idempotent for a matching URL with extras present,
+    fills missing extras, overwrites a stale URL, and preserves other
+    registered servers."""
+    import json as _json
+
+    from knowledge_graph_spark import cli
+
+    cfg = tmp_path / "duo" / "mcp.json"
+    cli.register_mcp_config(str(cfg), 4321)
+    data = _json.loads(cfg.read_text())
+    entry = data["mcpServers"][cli.MCP_NAME]
+    assert entry == {
+        "type": "sse",
+        "url": "http://localhost:4321/mcp/sse",
+        "approvedTools": True,
+    }
+    # idempotent: mtime-stable no-op on a matching, complete entry
+    before = cfg.read_text()
+    cli.register_mcp_config(str(cfg), 4321)
+    assert cfg.read_text() == before
+    # missing extras get filled for a matching URL
+    data["mcpServers"][cli.MCP_NAME] = {"url": "http://localhost:4321/mcp/sse"}
+    data["mcpServers"]["other"] = {"command": "x", "args": []}
+    cfg.write_text(_json.dumps(data))
+    cli.register_mcp_config(str(cfg), 4321)
+    data = _json.loads(cfg.read_text())
+    assert data["mcpServers"][cli.MCP_NAME]["approvedTools"] is True
+    assert data["mcpServers"]["other"] == {"command": "x", "args": []}
+    # port change overwrites the URL
+    cli.register_mcp_config(str(cfg), 9999)
+    data = _json.loads(cfg.read_text())
+    assert data["mcpServers"][cli.MCP_NAME]["url"] == "http://localhost:9999/mcp/sse"
+
+
 def test_workspace_statistics_shape():
     from knowledge_graph_spark.cli import workspace_statistics
     from knowledge_graph_spark.pipeline.indexer import IndexingStats
