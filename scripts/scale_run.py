@@ -60,8 +60,10 @@ QUERIES = [
     "triangle_count",
     "k_core_sizes",
     "pagerank_exact",
+    "pagerank_top20",
     "connected_components_sizes",
     "lpa_invariants",
+    "import_usage_xml",
 ]
 
 
