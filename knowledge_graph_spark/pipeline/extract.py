@@ -145,8 +145,12 @@ _JV_NEW = re.compile(
 )
 _TS_DEF = re.compile(
     r"^(\s*)(?:export\s+)?(?:default\s+)?(?:declare\s+)?(?:abstract\s+)?(?:async\s+)?"
-    r"(function|class|interface|namespace|enum)\s+([A-Za-z_$][\w$]*)"
+    r"(function|class|interface|namespace|module|enum)\s+([A-Za-z_$][\w$]*)"
 )
+# ambient module with a STRING name (`declare module "pkg" {`): identifier
+# form is covered by _TS_DEF; match ends right after the opening quote so the
+# caller can read the name from the string-intact import view.
+_TS_AMBIENT_MODULE = re.compile(r'^(\s*)(?:export\s+)?declare\s+(?:module|namespace)\s+"')
 # class-body member: optional modifiers, optional get/set, name immediately
 # followed by '(' and an opening brace ending the line. Only consulted when
 # the innermost scope frame is a class/interface (guards against top-level
@@ -951,8 +955,21 @@ def _extract_one_scan(
             else:
                 hit, name_col = None, None
             if hit is None and language == "TypeScript":
-                am = _TS_ARROW.match(line)
-                ne = _TS_NAMED_EXPR.match(line) if am is None else None
+                dm = _TS_AMBIENT_MODULE.match(line)
+                if dm:
+                    # ambient module (`declare module "pkg" {`): a scope
+                    # frame so body members don't leak into the previous
+                    # top-level frame; the quoted name lives in the string
+                    # literal, so it is read from the string-intact import
+                    # view (the code view blanks it)
+                    amb = imp_line[dm.end():].split('"', 1)[0]
+                    hit, name_col = (len(dm.group(1)), "namespace", amb or "module"), None
+                am = _TS_ARROW.match(line) if hit is None else None
+                ne = (
+                    _TS_NAMED_EXPR.match(line)
+                    if am is None and hit is None
+                    else None
+                )
                 if am:
                     hit, name_col = (len(am.group(1)), "function", am.group(2)), None
                 elif ne:
@@ -960,7 +977,7 @@ def _extract_one_scan(
                     # under the declarator name (typescript.rs:286-303)
                     kw = "class" if ne.group(3) else "function"
                     hit, name_col = (len(ne.group(1)), kw, ne.group(2)), None
-                else:
+                elif hit is None:
                     mm = _TS_METHOD.match(line)
                     if mm is None:
                         hm = _TS_METHOD_HEAD.match(line)
@@ -1069,10 +1086,13 @@ def _extract_one_scan(
                     # the popped definition's extent ends on the line
                     # before the one hosting the new definition
                     spans.append((_f[1], _f[3], ln - 1))
-            if kw == "impl" or (kw == "namespace" and language == "TypeScript"):
-                # scope frame only: Rust impl blocks and TS namespaces
-                # contribute to contained FQNs but emit no definition row —
-                # the reference analyzer skips Namespace definitions outright
+            if kw == "impl" or (
+                kw in ("namespace", "module") and language == "TypeScript"
+            ):
+                # scope frame only: Rust impl blocks and TS namespaces (incl.
+                # the legacy `module X {}` internal-module syntax) contribute
+                # to contained FQNs but emit no definition row — the
+                # reference analyzer skips Namespace definitions outright
                 # (typescript.rs:42-44 `Namespace → continue`)
                 stack.append((indent, name, kw, None))
                 byte_off += line_bytes

@@ -646,6 +646,41 @@ def test_masking_ruby_negatives():
         assert bad not in names, bad
 
 
+def test_typescript_namespace_module_scoping():
+    """TS namespaces emit no definition row but scope member FQNs
+    (typescript.rs:41-44 Namespace → continue); the legacy `module X {}`
+    syntax behaves identically, and ambient `declare module "pkg"` bodies
+    scope under the quoted name instead of leaking into the previous
+    top-level frame."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    out = {
+        (r[3], r[4])
+        for r in _extract_one(
+            "n.ts",
+            "TypeScript",
+            "namespace Utils {\n"
+            "  export function helper(): void {}\n"
+            "}\n"
+            "export module Legacy {\n"
+            "  export function old(): void {}\n"
+            "}\n"
+            'declare module "ambient-pkg" {\n'
+            "  export function hidden(): void;\n"
+            "}\n"
+            "function top(): void {}\n",
+        )
+        if r[2] == "definition"
+    }
+    assert ("helper", "Utils") in out
+    assert ("old", "Legacy") in out
+    assert ("hidden", "ambient-pkg") in out
+    assert ("top", None) in out
+    names = {n for n, _ in out}
+    # the namespace/module frames themselves emit no definition rows
+    assert not ({"Utils", "Legacy", "ambient-pkg"} & names)
+
+
 def test_masking_ruby_heredocs():
     """Heredoc bodies are data, not code (tree-sitter parity): no phantom
     defs/classes/imports from heredoc content; `<<` shift/append expressions
