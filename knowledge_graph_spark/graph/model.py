@@ -66,13 +66,45 @@ class KnowledgeGraph:
             df = df.filter(F.col("type").isin(list(types)))
         return df
 
-    def materialize(self, parallelism: int = 8) -> "KnowledgeGraph":
+    def materialize(self, parallelism: int = 8, truncate: bool = False) -> "KnowledgeGraph":
         """Cache and force every node/edge table, submitting the 8 jobs
         concurrently — the bulk-index analog. Spark's scheduler interleaves
         independent jobs across idle cores (locally) or executors (cluster),
         so wall-clock is the slowest table, not the sum; the reference
-        indexes with a worker pool the same way."""
+        indexes with a worker pool the same way.
+
+        ``truncate=True`` additionally severs lineage (``localCheckpoint``):
+        every later plan over the graph references a flat in-memory scan
+        instead of re-embedding the whole extract→build subtree. Use it when
+        the graph will be referenced from MANY downstream plans (the
+        incremental splice anti-joins each table several times; with plain
+        cache the merged plan's ANALYSIS alone dominates wall time). The
+        trade-off is recomputability — a truncated table evicted under
+        memory pressure cannot be rebuilt from lineage — so the default
+        stays lineage-preserving for long-lived service graphs."""
         from concurrent.futures import ThreadPoolExecutor
+
+        if truncate:
+            def pin(d: DataFrame) -> DataFrame:
+                return d.localCheckpoint(eager=True)
+
+            with ThreadPoolExecutor(parallelism) as ex:
+                node_keys = list(self.nodes)
+                edge_keys = list(self.edges)
+                node_futs = {k: ex.submit(pin, self.nodes[k]) for k in node_keys}
+                edge_futs = {k: ex.submit(pin, self.edges[k]) for k in edge_keys}
+                line_fut = (
+                    ex.submit(pin, self.file_lines)
+                    if self.file_lines is not None
+                    else None
+                )
+                self.nodes = {k: f.result() for k, f in node_futs.items()}
+                self.edges = {k: f.result() for k, f in edge_futs.items()}
+                if line_fut is not None:
+                    self.file_lines = line_fut.result()
+            if self._views_registered:
+                self.register_views()
+            return self
 
         self.cache()
         dfs = list(self.nodes.values()) + list(self.edges.values())

@@ -58,6 +58,21 @@ def apply_file_changes(
     touched = list(set(changed_paths) | set(deleted_paths))
     touched_df = spark.createDataFrame([(p,) for p in touched], "path string")
 
+    # current id heads, all tables in ONE job (M3 resume): a union of three
+    # per-table max aggregates collapses three scheduled collects into one —
+    # each is a partial-agg scan, the union is driver-trivial
+    keyed = [k for k in NODE_KEYS if _FILE_KEY[k] is not None]
+    head_frames = [
+        base.nodes[k]
+        .agg(F.coalesce(F.max("id"), F.lit(0)).alias("head"))
+        .select(F.lit(k).alias("tbl"), "head")
+        for k in keyed
+    ]
+    heads_df = head_frames[0]
+    for h in head_frames[1:]:
+        heads_df = heads_df.unionByName(h)
+    heads = {r["tbl"]: r["head"] for r in heads_df.collect()}
+
     nodes: dict[str, DataFrame] = {}
     dropped_ids: dict[str, DataFrame] = {}
     renumbered_rows: dict[str, DataFrame] = {}
@@ -76,7 +91,7 @@ def apply_file_changes(
             F.broadcast(touched_df), df[path_col] == touched_df.path, "left_anti"
         )
         # fresh rows for changed files, renumbered after the current head (M3)
-        head = df.agg(F.max("id")).collect()[0][0] or 0
+        head = heads[key]
         fresh_rows = fresh.nodes[key].join(
             F.broadcast(touched_df),
             fresh.nodes[key][path_col] == touched_df.path,

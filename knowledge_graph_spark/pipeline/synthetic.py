@@ -246,7 +246,11 @@ def _synth_base_graph(spark: SparkSession, sf_dir: str, ids: list[int]):
         return ent[0]
     files = synth_files(spark, ids)
     kg = build_graph_from_entities(spark, files, extract_entities(files), "synth")
-    kg.materialize()
+    # truncate: the base graph is referenced from MANY downstream plans
+    # (metric unions, the incremental splice's per-table anti-joins) — with
+    # plain cache each reference re-embeds and re-analyzes the whole
+    # extract→build subtree, and the driver-side plan work dominates
+    kg.materialize(truncate=True)
     for df in getattr(kg, "_cached_intermediates", []):
         df.unpersist()
     kg._cached_intermediates = []
@@ -297,17 +301,18 @@ def incremental_merge_stats(
     fresh = build_graph_from_entities(
         spark, fresh_files, extract_entities(fresh_files), "synth"
     )
-    # materialize: the splice references every fresh table several times
-    # (anti-joins, remap joins) — without pinning, each reference
-    # re-runs the whole upstream DAG
-    fresh.materialize()
+    # materialize + truncate: the splice references every fresh table several
+    # times (anti-joins, remap joins) — without pinning, each reference
+    # re-runs the whole upstream DAG; without lineage truncation, each
+    # reference re-embeds it in the merged plan and analysis dominates
+    fresh.materialize(truncate=True)
     merged = apply_file_changes(
         spark,
         base,
         fresh,
         [_path_of(i) for i in sorted(changed)],
         [_path_of(i) for i in sorted(deleted)],
-    ).materialize()
+    ).materialize(truncate=True)
     probe = _path_of(min(i for i in ids if i not in changed and i not in deleted))
     out = _graph_metrics(merged, probe)
     return checkpoint_and_release(spark, before, out)

@@ -1818,3 +1818,39 @@ def test_ts_named_call_expression_excluded(ts_named_expr):
     assert "api" not in names
     # exactly the six folded definitions + the class-expression method
     assert names == {"makeStore", "Registry", "register", "walk", "gen", "fetchUser"}
+
+
+def test_python_decorated_defs_extract():
+    """Decorator lines (incl. stacked and argumented decorators) must not
+    hide the def they wrap: tree-sitter sees through `decorated_definition`
+    nodes; the regex scan matches the `def` line itself, so decorators are
+    inert prefix lines. Pins plain, stacked-argumented, and decorated
+    methods inside a class."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    src = (
+        "import os\n\n"
+        "@cache\n"
+        "def plain(): pass\n\n"
+        '@app.route("/x")\n'
+        "@functools.lru_cache(maxsize=None)\n"
+        "def routed(a, b):\n"
+        "    return a + b\n\n"
+        "class C:\n"
+        "    @staticmethod\n"
+        "    def sm(x):\n"
+        "        return x\n\n"
+        "    @property\n"
+        "    def val(self):\n"
+        "        return 1\n"
+    )
+    rows = list(_extract_one("t.py", "Python", src))
+    defs = {(r[3], r[4]) for r in rows if r[2] == "definition"}
+    assert ("plain", None) in defs
+    assert ("routed", None) in defs
+    assert ("C", None) in defs
+    assert ("sm", "C") in defs
+    assert ("val", "C") in defs
+    # decorator names themselves must not leak as definitions
+    names = {r[3] for r in rows if r[2] == "definition"}
+    assert not {"cache", "route", "lru_cache", "staticmethod", "property"} & names
