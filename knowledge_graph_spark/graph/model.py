@@ -139,15 +139,23 @@ class KnowledgeGraph:
         return self.spark.sql(query)
 
     # -- persistence (S3/S4: parquet at rest, directly queryable) ----------
-    def write(self, base_dir: str) -> None:
+    def write(self, base_dir: str, parallelism: int = 8) -> None:
+        """Write all node/edge tables (and the line inventory) as parquet,
+        submitting the independent write jobs concurrently — serial writes
+        leave the cluster idle between job submissions, and the 9 tables
+        share cached build intermediates (block-level locks de-duplicate
+        concurrent cache computation), so wall-clock is the slowest table,
+        not the sum."""
+        from concurrent.futures import ThreadPoolExecutor
+
         from knowledge_graph_spark.io import write_parquet
 
-        for k, df in self.nodes.items():
-            write_parquet(df, f"{base_dir}/{k}")
-        for k, df in self.edges.items():
-            write_parquet(df, f"{base_dir}/{k}")
+        targets = [(df, f"{base_dir}/{k}") for k, df in self.nodes.items()]
+        targets += [(df, f"{base_dir}/{k}") for k, df in self.edges.items()]
         if self.file_lines is not None:
-            write_parquet(self.file_lines, f"{base_dir}/file_lines")
+            targets.append((self.file_lines, f"{base_dir}/file_lines"))
+        with ThreadPoolExecutor(parallelism) as ex:
+            list(ex.map(lambda t: write_parquet(t[0], t[1]), targets))
 
     @classmethod
     def read(cls, spark: SparkSession, base_dir: str, repository_name: str = "repo") -> "KnowledgeGraph":
