@@ -442,6 +442,10 @@ def _q_gopher_filter(spark, sf_dir):
     return T.gopher_filter(read_table(spark, sf_dir, "documents"))
 
 
+def _q_intra_doc_repetition(spark, sf_dir):
+    return T.intra_doc_repetition(read_table(spark, sf_dir, "documents"))
+
+
 def _q_decontaminate(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     # evaluation set: the 20-token prefix of every doc_id % 97 doc — a
@@ -1391,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": _q_deterministic_sample,
         "embedding_near_dup": _q_embedding_near_dup,
         "gopher_filter": _q_gopher_filter,
+        "intra_doc_repetition": _q_intra_doc_repetition,
         "decontaminate": _q_decontaminate,
         "dup_ngram_stats": _q_dup_ngram_stats,
         "import_usage_xml": _q_import_usage_xml,
@@ -1571,6 +1576,7 @@ def oracle_sql() -> dict[str, str]:
             min_words=40, min_unique_frac=0.5, min_stopword_frac=0.02,
             min_mean_word_len=3.0, max_mean_word_len=10.0,
         ),
+        "intra_doc_repetition": T.INTRA_DOC_REPETITION_SQL,
         "decontaminate": D.DECONTAMINATE_SQL.format(prefix=20, nm1=7),
         "dup_ngram_stats": D.DUP_NGRAM_STATS_SQL.format(
             nm1=7, min_df=2, max_frac_pct=30

@@ -535,3 +535,94 @@ SELECT doc_id, bucket, n_tokens,
   CAST((cum - n_tokens) // {budget} AS BIGINT) AS pack_seq
 FROM c ORDER BY bucket, pack_seq, doc_id
 """
+
+
+def intra_doc_repetition(docs: DataFrame) -> DataFrame:
+    """Per-document repetition signals — the within-document half of the
+    Gopher/MassiveText repetition-filter family (the cross-document half is
+    ``dedup.dup_ngram_stats``): most-frequent-word count, duplicate word
+    instances, and the same pair of signals over adjacent word bigrams
+    (the "top n-gram" / "duplicate n-gram" fractions, kept as INTEGER
+    numerators so the oracle hash is float-free; callers divide by n_words
+    / n_bigrams for the published fractions).
+
+    Entirely JVM-side higher-order functions over the token array — one
+    narrow pass per document, NO shuffle (the most-frequent count is the
+    longest equal-run of the sorted token array, not a groupBy): per-doc
+    work is O(n log n) in document length, so the operator scales linearly
+    with corpus size at any document-length distribution."""
+
+    def longest_run(arr):
+        # longest run of equal adjacent elements in a SORTED array ==
+        # max multiplicity of any element
+        step = lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        )
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        )
+        return F.aggregate(arr, init, step, lambda acc: acc.best)
+
+    words = F.split(F.col("text"), " ")
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        longest_run(F.array_sort(words)).alias("top_word_count"),
+        (F.size(words) - F.size(F.array_distinct(words))).alias("n_dup_word_instances"),
+        F.size(bigrams).alias("n_bigrams"),
+        longest_run(F.array_sort(bigrams)).alias("top_bigram_count"),
+        (F.size(bigrams) - F.size(F.array_distinct(bigrams))).alias(
+            "n_dup_bigram_instances"
+        ),
+    ).orderBy("doc_id")
+
+
+INTRA_DOC_REPETITION_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS idx
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY idx) AS bigram
+  FROM w
+),
+wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+bc AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bg
+  WHERE bigram IS NOT NULL GROUP BY doc_id, bigram
+),
+wa AS (
+  SELECT doc_id, sum(c) AS n_words, max(c) AS top_word_count,
+         sum(c) - count(*) AS n_dup_word_instances
+  FROM wc GROUP BY doc_id
+),
+ba AS (
+  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_count,
+         sum(c) - count(*) AS n_dup_bigram_instances
+  FROM bc GROUP BY doc_id
+)
+SELECT wa.doc_id,
+       CAST(wa.n_words AS BIGINT) AS n_words,
+       CAST(wa.top_word_count AS BIGINT) AS top_word_count,
+       CAST(wa.n_dup_word_instances AS BIGINT) AS n_dup_word_instances,
+       CAST(coalesce(ba.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(ba.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+       CAST(coalesce(ba.n_dup_bigram_instances, 0) AS BIGINT) AS n_dup_bigram_instances
+FROM wa LEFT JOIN ba USING (doc_id)
+ORDER BY wa.doc_id
+"""

@@ -321,3 +321,49 @@ def test_dup_ngram_stats_planted(spark):
     assert out[3].n_dup_ngrams == 0 and out[3].keep
     # doc 4 shares exactly the one quoted gram with docs 1/2
     assert out[4].n_dup_ngrams == 1 and out[4].keep
+
+
+def test_intra_doc_repetition_planted(spark):
+    """Hand-counted repetition signals: a doc of one word repeated N times
+    maxes every signal; a doc of distinct words zeroes the dup signals; a
+    doc with one repeated bigram pins the bigram run counter."""
+    from knowledge_graph_spark.beyond.text import intra_doc_repetition
+
+    df = spark.createDataFrame(
+        [
+            (1, "x x x x x"),                  # 5 words, all same
+            (2, "a b c d e"),                  # all distinct
+            (3, "a b a b c"),                  # bigram "a b" twice
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in intra_doc_repetition(df).collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.top_word_count, r1.n_dup_word_instances) == (5, 5, 4)
+    # 4 bigrams, all "x x"
+    assert (r1.n_bigrams, r1.top_bigram_count, r1.n_dup_bigram_instances) == (4, 4, 3)
+    r2 = out[2]
+    assert (r2.top_word_count, r2.n_dup_word_instances) == (1, 0)
+    assert (r2.top_bigram_count, r2.n_dup_bigram_instances) == (1, 0)
+    r3 = out[3]
+    assert r3.top_word_count == 2          # "a" and "b" twice each
+    assert r3.n_dup_word_instances == 2    # one extra "a", one extra "b"
+    assert r3.n_bigrams == 4               # "a b","b a","a b","b c"
+    assert r3.top_bigram_count == 2        # "a b" twice
+    assert r3.n_dup_bigram_instances == 1
+
+
+def test_intra_doc_repetition_shuffle_free(docs):
+    """The per-document pass must not shuffle: all signals are higher-order
+    functions over the token array, so the only exchange in the plan is the
+    final presentation sort."""
+    from knowledge_graph_spark.beyond.text import intra_doc_repetition
+
+    plan = (
+        intra_doc_repetition(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 1, f"expected at most the final sort exchange:\n{plan}"
