@@ -159,8 +159,13 @@ _TS_AMBIENT_MODULE = re.compile(r'^(\s*)(?:export\s+)?declare\s+(?:module|namesp
 # definitions = classes + interfaces + functions + methods/ctors/accessors,
 # NO fields/consts (tests.rs:369-454 asserts 84 global / 32 in the models)
 _TS_METHOD = re.compile(
+    # body brace need not end the line: `render(): void {}` and
+    # `get x() { return this._x; }` are method_definition nodes too —
+    # class/interface bodies host only members, so a `name(...) ... {`
+    # line inside one is a method regardless of what follows the brace
+    # (the innermost-frame guard + keyword guard exclude control flow)
     r"^(\s*)(?:(?:public|private|protected|static|readonly|override|abstract|async)\s+)*"
-    r"(?:(get|set)\s+)?([A-Za-z_$][\w$]*)\s*\(.*\{\s*$"
+    r"(?:(get|set)\s+)?([A-Za-z_$][\w$]*)\s*\(.*\{"
 )
 # method HEAD without the body brace: params still open at EOL, or closed
 # with an optional return type — the `{` arrives on a continuation line

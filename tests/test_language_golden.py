@@ -1854,3 +1854,26 @@ def test_python_decorated_defs_extract():
     # decorator names themselves must not leak as definitions
     names = {r[3] for r in rows if r[2] == "definition"}
     assert not {"cache", "route", "lru_cache", "staticmethod", "property"} & names
+
+
+def test_ts_one_line_method_bodies_extract():
+    """`render(): void {}` / `get x() { return this._x; }` are
+    method_definition nodes in the reference's tree-sitter grammar even
+    with the whole body on the signature line; the class-member scan must
+    not require the opening brace to END the line. Control flow and call
+    statements inside multi-line bodies must still not leak as methods."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    src = (
+        "class W {\n"
+        "  render(): void {}\n"
+        "  get x() { return this._x; }\n"
+        "  big(): void {\n"
+        "    if (this.flag) { return; }\n"
+        "    items.forEach((i) => { handle(i); });\n"
+        "  }\n"
+        "}\n"
+    )
+    rows = list(_extract_one("t.ts", "TypeScript", src))
+    defs = {(r[3], r[4]) for r in rows if r[2] == "definition"}
+    assert defs == {("W", None), ("render", "W"), ("x", "W"), ("big", "W")}
