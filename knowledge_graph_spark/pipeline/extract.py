@@ -238,6 +238,17 @@ _JAVA_METHOD = re.compile(
     r"|synchronized\s+|default\s+)+"
     r"[\w<>\[\],.\s]+\s+([a-z][\w$]*)\s*\("
 )
+# package-private method: NO access modifier (`void run(String... args)`,
+# `int bits()`) — tree-sitter's method_declaration doesn't require
+# modifiers. Shape-guarded instead: a single return-type token (optional
+# generics/array suffix) then the name directly before '(' — and the first
+# word must not be a statement keyword (`return compute(...)` is the false
+# positive the modifier anchor used to exclude).
+_JAVA_METHOD_BARE = re.compile(
+    r"^(\s*)(?!(?:return|throw|new|else|do|while|for|if|switch|case|break"
+    r"|continue|assert|yield|super|this|try|catch|finally)\b)"
+    r"[A-Za-z_$][\w$]*(?:<[^;={}]*>)?(?:\[\])*\s+([a-z][\w$]*)\s*\("
+)
 # `extends X` / `implements A, B` clauses on a Java type declaration line —
 # both feed the inheritance chain the reference climbs for member lookup
 # (java/tests.rs:339-359: super.apply() in ServerFilter.Filter resolves
@@ -489,6 +500,14 @@ _CS_METHOD = re.compile(
     r"^(\s*)(?:public\s+|private\s+|protected\s+|internal\s+|static\s+|virtual\s+|"
     r"override\s+|async\s+|sealed\s+|extern\s+)+[\w<>\[\],.\s?]+\s+([A-Za-z_][\w]*)\s*\("
 )
+# modifier-less member (implicitly private: `int Bits() => 1;`) — same
+# shape guard as _JAVA_METHOD_BARE: one return-type token + name before
+# '(', first word not a statement keyword
+_CS_METHOD_BARE = re.compile(
+    r"^(\s*)(?!(?:return|throw|new|else|do|while|for|foreach|if|switch|case"
+    r"|break|continue|yield|await|using|lock|var|base|this|try|catch|finally)\b)"
+    r"[A-Za-z_][\w]*(?:<[^;={}]*>)?(?:\[\])*\??\s+([A-Za-z_][\w]*)\s*\("
+)
 _CS_IMPORT = re.compile(r"^\s*using\s+(?:static\s+)?([\w.]+)\s*;")
 # C# receiver calls: methods are PascalCase (`user.Activate()`); receiver
 # may be dotted; constructor matches (`new Foo.Bar(`) are skipped inside
@@ -731,6 +750,9 @@ def _match_def(language: str, line: str):
         m = _JAVA_FIELD.match(line)
         if m:
             return len(m.group(1)), "property", m.group(2)
+        m = _JAVA_METHOD_BARE.match(line)
+        if m:
+            return len(m.group(1)), "method", m.group(2)
         return None
     if language == "Kotlin":
         m = _KT_COMPANION.match(line)
@@ -751,6 +773,9 @@ def _match_def(language: str, line: str):
         if m:
             return len(m.group(1)), "method", m.group(2)
         m = _CTOR.match(line)
+        if m:
+            return len(m.group(1)), "method", m.group(2)
+        m = _CS_METHOD_BARE.match(line)
         if m:
             return len(m.group(1)), "method", m.group(2)
         return None

@@ -1877,3 +1877,55 @@ def test_ts_one_line_method_bodies_extract():
     rows = list(_extract_one("t.ts", "TypeScript", src))
     defs = {(r[3], r[4]) for r in rows if r[2] == "definition"}
     assert defs == {("W", None), ("render", "W"), ("x", "W"), ("big", "W")}
+
+
+def test_java_package_private_methods_extract():
+    """Methods with NO access modifier (package-private: `void run()`,
+    `int bits()` in an enum body) are method_declaration nodes like any
+    other; statement lines (`return compute(x)`, `process(x);`) must not
+    false-positive into the bare-method scan."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    src = (
+        "public class Outer {\n"
+        "  enum Mode { A, B;\n"
+        "    int bits() { return compute(1); }\n"
+        "  }\n"
+        "  static class Nested {\n"
+        "    void run(String... args) {\n"
+        "      int x = compute(args.length);\n"
+        "      process(x);\n"
+        "    }\n"
+        "    Map<String, Integer> tally() { return null; }\n"
+        "  }\n"
+        "}\n"
+    )
+    rows = list(_extract_one("Outer.java", "Java", src))
+    defs = {r[3] for r in rows if r[2] == "definition"}
+    assert {"Outer", "Mode", "bits", "Nested", "run", "tally"} <= defs
+    calls = {r[3] for r in rows if r[2] == "call"}
+    assert {"compute", "process"} <= calls
+    assert not {"compute", "process", "x"} & defs
+
+
+def test_csharp_modifierless_members_extract():
+    """C# members without modifiers are implicitly private, still
+    method_declaration nodes (`int Bits() => 1;`); statement calls and
+    `var` declarations stay calls."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    src = (
+        "namespace App;\n"
+        "public class Repo {\n"
+        "  int Bits() => 1;\n"
+        "  Task<int> CountAsync() => Task.FromResult(1);\n"
+        "  string Render(int n) {\n"
+        "    var s = Helper(n);\n"
+        "    return s;\n"
+        "  }\n"
+        "}\n"
+    )
+    rows = list(_extract_one("t.cs", "CSharp", src))
+    defs = {r[3] for r in rows if r[2] == "definition"}
+    assert {"Repo", "Bits", "CountAsync", "Render"} <= defs
+    assert "Helper" not in defs
