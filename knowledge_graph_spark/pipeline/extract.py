@@ -145,6 +145,7 @@ _JV_NEW = re.compile(
 )
 _TS_DEF = re.compile(
     r"^(\s*)(?:export\s+)?(?:default\s+)?(?:declare\s+)?(?:abstract\s+)?(?:async\s+)?"
+    r"(?:const\s+)?"  # `const enum Dir {` — still an enum_declaration
     r"(function|class|interface|namespace|module|enum)\s+([A-Za-z_$][\w$]*)"
 )
 # ambient module with a STRING name (`declare module "pkg" {`): identifier
@@ -230,8 +231,10 @@ _TS_NAMED_EXPR = re.compile(
 # Same contract as the tree-sitter analyzers they stand in for
 # (parsing/processor.rs:195-204 lists the 7 supported languages).
 _JAVA_TYPE = re.compile(
+    # `@interface` = annotation type declaration (an interface kind in
+    # tree-sitter's grammar); the optional `@` folds it onto the same path
     r"^(\s*)(?:public\s+|private\s+|protected\s+|static\s+|final\s+|abstract\s+|sealed\s+)*"
-    r"(class|interface|enum|record)\s+([A-Za-z_$][\w$]*)"
+    r"@?(class|interface|enum|record)\s+([A-Za-z_$][\w$]*)"
 )
 _JAVA_METHOD = re.compile(
     r"^(\s*)(?:public\s+|private\s+|protected\s+|static\s+|final\s+|abstract\s+"

@@ -1929,3 +1929,31 @@ def test_csharp_modifierless_members_extract():
     defs = {r[3] for r in rows if r[2] == "definition"}
     assert {"Repo", "Bits", "CountAsync", "Render"} <= defs
     assert "Helper" not in defs
+
+
+def test_java_annotation_type_and_ts_const_enum():
+    """`public @interface Marker {}` is an annotation_type_declaration
+    (an interface kind); `export const enum Dir {` is still an
+    enum_declaration. Variable declarators named like keywords
+    (`const namespace = x`) must not false-positive."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    jv = list(
+        _extract_one(
+            "A.java",
+            "Java",
+            "public class A {\n  public @interface Marker {}\n}\n",
+        )
+    )
+    assert ("Marker", "Interface") in {
+        (r[3], r[5]) for r in jv if r[2] == "definition"
+    }
+    ts = list(
+        _extract_one(
+            "t.ts",
+            "TypeScript",
+            "export const enum Dir { Up }\nconst namespace = x;\n",
+        )
+    )
+    defs = {r[3] for r in ts if r[2] == "definition"}
+    assert "Dir" in defs and "namespace" not in defs
