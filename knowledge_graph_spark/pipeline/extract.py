@@ -199,7 +199,19 @@ _TS_FIELD_TYPE = re.compile(
     r"([A-Za-z_$][\w$]*)\??\s*:\s*([A-Z][\w$]*)"
 )
 _TS_IMPORT = re.compile(
-    r"^\s*import\s+(?:([\w$]+)\s*,?\s*)?(?:\{([^}]*)\}\s*)?from\s+['\"]([^'\"]+)['\"]"
+    # leading `type` is the type-only-import keyword, not a default binding
+    r"^\s*import\s+(?:type\s+(?=[{\w]))?"
+    r"(?:([\w$]+)\s*,?\s*)?(?:\{([^}]*)\}\s*)?from\s+['\"]([^'\"]+)['\"]"
+)
+# `import * as ns from "mod"` — namespace import; name '*' + alias ns,
+# the same wildcard convention the Java `.{asterisk}` imports use
+_TS_NS_IMPORT = re.compile(
+    r"^\s*import\s+(?:type\s+)?\*\s+as\s+([\w$]+)\s+from\s+['\"]([^'\"]+)['\"]"
+)
+# `export { a as b } from "mod"` / `export * from "mod"` — re-exports ARE
+# imports for chain resolution (J8 re-export chains walk through them)
+_TS_REEXPORT = re.compile(
+    r"^\s*export\s+(?:type\s+)?(?:\{([^}]*)\}|(\*))\s*from\s+['\"]([^'\"]+)['\"]"
 )
 # named-import brace still open at EOL (`import {` / `import Def, {`):
 # continuation lines are joined until the `from '...'` clause appears, then
@@ -1409,6 +1421,33 @@ def _extract_one_scan(
                                 seg[1] if len(seg) > 1 else None,
                                 ln, line, 0, len(line),
                             )
+                    byte_off += line_bytes
+                    continue
+            if im is None and language == "TypeScript":
+                ns = _TS_NS_IMPORT.match(imp_line)
+                if ns:
+                    yield row(
+                        "import", "*", None, None, ns.group(2), ns.group(1),
+                        ln, line, 0, len(line),
+                    )
+                    byte_off += line_bytes
+                    continue
+                rx = _TS_REEXPORT.match(imp_line)
+                if rx:
+                    if rx.group(2):  # export * from "mod"
+                        yield row(
+                            "import", "*", None, None, rx.group(3), None,
+                            ln, line, 0, len(line),
+                        )
+                    else:
+                        for nm in rx.group(1).split(","):
+                            seg = [s.strip() for s in nm.split(" as ")]
+                            if seg[0]:
+                                yield row(
+                                    "import", seg[0], None, None, rx.group(3),
+                                    seg[1] if len(seg) > 1 else None,
+                                    ln, line, 0, len(line),
+                                )
                     byte_off += line_bytes
                     continue
             if im is None and language == "TypeScript" and _TS_IMPORT_OPEN.match(imp_line):

@@ -1957,3 +1957,31 @@ def test_java_annotation_type_and_ts_const_enum():
     )
     defs = {r[3] for r in ts if r[2] == "definition"}
     assert "Dir" in defs and "namespace" not in defs
+
+
+def test_ts_import_forms():
+    """Type-only imports must not leak a bogus 'type' default binding;
+    namespace imports map to the '*'+alias wildcard convention; re-exports
+    (`export {a as b} from`, `export * from`) ARE imports for re-export
+    chain resolution (J8)."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    src = (
+        'import type { Foo } from "./foo";\n'
+        'import * as path from "path";\n'
+        'import Def, { a, b as c } from "./mixed";\n'
+        'export { renamed as publicName } from "./impl";\n'
+        'export * from "./everything";\n'
+    )
+    imps = {
+        (r[3], r[6], r[7])
+        for r in _extract_one("t.ts", "TypeScript", src)
+        if r[2] == "import"
+    }
+    assert ("Foo", "./foo", None) in imps
+    assert ("*", "path", "path") in imps
+    assert ("Def", "./mixed", None) in imps
+    assert ("b", "./mixed", "c") in imps
+    assert ("renamed", "./impl", "publicName") in imps
+    assert ("*", "./everything", None) in imps
+    assert "type" not in {n for n, _, _ in imps}
