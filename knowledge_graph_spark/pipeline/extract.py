@@ -297,7 +297,7 @@ _KT_DEF = re.compile(
     # `com.example.extensions.printValue` for `fun ExtendMe.printValue()`
     r"(?:[A-Z][\w.]*(?:<[^>]*>)?\.)?([A-Za-z_][\w]*)"
 )
-_KT_IMPORT = re.compile(r"^\s*import\s+([\w.]+)")
+_KT_IMPORT = re.compile(r"^\s*import\s+([\w.]+)(?:\s+as\s+(\w+))?")
 # Kotlin extras (kotlin/tests.rs parity): package declaration (no ';'),
 # companion objects (a scope frame named Companion, reachable from the
 # class through the lookup chain), supertype clause after ':', and
@@ -523,7 +523,10 @@ _CS_METHOD_BARE = re.compile(
     r"|break|continue|yield|await|using|lock|var|base|this|try|catch|finally)\b)"
     r"[A-Za-z_][\w]*(?:<[^;={}]*>)?(?:\[\])*\??\s+([A-Za-z_][\w]*)\s*\("
 )
-_CS_IMPORT = re.compile(r"^\s*using\s+(?:static\s+)?([\w.]+)\s*;")
+_CS_IMPORT = re.compile(r"^\s*(?:global\s+)?using\s+(?:static\s+)?([\w.]+)\s*;")
+# `using Alias = Some.Deep.Type;` — namespace/type alias directive: the
+# imported name is the aliased target's last segment, Alias is the alias
+_CS_USING_ALIAS = re.compile(r"^\s*(?:global\s+)?using\s+(\w+)\s*=\s*([\w.]+)\s*;")
 # C# receiver calls: methods are PascalCase (`user.Activate()`); receiver
 # may be dotted; constructor matches (`new Foo.Bar(`) are skipped inside
 # receiver_calls via the new-prefix guard
@@ -559,7 +562,7 @@ _RS_DEF = re.compile(
 _RS_IMPL = re.compile(
     r"^(\s*)impl(?:<[^>]*>)?\s+(?:[\w:<>]+\s+for\s+)?([A-Za-z_][\w]*)(?:<[^>]*>)?\s*(?:\{|$)"
 )
-_RS_IMPORT = re.compile(r"^\s*(?:pub\s+)?use\s+([\w:]+)")
+_RS_IMPORT = re.compile(r"^\s*(?:pub\s+)?use\s+([\w:]+)(?:\s+as\s+(\w+))?")
 # Rust: `let x = Type::new()` / `let x: Type = ...` types the local;
 # `Type::assoc_fn()` associated calls resolve into the impl'd type
 _RS_LET = re.compile(
@@ -1284,6 +1287,17 @@ def _extract_one_scan(
                         )
         elif brace is not None:
             bim = brace[0].match(imp_line)
+            if bim is None and language == "CSharp":
+                am = _CS_USING_ALIAS.match(imp_line)
+                if am:
+                    tgt = am.group(2)
+                    yield row(
+                        "import", tgt.split(".")[-1], None, None,
+                        tgt.rsplit(".", 1)[0] if "." in tgt else tgt,
+                        am.group(1), ln, line, 0, len(line),
+                    )
+                    byte_off += line_bytes
+                    continue
             if bim:
                 # reference convention (java/tests.rs:292-303,
                 # find_calls_to_imported_symbol("java.util", "ArrayList")):
@@ -1301,8 +1315,9 @@ def _extract_one_scan(
                 else:
                     name_ = base.split(sep)[-1]
                     container = base.rsplit(sep, 1)[0] if sep in base else base
+                alias_ = bim.group(2) if bim.re.groups >= 2 else None
                 yield row(
-                    "import", name_, None, None, container, None,
+                    "import", name_, None, None, container, alias_,
                     ln, line, 0, len(line),
                 )
             else:

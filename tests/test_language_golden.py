@@ -1985,3 +1985,30 @@ def test_ts_import_forms():
     assert ("renamed", "./impl", "publicName") in imps
     assert ("*", "./everything", None) in imps
     assert "type" not in {n for n, _, _ in imps}
+
+
+def test_import_alias_forms_kotlin_csharp_rust():
+    """Alias clauses must survive into the import row (resolution matches
+    receivers on coalesce(alias, name)): Kotlin `import a.b.C as D`,
+    C# `using Alias = Some.Deep.Type;` (+ `global using`), Rust
+    `use p::T as U`."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    def imps(path, lang, src):
+        return {
+            (r[3], r[6], r[7])
+            for r in _extract_one(path, lang, src)
+            if r[2] == "import"
+        }
+
+    kt = imps("t.kt", "Kotlin", "import a.b.C as D\nimport x.y.Z\n")
+    assert ("C", "a.b", "D") in kt and ("Z", "x.y", None) in kt
+    cs = imps(
+        "t.cs",
+        "CSharp",
+        "using Alias = Some.Deep.Type;\nglobal using System.Text;\n",
+    )
+    assert ("Type", "Some.Deep", "Alias") in cs
+    assert ("Text", "System", None) in cs
+    rs = imps("t.rs", "Rust", "use std::collections::HashMap as Map;\n")
+    assert ("HashMap", "std::collections", "Map") in rs
