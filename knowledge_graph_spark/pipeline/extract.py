@@ -1545,7 +1545,14 @@ def _extract_one_scan(
                     psa = _PY_SELF_ASSIGN.match(line)
                     if psa:
                         ivar_types[psa.group(1)] = psa.group(2)
-                    yield from receiver_calls(line, _PY_RECV_CALL, ln)
+                    # `super().m()` → the zero-arg super form is the spelled
+                    # receiver `super` (tree-sitter sees a call node; the
+                    # reference resolves it into the parent hierarchy like
+                    # Java's `super.m()`); normalizing the parens lets the
+                    # shared receiver machinery's super-branch handle it
+                    yield from receiver_calls(
+                        line.replace("super().", "super."), _PY_RECV_CALL, ln
+                    )
                 elif language == "TypeScript":
                     tla = _TS_LOCAL_ASSIGN.match(line)
                     if tla:

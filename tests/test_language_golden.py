@@ -2012,3 +2012,35 @@ def test_import_alias_forms_kotlin_csharp_rust():
     assert ("Text", "System", None) in cs
     rs = imps("t.rs", "Rust", "use std::collections::HashMap as Map;\n")
     assert ("HashMap", "std::collections", "Map") in rs
+
+
+def test_python_super_calls_resolve_to_parent(spark, tmp_path):
+    """`super().m()` resolves into the parent class like Java's
+    `super.m()` (the zero-arg super form is by far the common one):
+    A.m -> Base.base_m must land as a def->def CALLS edge."""
+    root = tmp_path / "superrepo"
+    root.mkdir()
+    (root / "mod.py").write_text(
+        "class Base:\n"
+        "    def base_m(self):\n"
+        "        return 1\n"
+        "\n"
+        "class A(Base):\n"
+        "    def m(self):\n"
+        "        return super().base_m()\n"
+    )
+    from knowledge_graph_spark.pipeline.indexer import index_repository
+
+    kg, _ = index_repository(spark, str(root), repository_name="superrepo")
+    from pyspark.sql import functions as F
+
+    d = kg.definitions.select("id", "fqn")
+    edges = (
+        kg.edges["definition_relationships"]
+        .filter(F.col("type").isin("CALLS", "AMBIGUOUSLY_CALLS"))
+        .join(d.withColumnRenamed("id", "source_id").withColumnRenamed("fqn", "src"), "source_id")
+        .join(d.withColumnRenamed("id", "target_id").withColumnRenamed("fqn", "dst"), "target_id")
+        .select("src", "dst")
+        .collect()
+    )
+    assert ("mod.A.m", "mod.Base.base_m") in {(r.src, r.dst) for r in edges}
