@@ -195,7 +195,9 @@ _TS_LOCAL_ASSIGN = re.compile(
 # class field with a type annotation (`private users: UserModel[] = []`) —
 # gives `this.users`-style receivers their declared type
 _TS_FIELD_TYPE = re.compile(
-    r"^\s*(?:(?:public|private|protected|static|readonly)\s+)+"
+    # modifiers optional: `svc: Svc;` without an access modifier is the
+    # default-public field form and still types `this.svc` receivers
+    r"^\s*(?:(?:public|private|protected|static|readonly)\s+)*"
     r"([A-Za-z_$][\w$]*)\??\s*:\s*([A-Z][\w$]*)"
 )
 _TS_IMPORT = re.compile(
@@ -740,6 +742,47 @@ _KIND_BY_KEYWORD = {
 }
 
 
+# parameter typing: `fun run(u: User)` / `void run(User u)` /
+# `def m(self, user: User)` — the declared parameter type seeds the same
+# local-type map constructor assignments feed, so param receivers resolve
+# (the reference's analyzers type parameters through tree-sitter's
+# formal_parameters; this is the regex stand-in)
+_PARAM_COLON = re.compile(  # Kotlin / TypeScript / Python annotations
+    r"([A-Za-z_$][\w$]*)\s*:\s*([A-Za-z_$][\w$.]*)"
+)
+_PARAM_TYPE_FIRST = re.compile(  # Java / C#: Type name (generics/arrays ok)
+    r"([A-Z][\w$]*(?:<[^<>]*(?:<[^<>]*>)?[^<>]*>)?(?:\[\])*)(?:\.\.\.)?\s+"
+    r"([a-z_$][\w$]*)"
+)
+
+
+def _param_types(language: str, line: str) -> list[tuple[str, str]]:
+    """(param_name, base_type) pairs declared on a signature line."""
+    if "(" not in line:
+        return []
+    params = line.split("(", 1)[1]
+    depth, end = 1, len(params)
+    for i, ch in enumerate(params):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+    params = params[:end]
+    out = []
+    if language in ("Kotlin", "TypeScript", "Python"):
+        for m in _PARAM_COLON.finditer(params):
+            base = m.group(2).split(".")[-1]
+            if base[:1].isupper():
+                out.append((m.group(1), base))
+    elif language in ("Java", "CSharp"):
+        for m in _PARAM_TYPE_FIRST.finditer(params):
+            out.append((m.group(2), m.group(1).split("<")[0].rstrip("[]")))
+    return out
+
+
 def _kind_name(language: str, keyword: str, name: str) -> str:
     if keyword == "def_self":
         # Ruby `def self.x` — the reference's distinct SingletonMethod
@@ -896,6 +939,12 @@ def _extract_one_scan(
         enclosing = ".".join(scope_names()) or None
         if enclosing is None:
             return
+        # safe-navigation / assertion operators are transparent to call
+        # resolution: Kotlin `u?.m()` / `u!!.m()`, TS `o?.m()`, Ruby
+        # `u&.m()`, C# `u?.M()`, Rust `f()?.m()` all dispatch on the same
+        # receiver the plain dot would (tree-sitter's navigation_expression
+        # keeps the receiver node either way)
+        line = line.replace("?.", ".").replace("!!.", ".").replace("&.", ".")
         for cm in regex.finditer(line):
             recv, callee = cm.group(1), cm.group(2)
             # `new` is call noise everywhere EXCEPT Rust, where `Type::new()`
@@ -1148,6 +1197,9 @@ def _extract_one_scan(
             if kw in ("def", "def_self", "method", "function", "fun"):
                 local_types.clear()  # new method scope: locals reset
                 local_names.clear()
+                for _pn, _pt in _param_types(language, line):
+                    local_types[_pn] = _pt
+                    local_names.add(_pn)
             parent = ".".join(scope_names()) or None
             col = name_col if name_col is not None else max(line.find(name), 0)
             ext_recv = None

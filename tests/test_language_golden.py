@@ -2044,3 +2044,45 @@ def test_python_super_calls_resolve_to_parent(spark, tmp_path):
         .collect()
     )
     assert ("mod.A.m", "mod.Base.base_m") in {(r.src, r.dst) for r in edges}
+
+
+def test_param_typed_receivers_and_safe_navigation():
+    """Declared parameter types seed the local-type map (`fun run(u: User)`
+    / `void run(User u)` / `def m(self, user: User)`), and safe-navigation
+    operators (`?.`, `!!.`, `&.`) are transparent — both resolve receiver
+    calls the plain constructor-assignment path already resolves."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    def calls(path, lang, src):
+        return {(r[3], r[4]) for r in _extract_one(path, lang, src) if r[2] == "call"}
+
+    kt = calls(
+        "t.kt",
+        "Kotlin",
+        "package p\nclass Main {\n    fun run(u: User?) {\n        u?.getName()\n        u!!.refresh()\n    }\n}\n",
+    )
+    assert ("getName", "p.Main.run") in kt and ("refresh", "p.Main.run") in kt
+    jv = calls(
+        "Main.java",
+        "Java",
+        "public class Main {\n  void run(User u, Map<String, Integer> counts) {\n    u.activate();\n    counts.put(\"k\", 1);\n  }\n}\n",
+    )
+    assert ("activate", "Main.Main.run") in jv and ("put", "Main.Main.run") in jv
+    py = calls(
+        "t.py",
+        "Python",
+        "class Main:\n    def run(self, user: User):\n        user.activate()\n",
+    )
+    assert ("activate", "Main.run") in py
+    ts = calls(
+        "t.ts",
+        "TypeScript",
+        "class App {\n  svc: Svc;\n  go(s: Svc): void {\n    s.load();\n    this.svc?.push();\n  }\n}\n",
+    )
+    assert ("load", "App.go") in ts and ("push", "App.go") in ts
+    rb = calls(
+        "t.rb",
+        "Ruby",
+        "class Main\n  def run\n    @user = User.new\n    @user&.name\n  end\nend\n",
+    )
+    assert ("name", "Main.run") in rb
