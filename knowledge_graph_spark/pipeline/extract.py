@@ -783,6 +783,82 @@ def _param_types(language: str, line: str) -> list[tuple[str, str]]:
     return out
 
 
+# chained navigation — `u.name().shout()`: the tail's receiver is the mid
+# call's return type (groups: receiver, mid, tail; args non-capturing)
+_CHAIN_TAIL = re.compile(
+    r"((?:[A-Za-z_$@][\w$]*\.)*[A-Za-z_$@][\w$]*)"
+    r"\.([A-Za-z_]\w*)\s*\((?:[^()]*)\)\.([a-z_]\w*)\s*\("
+)
+_RB_CHAIN_TAIL = re.compile(
+    r"(@?[A-Za-z_]\w*)\.([a-z_]\w*)\.([a-z_]\w*[?!]?)"
+)
+_RET_COLON = re.compile(r"\)\s*:\s*([A-Za-z_][\w.]*)")  # Kotlin/TS `): Type`
+_RET_PY = re.compile(r"->\s*([A-Za-z_][\w.\[\]]*)\s*:")  # Python `-> Type:`
+_RB_FACTORY_BODY = re.compile(r"^\s*([A-Z]\w*)\.new\b")
+
+
+def _scan_method_returns(language: str, masked: list) -> dict[tuple[str, str], str]:
+    """(enclosing_type, method) → declared return base type, whole-file
+    pre-scan (like the ivar pre-scan: chains may reference methods defined
+    LATER in the file; the reference's type maps are file-order-free).
+    Ruby has no annotations — the `def profile; Profile.new; end` factory
+    idiom is inferred from the body's leading constructor instead
+    (ruby/type_map.rs types through the same ctor pattern)."""
+    rets: dict[tuple[str, str], str] = {}
+    stack: list[tuple[int, str, bool]] = []  # (indent, name, is_type)
+    type_kws = {"class", "module", "interface", "enum", "record", "struct", "object", "impl"}
+    alt = {"Python": _PY_DEF, "Ruby": _RB_DEF, "TypeScript": _TS_DEF}.get(language)
+    for i, (line, _) in enumerate(masked):
+        det = _match_def(language, line)
+        if det is None and alt is not None:
+            m = alt.match(line)
+            if m:
+                if language == "Ruby":
+                    det = (len(m.group(1)), m.group(2), m.group(4))
+                else:
+                    det = (len(m.group(1)), m.group(2), m.group(3))
+        if det is None and language == "TypeScript":
+            m = _TS_METHOD.match(line)
+            if m and m.group(3) not in _KEYWORDS:
+                det = (len(m.group(1)), "method", m.group(3))
+        if det is None:
+            continue
+        indent, kw, name = det
+        while stack and stack[-1][0] >= indent:
+            stack.pop()
+        if kw in type_kws:
+            stack.append((indent, name, True))
+            continue
+        encl = next((n for _ind, n, t in reversed(stack) if t), None)
+        stack.append((indent, name, False))
+        if encl is None:
+            continue
+        rt = None
+        if language in ("Kotlin", "TypeScript"):
+            m = _RET_COLON.search(line)
+            rt = m.group(1) if m else None
+        elif language == "Python":
+            m = _RET_PY.search(line)
+            rt = m.group(1) if m else None
+        elif language in ("Java", "CSharp"):
+            m = re.search(
+                r"([A-Z][\w$]*)(?:<[^<>]*>)?(?:\[\])*\s+" + re.escape(name) + r"\s*\(",
+                line,
+            )
+            rt = m.group(1) if m else None
+        elif language == "Ruby":
+            body = (
+                line.split(";", 1)[1]
+                if ";" in line
+                else (masked[i + 1][0] if i + 1 < len(masked) else "")
+            )
+            fm = _RB_FACTORY_BODY.match(body)
+            rt = fm.group(1) if fm else None
+        if rt:
+            rets[(encl, name)] = rt.split(".")[-1].rstrip("?")
+    return rets
+
+
 def _kind_name(language: str, keyword: str, name: str) -> str:
     if keyword == "def_self":
         # Ruby `def self.x` — the reference's distinct SingletonMethod
@@ -902,6 +978,7 @@ def _extract_one_scan(
     ivar_types: dict[str, str] = {}  # per-file @ivar / field → type
     class_supers: dict[str, str] = {}  # per-file class → superclass (super.x())
     fun_ret_types: dict[str, str] = {}  # Kotlin expression-bodied fun → type
+    method_returns: dict[tuple[str, str], str] = {}  # (type, method) → return type
 
     def row(kind, name, parent, dtype, ipath, alias, ln, line, col, width,
             receiver_type=None, call_flavor=None, member_type=None):
@@ -945,6 +1022,61 @@ def _extract_one_scan(
         # receiver the plain dot would (tree-sitter's navigation_expression
         # keeps the receiver node either way)
         line = line.replace("?.", ".").replace("!!.", ".").replace("&.", ".")
+
+        def resolve_recv(recv: str) -> tuple[str | None, str]:
+            # dotted receiver paths (TS `UserManagement.User.x`, Ruby
+            # `A::B.x`) resolve through the LAST path segment
+            segs = recv.replace("::", ".").split(".")
+            last = segs[-1]
+            if recv in ("this", "self"):
+                return enclosing_type(), "instance"
+            if recv in ("super", "base"):
+                # super.m() / C# base.M() → the enclosing class's recorded
+                # superclass (kotlin `class Foo : Bar()`, C# `class Foo :
+                # Bar`; the reference resolves into the parent hierarchy)
+                return class_supers.get(enclosing_type() or ""), "instance"
+            if recv.startswith("@"):
+                return ivar_types.get(recv[1:]), "instance"
+            if (
+                language == "Kotlin"
+                and len(segs) >= 2
+                and re.fullmatch(r"[A-Z][A-Z0-9_]*", last)
+            ):
+                # Enum.ENUM_VALUE_1.enumMethod() — the enum CONSTANT's type
+                # is the enum class (the preceding segment)
+                return segs[-2], "instance"
+            if last[0].isupper():
+                return last, "singleton"
+            if len(segs) == 2 and segs[0] in ("this", "self"):
+                # `this.field.m()` — the field's declared type
+                return ivar_types.get(last), "instance"
+            if (
+                language == "Kotlin"
+                and len(segs) == 2
+                and (local_types.get(segs[0]) or ivar_types.get(segs[0]))
+            ):
+                # `x.prop.method()` with x typed: one property hop, encoded
+                # Type#prop — the build resolves prop through the global
+                # extension/member map (kotlin/tests.rs:517-538,
+                # extendMe.reversed.printValue() via the cross-file
+                # extension property's result type)
+                base = local_types.get(segs[0]) or ivar_types.get(segs[0])
+                return base + "#" + last, "instance"
+            if (
+                language == "Ruby"
+                and len(segs) == 2
+                and (local_types.get(segs[0]) or ivar_types.get(segs[0]))
+            ):
+                # Ruby parenless chain `user.profile.display_name`: the
+                # mid segment is a method whose factory-inferred return
+                # type carries the tail (ruby/type_map.rs chained calls)
+                base = local_types.get(segs[0]) or ivar_types.get(segs[0])
+                return method_returns.get((base, segs[1])), "instance"
+            if len(segs) == 1:
+                # locals first, then fields (Java fields are bare names)
+                return local_types.get(recv) or ivar_types.get(recv), "instance"
+            return None, "instance"
+
         for cm in regex.finditer(line):
             recv, callee = cm.group(1), cm.group(2)
             # `new` is call noise everywhere EXCEPT Rust, where `Type::new()`
@@ -962,50 +1094,7 @@ def _extract_one_scan(
             # the _JV_NEW pass — not a receiver-method call on Foo
             if re.search(r"\bnew\s+[\w.]*$", line[: cm.start(1)]):
                 continue
-            # dotted receiver paths (TS `UserManagement.User.x`, Ruby
-            # `A::B.x`) resolve through the LAST path segment
-            segs = recv.replace("::", ".").split(".")
-            last = segs[-1]
-            if recv in ("this", "self"):
-                rtype, flavor = enclosing_type(), "instance"
-            elif recv in ("super", "base"):
-                # super.m() / C# base.M() → the enclosing class's recorded
-                # superclass (kotlin `class Foo : Bar()`, C# `class Foo :
-                # Bar`; the reference resolves into the parent hierarchy)
-                rtype, flavor = class_supers.get(enclosing_type() or ""), "instance"
-            elif recv.startswith("@"):
-                rtype, flavor = ivar_types.get(recv[1:]), "instance"
-            elif (
-                language == "Kotlin"
-                and len(segs) >= 2
-                and re.fullmatch(r"[A-Z][A-Z0-9_]*", last)
-            ):
-                # Enum.ENUM_VALUE_1.enumMethod() — the enum CONSTANT's type
-                # is the enum class (the preceding segment)
-                rtype, flavor = segs[-2], "instance"
-            elif last[0].isupper():
-                rtype, flavor = last, "singleton"
-            elif len(segs) == 2 and segs[0] in ("this", "self"):
-                # `this.field.m()` — the field's declared type
-                rtype, flavor = ivar_types.get(last), "instance"
-            elif (
-                language == "Kotlin"
-                and len(segs) == 2
-                and (local_types.get(segs[0]) or ivar_types.get(segs[0]))
-            ):
-                # `x.prop.method()` with x typed: one property hop, encoded
-                # Type#prop — the build resolves prop through the global
-                # extension/member map (kotlin/tests.rs:517-538,
-                # extendMe.reversed.printValue() via the cross-file
-                # extension property's result type)
-                base = local_types.get(segs[0]) or ivar_types.get(segs[0])
-                rtype, flavor = base + "#" + last, "instance"
-            elif len(segs) == 1:
-                # locals first, then fields (Java fields are bare names)
-                rtype = local_types.get(recv) or ivar_types.get(recv)
-                flavor = "instance"
-            else:
-                rtype, flavor = None, "instance"
+            rtype, flavor = resolve_recv(recv)
             if rtype is None:
                 continue
             col = cm.start(2)
@@ -1013,9 +1102,47 @@ def _extract_one_scan(
                 "call", callee, enclosing, None, None, None, ln, line,
                 col, len(callee), receiver_type=rtype, call_flavor=flavor,
             )
+        # one-hop chain tails — `u.name().shout()`: the mid call's DECLARED
+        # return type (method_returns pre-scan) types the tail's receiver,
+        # the regex stand-in for tree-sitter type inference on chained
+        # navigation. The main pass above already emitted the first hop.
+        for hm in _CHAIN_TAIL.finditer(line):
+            recv, mid, tail = hm.group(1), hm.group(2), hm.group(3)
+            if tail in _KEYWORDS or mid in _KEYWORDS:
+                continue
+            rt1, _ = resolve_recv(recv)
+            rt2 = None
+            probe = rt1.split("#", 1)[0] if rt1 else None
+            while probe:
+                rt2 = method_returns.get((probe, mid))
+                if rt2 is not None:
+                    break
+                probe = class_supers.get(probe)
+            if rt2 is not None:
+                yield row(
+                    "call", tail, enclosing, None, None, None, ln, line,
+                    hm.start(3), len(tail), receiver_type=rt2,
+                    call_flavor="instance",
+                )
+        if language == "Ruby":
+            # parenless chains (`user.profile.display_name`): same one-hop
+            # rule through the factory-inferred return type
+            for hm in _RB_CHAIN_TAIL.finditer(line):
+                recv, mid, tail = hm.group(1), hm.group(2), hm.group(3)
+                if tail in _KEYWORDS or mid in _KEYWORDS:
+                    continue
+                rt1, _ = resolve_recv(recv)
+                rt2 = method_returns.get((rt1, mid)) if rt1 else None
+                if rt2 is not None:
+                    yield row(
+                        "call", tail, enclosing, None, None, None, ln, line,
+                        hm.start(3), len(tail), receiver_type=rt2,
+                        call_flavor="instance",
+                    )
 
     masked = _mask_text(language, text)
     originals = text.split("\n")
+    method_returns.update(_scan_method_returns(language, masked))
     # Instance-variable typing is CLASS-level, not stream-order: an ivar
     # assigned in a later-defined method (`@user = User.find(...)` inside a
     # before_action helper) types receivers in methods defined above it.

@@ -2086,3 +2086,55 @@ def test_param_typed_receivers_and_safe_navigation():
         "class Main\n  def run\n    @user = User.new\n    @user&.name\n  end\nend\n",
     )
     assert ("name", "Main.run") in rb
+
+
+def test_one_hop_chain_calls_resolve():
+    """`u.name().shout()` — the tail's receiver is the mid call's DECLARED
+    return type (per-file pre-scan; Ruby infers the `def profile;
+    Profile.new; end` factory idiom instead since it has no annotations).
+    One hop only, matching the reference's navigation-expression typing."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    def calls(path, lang, src):
+        return {(r[3], r[4]) for r in _extract_one(path, lang, src) if r[2] == "call"}
+
+    kt = calls(
+        "t.kt",
+        "Kotlin",
+        "package p\nclass Name {\n    fun shout(): String = \"\"\n}\n"
+        "class User {\n    fun name(): Name = Name()\n}\n"
+        "class Main {\n    fun run(u: User) {\n        u.name().shout()\n    }\n}\n",
+    )
+    assert ("shout", "p.Main.run") in kt
+    jv = calls(
+        "P.java",
+        "Java",
+        "public class Conn { void close() {} }\n"
+        "public class Pool {\n  Conn acquire() { return null; }\n"
+        "  void run(Pool p) {\n    p.acquire().close();\n  }\n}\n",
+    )
+    assert ("close", "P.Pool.run") in jv
+    py = calls(
+        "t.py",
+        "Python",
+        "class Conn:\n    def close(self): pass\n\n"
+        "class Pool:\n    def acquire(self) -> Conn:\n        return Conn()\n\n"
+        "    def run(self, p: Pool):\n        p.acquire().close()\n",
+    )
+    assert ("close", "Pool.run") in py
+    ts = calls(
+        "t.ts",
+        "TypeScript",
+        "class Store {\n  save(): void {\n    flush();\n  }\n}\n"
+        "class Factory {\n  make(): Store {\n    return new Store();\n  }\n"
+        "  use(f: Factory): void {\n    f.make().save();\n  }\n}\n",
+    )
+    assert ("save", "Factory.use") in ts
+    rb = calls(
+        "t.rb",
+        "Ruby",
+        "class Profile\n  def display_name; end\nend\n"
+        "class User\n  def profile\n    Profile.new\n  end\nend\n"
+        "class Main\n  def run\n    user = User.new\n    user.profile.display_name\n  end\nend\n",
+    )
+    assert ("display_name", "Main.run") in rb
