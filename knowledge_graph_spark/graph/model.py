@@ -66,7 +66,12 @@ class KnowledgeGraph:
             df = df.filter(F.col("type").isin(list(types)))
         return df
 
-    def materialize(self, parallelism: int = 8, truncate: bool = False) -> "KnowledgeGraph":
+    def materialize(
+        self,
+        parallelism: int = 8,
+        truncate: bool = False,
+        coalesce_to: int | None = None,
+    ) -> "KnowledgeGraph":
         """Cache and force every node/edge table, submitting the 8 jobs
         concurrently — the bulk-index analog. Spark's scheduler interleaves
         independent jobs across idle cores (locally) or executors (cluster),
@@ -86,6 +91,11 @@ class KnowledgeGraph:
 
         if truncate:
             def pin(d: DataFrame) -> DataFrame:
+                # small known-size graphs: collapsing partitions first makes
+                # the eager checkpoint a handful of tasks instead of a
+                # (shuffle-partitions × tables) task storm
+                if coalesce_to is not None:
+                    d = d.coalesce(coalesce_to)
                 return d.localCheckpoint(eager=True)
 
             with ThreadPoolExecutor(parallelism) as ex:

@@ -250,7 +250,7 @@ def _synth_base_graph(spark: SparkSession, sf_dir: str, ids: list[int]):
     # (metric unions, the incremental splice's per-table anti-joins) — with
     # plain cache each reference re-embeds and re-analyzes the whole
     # extract→build subtree, and the driver-side plan work dominates
-    kg.materialize(truncate=True)
+    kg.materialize(truncate=True, coalesce_to=4)
     for df in getattr(kg, "_cached_intermediates", []):
         df.unpersist()
     kg._cached_intermediates = []
@@ -305,14 +305,14 @@ def incremental_merge_stats(
     # times (anti-joins, remap joins) — without pinning, each reference
     # re-runs the whole upstream DAG; without lineage truncation, each
     # reference re-embeds it in the merged plan and analysis dominates
-    fresh.materialize(truncate=True)
+    fresh.materialize(truncate=True, coalesce_to=4)
     merged = apply_file_changes(
         spark,
         base,
         fresh,
         [_path_of(i) for i in sorted(changed)],
         [_path_of(i) for i in sorted(deleted)],
-    ).materialize(truncate=True)
+    ).materialize(truncate=True, coalesce_to=4)
     probe = _path_of(min(i for i in ids if i not in changed and i not in deleted))
     out = _graph_metrics(merged, probe)
     return checkpoint_and_release(spark, before, out)
