@@ -789,6 +789,13 @@ _CHAIN_TAIL = re.compile(
     r"((?:[A-Za-z_$@][\w$]*\.)*[A-Za-z_$@][\w$]*)"
     r"\.([A-Za-z_]\w*)\s*\((?:[^()]*)\)\.([a-z_]\w*)\s*\("
 )
+# C# methods are PascalCase (`p.Acquire().Close()`) — the lowercase-initial
+# tail above can never match them, so C# gets its own tail pattern; other
+# languages keep the lowercase tail to avoid ctor-ish false positives
+_CHAIN_TAIL_CS = re.compile(
+    r"((?:[A-Za-z_$@][\w$]*\.)*[A-Za-z_$@][\w$]*)"
+    r"\.([A-Za-z_]\w*)\s*\((?:[^()]*)\)\.([A-Za-z_]\w*)\s*\("
+)
 _RB_CHAIN_TAIL = re.compile(
     r"(@?[A-Za-z_]\w*)\.([a-z_]\w*)\.([a-z_]\w*[?!]?)"
 )
@@ -820,7 +827,18 @@ def _scan_method_returns(language: str, masked: list) -> dict[tuple[str, str], s
         if det is None and language == "TypeScript":
             m = _TS_METHOD.match(line)
             if m and m.group(3) not in _KEYWORDS:
-                det = (len(m.group(1)), "method", m.group(3))
+                # host-frame guard (mirrors the main scan's innermost-class
+                # check): `register(handler, (x): Config => {` inside a
+                # function body matches _TS_METHOD but is a call statement,
+                # not a method — only record when the innermost enclosing
+                # frame is a type, so no bogus return-type entries seed the
+                # chain-tail pass
+                ind = len(m.group(1))
+                host_is_type = next(
+                    (t for _ind, _n, t in reversed(stack) if _ind < ind), False
+                )
+                if host_is_type:
+                    det = (ind, "method", m.group(3))
         if det is None:
             continue
         indent, kw, name = det
@@ -935,6 +953,39 @@ _BRACE_IMPORTS = {
 }
 
 
+_NAV_OPS = ("super().", "!!.", "?.", "&.")  # longest-first; all collapse to a dot
+
+
+def _normalize_nav(line: str) -> tuple[str, list[int]]:
+    """Collapse safe-navigation / assertion / zero-arg-super operators to a
+    plain dot, returning (normalized_line, shift) where shift[j] is the
+    number of source chars deleted before normalized index j — so the true
+    source column of normalized column j is ``j + shift[j]``. Length-aware
+    because the collapse deletes chars and emitted start_byte/end_byte must
+    keep pointing at the real source (reference call locations are exact)."""
+    if not any(op[:-1] in line for op in _NAV_OPS):
+        return line, []
+    out: list[str] = []
+    shift: list[int] = []
+    deleted = 0
+    i, n = 0, len(line)
+    while i < n:
+        for op in _NAV_OPS:
+            if line.startswith(op, i):
+                keep = "super." if op == "super()." else "."
+                for ch in keep:
+                    out.append(ch)
+                    shift.append(deleted)
+                deleted += len(op) - len(keep)
+                i += len(op)
+                break
+        else:
+            out.append(line[i])
+            shift.append(deleted)
+            i += 1
+    return "".join(out), shift
+
+
 def _extract_one(path: str, language: str, text: str) -> Iterator[tuple]:
     """Indentation-tracked extraction for one file, with definition rows
     carrying their full line span: a definition's end_line is the line
@@ -1020,8 +1071,14 @@ def _extract_one_scan(
         # resolution: Kotlin `u?.m()` / `u!!.m()`, TS `o?.m()`, Ruby
         # `u&.m()`, C# `u?.M()`, Rust `f()?.m()` all dispatch on the same
         # receiver the plain dot would (tree-sitter's navigation_expression
-        # keeps the receiver node either way)
-        line = line.replace("?.", ".").replace("!!.", ".").replace("&.", ".")
+        # keeps the receiver node either way). Normalization DELETES chars,
+        # so a shift map carries match columns back to true source offsets
+        # (build.py dedups on start_byte — locations must stay faithful).
+        line, shift = _normalize_nav(line)
+
+        def oc(col: int) -> int:
+            """Original-source column for a normalized-line column."""
+            return col + (shift[col] if col < len(shift) else shift[-1] if shift else 0)
 
         def resolve_recv(recv: str) -> tuple[str | None, str]:
             # dotted receiver paths (TS `UserManagement.User.x`, Ruby
@@ -1097,7 +1154,7 @@ def _extract_one_scan(
             rtype, flavor = resolve_recv(recv)
             if rtype is None:
                 continue
-            col = cm.start(2)
+            col = oc(cm.start(2))
             yield row(
                 "call", callee, enclosing, None, None, None, ln, line,
                 col, len(callee), receiver_type=rtype, call_flavor=flavor,
@@ -1106,14 +1163,21 @@ def _extract_one_scan(
         # return type (method_returns pre-scan) types the tail's receiver,
         # the regex stand-in for tree-sitter type inference on chained
         # navigation. The main pass above already emitted the first hop.
-        for hm in _CHAIN_TAIL.finditer(line):
+        chain_re = _CHAIN_TAIL_CS if language == "CSharp" else _CHAIN_TAIL
+        for hm in chain_re.finditer(line):
             recv, mid, tail = hm.group(1), hm.group(2), hm.group(3)
             if tail in _KEYWORDS or mid in _KEYWORDS:
                 continue
             rt1, _ = resolve_recv(recv)
             rt2 = None
             probe = rt1.split("#", 1)[0] if rt1 else None
-            while probe:
+            # supers are keyed by LAST dotted segment, so `class Foo(proto.Foo)`
+            # self-maps and cross-namespace pairs cycle — bound the climb by a
+            # visited set or a single hung source file stalls the whole extract
+            # stage
+            seen_supers: set[str] = set()
+            while probe and probe not in seen_supers:
+                seen_supers.add(probe)
                 rt2 = method_returns.get((probe, mid))
                 if rt2 is not None:
                     break
@@ -1121,7 +1185,7 @@ def _extract_one_scan(
             if rt2 is not None:
                 yield row(
                     "call", tail, enclosing, None, None, None, ln, line,
-                    hm.start(3), len(tail), receiver_type=rt2,
+                    oc(hm.start(3)), len(tail), receiver_type=rt2,
                     call_flavor="instance",
                 )
         if language == "Ruby":
@@ -1136,7 +1200,7 @@ def _extract_one_scan(
                 if rt2 is not None:
                     yield row(
                         "call", tail, enclosing, None, None, None, ln, line,
-                        hm.start(3), len(tail), receiver_type=rt2,
+                        oc(hm.start(3)), len(tail), receiver_type=rt2,
                         call_flavor="instance",
                     )
 
@@ -1727,11 +1791,9 @@ def _extract_one_scan(
                     # `super().m()` → the zero-arg super form is the spelled
                     # receiver `super` (tree-sitter sees a call node; the
                     # reference resolves it into the parent hierarchy like
-                    # Java's `super.m()`); normalizing the parens lets the
-                    # shared receiver machinery's super-branch handle it
-                    yield from receiver_calls(
-                        line.replace("super().", "super."), _PY_RECV_CALL, ln
-                    )
+                    # Java's `super.m()`); _normalize_nav inside
+                    # receiver_calls collapses the parens offset-faithfully
+                    yield from receiver_calls(line, _PY_RECV_CALL, ln)
                 elif language == "TypeScript":
                     tla = _TS_LOCAL_ASSIGN.match(line)
                     if tla:
@@ -1739,7 +1801,17 @@ def _extract_one_scan(
                         local_types[tla.group(1)] = t
                     tf = _TS_FIELD_TYPE.match(line)
                     if tf:
-                        ivar_types[tf.group(1)] = tf.group(2)
+                        # class-frame guard: object-literal properties and
+                        # multi-line function params (`  user: User,`) match
+                        # the field shape but are NOT class fields — only a
+                        # class/interface body types `this.x` receivers
+                        f_indent = len(line) - len(line.lstrip())
+                        host = next(
+                            (f[2] for f in reversed(stack) if f[0] < f_indent),
+                            None,
+                        )
+                        if host in ("class", "interface"):
+                            ivar_types[tf.group(1)] = tf.group(2)
                     yield from receiver_calls(line, _TS_RECV_CALL, ln)
                     # `new Outer.Inner()` constructor calls: target is the
                     # class; cols recorded so the bare-call pass below does

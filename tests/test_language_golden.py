@@ -2138,3 +2138,127 @@ def test_one_hop_chain_calls_resolve():
         "class Main\n  def run\n    user = User.new\n    user.profile.display_name\n  end\nend\n",
     )
     assert ("display_name", "Main.run") in rb
+
+
+def test_chain_tail_super_cycle_terminates():
+    """Supers are keyed by LAST dotted segment, so `class Foo(proto.Foo)`
+    self-maps and cross-namespace pairs (`class A(ns.B)` + `class B(o.A)`)
+    cycle — the chain-tail super climb must terminate, not hang the whole
+    distributed extract stage on one such source file."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    src = (
+        "class Foo(proto.Foo):\n"
+        "    def run(self, f: Factory):\n"
+        "        f.clone().start()\n"
+    )
+    rows = list(_extract_one("cycle.py", "Python", src))  # must not hang
+    assert any(r[2] == "definition" for r in rows)
+    src2 = (
+        "class A(ns.B):\n    pass\n\n"
+        "class B(other.A):\n"
+        "    def go(self, f: F):\n"
+        "        f.make().use()\n"
+    )
+    assert list(_extract_one("cycle2.py", "Python", src2)) is not None
+
+
+def test_safe_navigation_preserves_source_columns():
+    """Normalizing `?.`/`!!.`/`&.`/`super().` to a plain dot DELETES chars —
+    emitted columns/byte offsets must map back to the ORIGINAL source
+    position (build.py dedups on start_byte; the reference's call locations
+    are exact)."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    def call_sites(path, lang, src):
+        lines = src.split("\n")
+        return {
+            (r[3], lines[r[8]][r[10]:r[11]])
+            for r in _extract_one(path, lang, src)
+            if r[2] == "call"
+        }
+
+    ts = call_sites(
+        "t.ts",
+        "TypeScript",
+        "class C {\n  go(u: User): void {\n    u?.save()\n    u!!.flush()\n  }\n}\n",
+    )
+    assert ("save", "save") in ts and ("flush", "flush") in ts
+    rb = call_sites(
+        "t.rb",
+        "Ruby",
+        "class C\n  def go\n    @u = User.new\n    @u&.save\n  end\nend\n",
+    )
+    assert ("save", "save") in rb
+    py = call_sites(
+        "t.py",
+        "Python",
+        "class B:\n    def save(self): pass\n\n"
+        "class C(B):\n    def go(self):\n        super().save()\n",
+    )
+    assert ("save", "save") in py
+
+
+def test_csharp_pascal_case_chain_tail_resolves():
+    """C# methods are PascalCase — `p.Acquire().Close()` must resolve the
+    tail through the Acquire return-type scan (the lowercase-only tail
+    pattern could never match it)."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    src = (
+        "namespace N {\n"
+        "  class Conn { public void Close() {} }\n"
+        "  class Pool {\n"
+        "    public Conn Acquire() { return new Conn(); }\n"
+        "    public void Run(Pool p) {\n"
+        "      p.Acquire().Close();\n"
+        "    }\n"
+        "  }\n"
+        "}\n"
+    )
+    calls = {(r[3], r[14]) for r in _extract_one("p.cs", "CSharp", src) if r[2] == "call"}
+    assert ("Close", "Conn") in calls
+
+
+def test_ts_field_and_return_scans_guarded_by_class_frame():
+    """Object-literal properties / multi-line call params must NOT pollute
+    the per-file field-type map, and a call statement shaped like a method
+    signature (`register(h, (x): Config => {`) must NOT register a bogus
+    return type that fabricates chain-tail CALLS edges."""
+    from knowledge_graph_spark.pipeline.extract import (
+        _extract_one,
+        _mask_text,
+        _scan_method_returns,
+    )
+
+    # object-literal property `user: User` at top level — not a class field;
+    # `this.user` inside the class must stay untyped (no fabricated edge)
+    src = (
+        "const cfg = {\n"
+        "  user: User,\n"
+        "};\n"
+        "class App {\n"
+        "  go(): void {\n"
+        "    this.user.save();\n"
+        "  }\n"
+        "}\n"
+    )
+    calls = {r[3] for r in _extract_one("t.ts", "TypeScript", src) if r[2] == "call"}
+    assert "save" not in calls  # receiver type unknown → dropped, not faked
+    # a call statement inside a function body matching _TS_METHOD must not
+    # enter the method-returns map
+    src2 = (
+        "function setup(): void {\n"
+        "  register(handler, (x): Config => {\n"
+        "    return x;\n"
+        "  });\n"
+        "}\n"
+        "class Svc {\n"
+        "  fetch(): Config {\n"
+        "    return load();\n"
+        "  }\n"
+        "}\n"
+    )
+    rets = _scan_method_returns("TypeScript", _mask_text("TypeScript", src2))
+    assert ("Svc", "fetch") in rets
+    assert all(m != "register" for (_t, m) in rets)
