@@ -392,6 +392,8 @@ def cmd_server_start(args) -> int:
             "--port",
             str(port),
         ]
+        if getattr(args, "enable_reindexing", False):
+            cmd.append("--enable-reindexing")  # the child serves; it watches
         subprocess.Popen(
             cmd,
             stdin=subprocess.DEVNULL,
@@ -408,9 +410,24 @@ def cmd_server_start(args) -> int:
     spark = _get_spark(0)
     manager = _manager()
     port = args.port or find_unused_port()
+    tools_enabled = None
+    if getattr(args, "disable_tool", None):
+        from knowledge_graph_spark.serving.http_server import MCP_TOOLS
+
+        tools_enabled = set(MCP_TOOLS) - set(args.disable_tool)
     srv = make_server(
-        spark, manager, port=port, jwt_secret=os.environ.get("KGS_JWT_SECRET")
+        spark,
+        manager,
+        port=port,
+        jwt_secret=os.environ.get("KGS_JWT_SECRET"),
+        tools_enabled=tools_enabled,
     )
+    # --enable-reindexing: spawn the live FS-watch loop feeding the
+    # debounce → queue-coalesce → incremental-splice pipeline, exactly the
+    # reference's watcher spawn (http-server-desktop/src/lib.rs:104)
+    live = None
+    if getattr(args, "enable_reindexing", False):
+        live = start_live_reindexer(spark, manager, srv.service)
     write_lock(port, os.getpid())
     if getattr(args, "register_mcp", None):
         register_mcp_config(args.register_mcp, port)
@@ -425,9 +442,25 @@ def cmd_server_start(args) -> int:
     except (KeyboardInterrupt, SystemExit):
         pass
     finally:
+        if live is not None:
+            live.stop()
         srv.shutdown()
         remove_lock()
     return 0
+
+
+def start_live_reindexer(spark, manager, service):
+    """Build + start the --enable-reindexing watcher wired to the serving
+    layer (cache invalidation + event bus). Split out so tests drive the
+    same wiring the CLI uses without a subprocess."""
+    from knowledge_graph_spark.streaming.live_watcher import LiveReindexer
+
+    return LiveReindexer(
+        spark,
+        manager,
+        on_event=service.on_event,
+        invalidate=service.invalidate,
+    ).start()
 
 
 def cmd_server_stop(_args) -> int:
@@ -545,6 +578,18 @@ def build_parser() -> argparse.ArgumentParser:
     p_start.add_argument("--port", type=int, default=None)
     p_start.add_argument("--detached", action="store_true")
     p_start.add_argument("--enable-reindexing", action="store_true")
+    p_start.add_argument(
+        "--disable-tool",
+        action="append",
+        default=None,
+        metavar="TOOL",
+        dest="disable_tool",
+        help=(
+            "Disable an MCP tool for this deployment (repeatable); disabled "
+            "tools are omitted from tools/list and tools/call answers "
+            "method-not-found"
+        ),
+    )
     p_start.add_argument(
         "--register-mcp",
         metavar="FILE",

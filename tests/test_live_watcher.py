@@ -1,0 +1,180 @@
+"""Live FS-watcher loop behind ``server start --enable-reindexing`` —
+the reference's watcher integration (http-server-desktop/src/lib.rs:104 +
+watcher.rs): start a server over an indexed project, edit files on disk,
+and the graph the HTTP endpoints serve converges to the new content with
+no manual reindex call."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import urllib.request
+from urllib.parse import quote
+
+import pytest
+
+
+# -- pure poller mechanics (no Spark) ----------------------------------------
+def test_snapshot_diff_vocabulary(tmp_path):
+    from knowledge_graph_spark.streaming.live_watcher import diff_snapshots, snapshot_tree
+
+    (tmp_path / "a.py").write_text("x = 1\n")
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "b.py").write_text("y = 2\n")
+    (tmp_path / ".git").mkdir()
+    (tmp_path / ".git" / "HEAD").write_text("ref\n")  # excluded segment
+    s1 = snapshot_tree(str(tmp_path))
+    assert set(s1) == {"a.py", "sub/b.py"}  # .git never watched (watcher.rs:27)
+
+    (tmp_path / "a.py").write_text("x = 1\nz = 3\n")
+    (tmp_path / "sub" / "b.py").unlink()
+    (tmp_path / "c.py").write_text("new = 1\n")
+    s2 = snapshot_tree(str(tmp_path))
+    events = dict(diff_snapshots(s1, s2))
+    assert events == {"a.py": "modified", "sub/b.py": "deleted", "c.py": "created"}
+
+
+def test_poller_spools_complete_json_lines(tmp_path):
+    from knowledge_graph_spark.streaming.live_watcher import FsPoller
+
+    proj = tmp_path / "proj"
+    spool = tmp_path / "spool"
+    proj.mkdir()
+    spool.mkdir()
+    (proj / "a.py").write_text("x = 1\n")
+    p = FsPoller({str(proj): str(proj)}, str(spool), interval=0.05)
+    assert p.poll_once() == 0  # initial snapshot taken at construction
+    (proj / "a.py").write_text("x = 2\n")
+    (proj / "b.py").write_text("y = 1\n")
+    assert p.poll_once() == 2
+    files = [f for f in spool.iterdir() if not f.name.endswith(".tmp")]
+    assert len(files) == 1  # one complete spool file, no tmp debris
+    evs = [json.loads(line) for line in files[0].read_text().splitlines()]
+    assert {(e["path"], e["change_type"]) for e in evs} == {
+        ("a.py", "modified"),
+        ("b.py", "created"),
+    }
+    assert all(e["project"] == str(proj) for e in evs)
+    assert p.poll_once() == 0  # quiescent after the diff is consumed
+
+
+def test_cli_flag_threads_into_reindexer():
+    """`--enable-reindexing` is parsed AND consumed: the foreground serve
+    path hands it to start_live_reindexer (no more silent no-op flag)."""
+    import inspect
+
+    from knowledge_graph_spark import cli
+
+    src = inspect.getsource(cli.cmd_server_start)
+    assert "enable_reindexing" in src and "start_live_reindexer" in src
+    # detached parent propagates the flag to the serving child
+    assert "--enable-reindexing" in src
+    args = cli.build_parser().parse_args(["server", "start", "--enable-reindexing"])
+    assert args.enable_reindexing is True
+
+
+# -- end-to-end: edit on disk → served stats converge -------------------------
+def test_live_reindex_e2e(spark, tmp_path_factory):
+    from knowledge_graph_spark.cli import start_live_reindexer
+    from knowledge_graph_spark.serving.http_server import make_server
+    from knowledge_graph_spark.workspace import WorkspaceManager
+
+    ws_root = tmp_path_factory.mktemp("live-ws")
+    proj = ws_root / "proj"
+    (proj / "app").mkdir(parents=True)
+    (proj / "app" / "core.py").write_text(
+        "class Engine:\n    def start(self):\n        return 1\n"
+    )
+    (proj / "app" / "gone.py").write_text("def doomed():\n    return 0\n")
+    mgr = WorkspaceManager(str(tmp_path_factory.mktemp("live-data")))
+    mgr.register_project(str(ws_root), str(proj))
+    srv = make_server(spark, mgr, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def get(path):
+        with urllib.request.urlopen(base + path, timeout=120) as r:
+            return r.status, json.loads(r.read())
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            base + path,
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return r.status, json.loads(r.read())
+
+    status, out = post("/api/workspace/index", {"workspace_folder_path": str(ws_root)})
+    assert status == 200 and out["status"] == "completed", out
+    pp = f"/{quote(str(ws_root), safe='')}/{quote(str(proj), safe='')}"
+
+    def def_count():
+        try:
+            status, stats = get(f"/api/graph/stats{pp}")
+        except Exception:
+            return None  # transient: stats raced an in-place graph overwrite
+        if status != 200:
+            return None
+        return stats["node_counts"]["definition_count"]
+
+    before = None
+    for _ in range(30):  # the first stats read can race executor warmup
+        before = def_count()
+        if before is not None:
+            break
+        time.sleep(2)
+    assert before == 3  # Engine, start, doomed
+
+    live = start_live_reindexer(spark, mgr, srv.service)
+    try:
+        # EDIT: add one method + one new file; DELETE gone.py
+        (proj / "app" / "core.py").write_text(
+            "class Engine:\n"
+            "    def start(self):\n"
+            "        return 1\n"
+            "    def stop(self):\n"
+            "        return 0\n"
+        )
+        (proj / "app" / "extra.py").write_text("def bonus():\n    return 7\n")
+        (proj / "app" / "gone.py").unlink()
+
+        def search_labels(term):
+            try:
+                status, found = get(f"/api/graph/search{pp}?search_term={term}&limit=10")
+            except Exception:
+                return None
+            if status != 200:
+                return None
+            return [n["label"] for n in found.get("nodes", [])]
+
+        # poll the SERVED graph until it reflects the FULL edit set — the
+        # debounce window re-emits as events trickle in (update mode), so a
+        # partial splice (+stop only) transiently matches the final count;
+        # converge on count AND content: +1 (stop) +1 (bonus) -1 (doomed)
+        deadline = time.time() + 300
+        after, labels, doomed = None, None, None
+        while time.time() < deadline:
+            after = def_count()
+            labels = search_labels("bonus")
+            doomed = search_labels("doomed")
+            if (
+                after == before + 1
+                and labels and "bonus" in labels
+                and doomed is not None and "doomed" not in doomed
+            ):
+                break
+            time.sleep(2)
+        assert after == before + 1, (before, after, live.reindexes_done)
+        assert labels and "bonus" in labels, labels  # new file spliced in
+        assert doomed is not None and "doomed" not in doomed  # deleted file dropped
+        assert live.reindexes_done > 0
+        statuses = {
+            e["status"] for e in srv.service.events if e.get("type") == "ProjectReindexing"
+        }
+        assert {"Started", "Completed"} <= statuses
+    finally:
+        live.stop()
+        srv.shutdown()
