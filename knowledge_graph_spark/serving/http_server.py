@@ -171,9 +171,15 @@ class GraphService:
     KnowledgeGraph per project (the reference's Arc<Database> per path,
     kuzu/database.rs:34-74)."""
 
-    def __init__(self, spark, manager: WorkspaceManager) -> None:
+    def __init__(
+        self, spark, manager: WorkspaceManager, tools_enabled: set[str] | None = None
+    ) -> None:
         self.spark = spark
         self.manager = manager
+        # per-deployment tool registry gating: each tool is exposed only if
+        # enabled (available_tools_service.rs:41-121 registers each of the 8
+        # tools behind configuration.is_tool_enabled). None = all enabled.
+        self.tools_enabled = set(tools_enabled) if tools_enabled is not None else None
         self._graphs: dict[str, KnowledgeGraph] = {}
         self.events: list[dict] = []  # ST6 bus replay buffer
         # per-session SSE channels: responses POSTed to /mcp/message are
@@ -206,6 +212,11 @@ class GraphService:
         session id."""
         with self._lock:
             self.mcp_sessions.pop(sid, None)
+
+    def is_tool_enabled(self, tool: str) -> bool:
+        """is_tool_enabled (available_tools_service.rs) — gates tools/list,
+        tools/call, and the REST /api/mcp/{tool} dispatch alike."""
+        return self.tools_enabled is None or tool in self.tools_enabled
 
     # -- project graph resolution ------------------------------------------
     def project_info(self, ws: str, proj: str):
@@ -897,6 +908,13 @@ class _Handler(BaseHTTPRequestHandler):
                     200, self.service.workspace_delete(args["workspace_folder_path"])
                 )
             if parts[:2] == ["api", "mcp"] and len(parts) == 3:
+                if not self.service.is_tool_enabled(parts[2]):
+                    # a disabled tool is NOT REGISTERED in this deployment —
+                    # indistinguishable from absent (the reference's gated
+                    # registry never mounts it)
+                    return self._json(
+                        404, {"status": f"tool '{parts[2]}' is not enabled"}
+                    )
                 return self._json(200, self.service.mcp(parts[2], args))
             return self._not_found()
         except KeyError as exc:
@@ -906,14 +924,20 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(
-    spark, manager: WorkspaceManager, port: int = 0, jwt_secret: str | None = None
+    spark,
+    manager: WorkspaceManager,
+    port: int = 0,
+    jwt_secret: str | None = None,
+    tools_enabled: set[str] | None = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; port 0 binds an ephemeral port.
 
     Start with ``threading.Thread(target=srv.serve_forever).start()`` and
     stop with ``srv.shutdown()`` — the test suite drives it exactly so.
+    ``tools_enabled`` gates the MCP tool registry per deployment (None =
+    every tool; available_tools_service.rs:41-121).
     """
-    service = GraphService(spark, manager)
+    service = GraphService(spark, manager, tools_enabled=tools_enabled)
     handler = type(
         "BoundHandler", (_Handler,), {"service": service, "jwt_secret": jwt_secret}
     )

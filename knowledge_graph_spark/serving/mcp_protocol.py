@@ -207,12 +207,17 @@ def handle_jsonrpc(service, payload) -> dict | None:
     if method == "ping":
         return _result(req_id, {})
     if method == "tools/list":
+        # per-deployment gating: a disabled tool is never listed — the
+        # reference registers each tool only when
+        # configuration.is_tool_enabled(...) (available_tools_service.rs)
+        enabled = getattr(service, "is_tool_enabled", lambda _t: True)
         return _result(
             req_id,
             {
                 "tools": [
                     {"name": name, "description": desc, "inputSchema": schema}
                     for name, (desc, schema) in TOOL_SCHEMAS.items()
+                    if enabled(name)
                 ]
             },
         )
@@ -220,6 +225,10 @@ def handle_jsonrpc(service, payload) -> dict | None:
         name = params.get("name")
         if name not in TOOL_SCHEMAS:
             return _error(req_id, INVALID_PARAMS, f"unknown tool '{name}'")
+        if not getattr(service, "is_tool_enabled", lambda _t: True)(name):
+            # unregistered in this deployment → JSON-RPC method-not-found,
+            # what an rmcp router answers for a route it never mounted
+            return _error(req_id, METHOD_NOT_FOUND, f"tool '{name}' is not enabled")
         args = params.get("arguments") or {}
         try:
             out = service.mcp(name, args)

@@ -793,3 +793,87 @@ def test_mcp_session_queue_reclaimed_on_sse_close(served):
         svc.max_mcp_sessions = old_cap
         for sid in ("a", "b", "c"):
             svc.mcp_close(sid)
+
+
+# -- MCP tool config gating (available_tools_service.rs:41-121) ---------------
+@pytest.fixture(scope="module")
+def gated_served(spark, tmp_path_factory):
+    """Server with get_references + repo_map disabled: the reference
+    registers each tool only if configuration.is_tool_enabled(...)."""
+    import urllib.error
+
+    from knowledge_graph_spark.serving.http_server import MCP_TOOLS, make_server
+    from knowledge_graph_spark.workspace import WorkspaceManager
+
+    mgr = WorkspaceManager(str(tmp_path_factory.mktemp("gated-data")))
+    enabled = set(MCP_TOOLS) - {"get_references", "repo_map"}
+    srv = make_server(spark, mgr, port=0, tools_enabled=enabled)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            base + path,
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    yield {"post": post, "service": srv.service}
+    srv.shutdown()
+
+
+def test_gated_tools_list_omits_disabled(gated_served):
+    out = gated_served["post"](
+        "/mcp", {"jsonrpc": "2.0", "id": 1, "method": "tools/list"}
+    )[1]
+    names = {t["name"] for t in out["result"]["tools"]}
+    assert "get_references" not in names and "repo_map" not in names
+    assert "list_projects" in names and len(names) == 6
+
+
+def test_gated_tools_call_method_not_found(gated_served):
+    from knowledge_graph_spark.serving.mcp_protocol import METHOD_NOT_FOUND
+
+    out = gated_served["post"](
+        "/mcp",
+        {
+            "jsonrpc": "2.0",
+            "id": 2,
+            "method": "tools/call",
+            "params": {"name": "repo_map", "arguments": {}},
+        },
+    )[1]
+    assert out["error"]["code"] == METHOD_NOT_FOUND
+    # an ENABLED tool still dispatches normally on the same deployment
+    ok = gated_served["post"](
+        "/mcp",
+        {
+            "jsonrpc": "2.0",
+            "id": 3,
+            "method": "tools/call",
+            "params": {"name": "list_projects", "arguments": {}},
+        },
+    )[1]
+    assert "result" in ok and ok["result"]["isError"] is False
+
+
+def test_gated_rest_dispatch_404(gated_served):
+    status, body = gated_served["post"]("/api/mcp/get_references", {})
+    assert status == 404
+    assert "not enabled" in body["status"]
+    status, body = gated_served["post"]("/api/mcp/list_projects", {})
+    assert status == 200 and "projects" in body
+
+
+def test_ungated_service_exposes_all_tools(served):
+    """Default deployment (tools_enabled=None): all 8 tools listed — the
+    gating must not change the pre-existing contract."""
+    out = _rpc(served, "tools/list")
+    assert len(out["result"]["tools"]) == 8
