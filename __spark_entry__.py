@@ -44,11 +44,8 @@ ROWS_ONLY = {
     # underlying repo_map queries are oracle-checked and the render's bytes
     # are golden-tested against the reference's own e2e assertions
     "repo_map_xml",
-    # simhash bucket ids are hash-local with no exactness contract to pin
-    # (Hamming-locality pytest); the two ANN sketches are probabilistic
-    # top-k whose recall floor is seed-dependent (exact re-score / recall
-    # pytests)
-    "simhash_buckets",
+    # the two ANN sketches are probabilistic top-k whose recall floor is
+    # seed-dependent (exact re-score / recall pytests)
     "hyperplane_lsh_ann",
     "ivf_ann",
 }
@@ -58,7 +55,9 @@ ROWS_ONLY = {
 # of the real LPA run — community labels themselves are engine-local hashes),
 # approx_user_counts (exact cardinality + 5%-bound invariant flag), and
 # minhash_lsh_pairs (ground-truth 0.9-Jaccard pair count + recall-containment
-# anti-join miss count pinned at 0)
+# anti-join miss count pinned at 0). Graduated in r6: simhash_buckets
+# (fingerprint conservation + planted exact copies pinned bit-identical —
+# identical shingle sets give identical bit-sums whatever the hash seeds).
 
 # ---------------------------------------------------------------------------
 # graph construction (cached per (session, sf_dir))
@@ -613,8 +612,41 @@ def _q_minhash_lsh_pairs(spark, sf_dir):  # graduated r5: recall containment
     return n_truth.crossJoin(n_missed)
 
 
-def _q_simhash_buckets(spark, sf_dir):  # rows-only (hash-dependent)
-    return D.simhash_buckets(read_table(spark, sf_dir, "documents"))
+_SIMHASH_PLANT_OFFSET = 10_000_000
+
+
+def _q_simhash_buckets(spark, sf_dir):  # graduated r6: planted co-bucket pin
+    """Graduated from rows-only (r6): fingerprints are hash-local, but two
+    DETERMINISTIC contracts are SQL-computable — (1) conservation: every
+    document gets exactly ONE fingerprint (shingling pads to ≥1 shingle), so
+    row count = docs + planted copies; (2) planted exact copies (every
+    doc_id%50==0 re-emitted under an offset id) have identical shingle sets,
+    hence identical bit-sums, hence BIT-IDENTICAL simhash — the co-bucket
+    match count equals the planted count whatever the hash seeds are. The
+    raw fingerprint frame stays available via dedup.simhash_buckets
+    (Hamming-locality pytest)."""
+    docs = read_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_SIMHASH_PLANT_OFFSET)
+    )
+    fp = D.simhash_buckets(docs.unionByName(planted))
+    n_rows = fp.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    copies = fp.filter(F.col("doc_id") >= _SIMHASH_PLANT_OFFSET).select(
+        (F.col("doc_id") - _SIMHASH_PLANT_OFFSET).alias("doc_id"),
+        F.col("simhash").alias("simhash_copy"),
+    )
+    matched = (
+        fp.join(copies, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_planted"),
+            F.sum(
+                F.when(F.col("simhash") == F.col("simhash_copy"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_planted_cobucket"),
+        )
+    )
+    return n_rows.crossJoin(matched)
 
 
 def _q_hyperplane_lsh_ann(spark, sf_dir):  # rows-only (probabilistic)
@@ -1564,6 +1596,18 @@ def oracle_sql() -> dict[str, str]:
             " CAST(0 AS BIGINT) AS n_missed FROM ("
             + D.NGRAM_JACCARD_PAIRS_SQL.format(nm1=2, threshold=0.9, max_doc_freq=1000)
             + ") p"
+        ),
+        # simhash fingerprints are hash-local; the pinnable contract is
+        # conservation (one fp per doc incl. planted copies) + planted
+        # exact copies land bit-identical (same shingles → same bit-sums)
+        "simhash_buckets": (
+            "SELECT CAST((SELECT count(*) FROM documents)"
+            " + (SELECT count(*) FROM documents WHERE doc_id % 50 = 0)"
+            " AS BIGINT) AS n_rows,"
+            " CAST((SELECT count(*) FROM documents WHERE doc_id % 50 = 0)"
+            " AS BIGINT) AS n_planted,"
+            " CAST((SELECT count(*) FROM documents WHERE doc_id % 50 = 0)"
+            " AS BIGINT) AS n_planted_cobucket"
         ),
         # the HLL estimate is engine-local; the exact cardinality and the 5%
         # relative-error bound flag are the pinnable contract

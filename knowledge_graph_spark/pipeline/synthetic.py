@@ -113,11 +113,13 @@ def synth_files(
     )
 
 
-def _doc_ids(spark: SparkSession, sf_dir: str) -> list[int]:
-    return [
-        r["doc_id"]
-        for r in read_table(spark, sf_dir, "documents").select("doc_id").collect()
-    ]
+def _doc_ids(spark: SparkSession, sf_dir: str, limit: int | None = None) -> list[int]:
+    """Smallest ``limit`` doc ids (all when None) — sort+limit runs JVM-side,
+    so the driver materializes at most ``limit`` rows at ANY scale factor."""
+    df = read_table(spark, sf_dir, "documents").select("doc_id")
+    if limit is not None:
+        df = df.orderBy("doc_id").limit(limit)
+    return [r["doc_id"] for r in df.collect()]
 
 
 def _graph_metrics(kg, probe_path: str) -> DataFrame:
@@ -260,10 +262,16 @@ def _synth_base_graph(spark: SparkSession, sf_dir: str, ids: list[int]):
 
 def pipeline_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1-D9/J7/J9 end-to-end: index the synthesized corpus, emit golden
-    counts + id probes."""
+    counts + id probes.
+
+    Capped at the incremental family's 500 smallest doc ids: the query is a
+    fixed-size pipeline-semantics check (same golden-count contract at every
+    sf), the cap keeps driver-side corpus synthesis O(1) in sf, and the
+    capped corpora now ALWAYS coincide with incremental_merge_stats' — the
+    session-cached base graph is shared between the two at every scale."""
     from knowledge_graph_spark.persist import checkpoint_and_release, persistent_rdd_ids
 
-    ids = sorted(_doc_ids(spark, sf_dir))
+    ids = sorted(_doc_ids(spark, sf_dir, limit=INCREMENTAL_MAX_DOCS))
     kg = _synth_base_graph(spark, sf_dir, ids)
     before = persistent_rdd_ids(spark)  # the shared base survives the query
     out = _graph_metrics(kg, _path_of(min(ids)))
@@ -290,7 +298,7 @@ def incremental_merge_stats(
     from knowledge_graph_spark.pipeline.build import build_graph_from_entities
     from knowledge_graph_spark.pipeline.extract import extract_entities
 
-    ids = sorted(_doc_ids(spark, sf_dir))[:max_docs]
+    ids = sorted(_doc_ids(spark, sf_dir, limit=max_docs))
     changed = {i for i in ids if i % 10 == 0}
     deleted = {i for i in ids if i % 10 == 5}
     # shared, session-cached base build (same graph pipeline_index_stats
@@ -360,7 +368,11 @@ _CORPUS_CTE = """corpus AS (
 
 PIPELINE_INDEX_STATS_SQL = (
     "WITH "
-    + _CORPUS_CTE
+    # same smallest-ids cap as the Spark side (see pipeline_index_stats)
+    + _CORPUS_CTE.replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {INCREMENTAL_MAX_DOCS})",
+    )
     + """,
 probe AS (SELECT path FROM corpus WHERE i = (SELECT min(i) FROM corpus)),
 m(metric, value) AS (
@@ -672,7 +684,7 @@ def workspace_index_stats(
         index_workspace,
     )
 
-    ids = sorted(_doc_ids(spark, sf_dir))[:max_docs]
+    ids = sorted(_doc_ids(spark, sf_dir, limit=max_docs))
     nxt = {d: ids[(k + 1) % len(ids)] for k, d in enumerate(ids)}
 
     before = persistent_rdd_ids(spark)
