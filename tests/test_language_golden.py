@@ -2262,3 +2262,111 @@ def test_ts_field_and_return_scans_guarded_by_class_frame():
     rets = _scan_method_returns("TypeScript", _mask_text("TypeScript", src2))
     assert ("Svc", "fetch") in rets
     assert all(m != "register" for (_t, m) in rets)
+
+
+# ---- TS call locations + fixtures/java-user-service deep pins (r6) ---------
+# (indexer tests.rs:454 test_typescript_call_relationship_has_location;
+#  mcp import_usage tool fixtures; verdict-r5 #7 sweep)
+
+TS_TEST_REPO = "/root/reference/fixtures/typescript/test-repo"
+
+
+@pytest.fixture(scope="module")
+def ts_test_repo(spark):
+    return _index(spark, TS_TEST_REPO)
+
+
+def _call_sites(kg):
+    """(caller, callee, start_line, start_col) for def→def calls."""
+    de = kg.edges["definition_relationships"]
+    refs = de.filter(
+        F.col("type").isin(["CALLS", "AMBIGUOUSLY_CALLS"])
+        & (F.col("target_table") == "definition_nodes")
+    )
+    d = kg.definitions.select("id", "fqn")
+    rows = (
+        refs.join(d.withColumnsRenamed({"id": "source_id", "fqn": "caller"}), "source_id")
+        .join(d.withColumnsRenamed({"id": "target_id", "fqn": "callee"}), "target_id")
+        .select("caller", "callee", "source_start_line", "source_start_col")
+        .collect()
+    )
+    return {(r.caller, r.callee): (r.source_start_line, r.source_start_col) for r in rows}
+
+
+def test_ts_call_relationship_has_exact_location(ts_test_repo):
+    """tests.rs:454 asserts Application::run → Application::
+    testAuthenticationProviders carries source_start_line == the `this.…()`
+    statement's 0-based line (21 there, AFTER the test prepends two import
+    lines; the raw fixture places it at line 19). Pinning line AND column
+    guards the safe-navigation shift-map too."""
+    sites = _call_sites(ts_test_repo)
+    key = ("Application::run", "Application::testAuthenticationProviders")
+    assert key in sites, sorted(k for k in sites if k[0] == "Application::run")
+    line, col = sites[key]
+    assert (line, col) == (19, 9), (line, col)
+    # the three sibling statements sit on consecutive lines, same column
+    for callee, ln in (
+        ("Application::createSampleUsers", 16),
+        ("Application::testAuthentication", 17),
+        ("Application::testTokenManagement", 18),
+    ):
+        assert sites[("Application::run", callee)] == (ln, 9)
+
+
+def test_ts_main_imported_symbols_sorted(ts_test_repo):
+    """tests.rs:440-450 sorts main.ts's imported symbols by start_line and
+    asserts the count — the raw fixture declares exactly 3 named imports on
+    0-based lines 2-4."""
+    rows = (
+        ts_test_repo.imports.filter(F.col("file_path").endswith("main.ts"))
+        .orderBy("start_line")
+        .select("name", "import_path", "start_line")
+        .collect()
+    )
+    assert [(r.name, r.import_path, r.start_line) for r in rows] == [
+        ("Authentication", "./lib/authentication", 2),
+        ("UserManagement", "./lib/user_management", 3),
+        ("UserModel", "./app/models/user_model", 4),
+    ]
+
+
+def test_java_user_service_controller_to_service_calls(java_user_service):
+    """All five REST endpoints dispatch into UserService through the
+    @Autowired field's declared type (the import_usage fixture's central
+    relationship set)."""
+    pairs = _call_pairs(java_user_service)
+    svc = "com.example.userservice.service.UserService"
+    ctl = "com.example.userservice.controller.UserController"
+    for m in ("getAllUsers", "getUserById", "createUser", "updateUser", "deleteUser"):
+        assert (f"{ctl}.{m}", f"{svc}.{m}") in pairs, sorted(
+            p for p in pairs if p[0].startswith(ctl)
+        )
+
+
+def test_java_user_service_param_typed_model_calls(java_user_service):
+    """@RequestBody User user → user.getUsername() resolves through the
+    parameter's declared type to the model's getter; UserService.updateUser
+    resolves the userDetails-typed getters the same way."""
+    pairs = _call_pairs(java_user_service)
+    model = "com.example.userservice.model.User"
+    assert (
+        "com.example.userservice.controller.UserController.createUser",
+        f"{model}.getUsername",
+    ) in pairs
+    upd = "com.example.userservice.service.UserService.updateUser"
+    for getter in ("getEmail", "getFirstName", "getLastName"):
+        assert (upd, f"{model}.{getter}") in pairs, sorted(
+            c for _s, c in pairs if _s == upd
+        )
+
+
+def test_ruby_bang_method_and_typed_ivar_resolution(ruby_refs):
+    """UsersController#activate → User#activate! (bang-suffixed method
+    name preserved) and #update → User#update_profile through the @user
+    ivar's tracked type (ruby/tests.rs controller-actions block)."""
+    pairs = _call_pairs(ruby_refs)
+    assert ("UsersController#activate", "User#activate!") in pairs, sorted(
+        p for p in pairs if p[0].startswith("UsersController")
+    )
+    assert ("UsersController#update", "User#update_profile") in pairs
+    assert ("UsersController#show", "User#get_profile") in pairs
