@@ -87,8 +87,20 @@ def main() -> None:
         runs = json.loads(line[len("ISO_RESULT "):])["runs"]
         out[name] = {"runs": runs, "median": sorted(runs)[1]}
         print(f"{name}: runs={runs} median={sorted(runs)[1]}", file=sys.stderr)
-    with open(os.path.join(REPO, "ISOLATED_LOCAL.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    # merge-update: the artifact accumulates medians across invocations so
+    # every query ever pinned stays on record (the r5 verdict dinged the
+    # overwrite — only the last invocation's queries survived)
+    path = os.path.join(REPO, "ISOLATED_LOCAL.json")
+    merged = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                merged = json.load(f)
+        except (OSError, ValueError):
+            merged = {}
+    merged.update(out)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
     print(json.dumps({k: v.get("median") for k, v in out.items()}))
 
 
