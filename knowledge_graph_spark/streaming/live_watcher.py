@@ -264,7 +264,10 @@ class LiveReindexer:
         projects = self._watched_projects()
         self.poller = FsPoller(projects, self.spool_dir, self.poll_interval)
         jobs = debounced_jobs(
-            watch_event_stream(self.spark, self.spool_dir), window=self.window
+            # delete consumed spool files: a server watching for days must
+            # not grow its spool dir (or the per-trigger listing) unboundedly
+            watch_event_stream(self.spark, self.spool_dir, clean_source="delete"),
+            window=self.window,
         )
         self.query = (
             jobs.writeStream.outputMode("update")

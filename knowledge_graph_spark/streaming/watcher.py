@@ -44,13 +44,20 @@ DEBOUNCE_WINDOW = "3 seconds"  # watcher.rs:25
 EXCLUDED_DIR_SEGMENTS = (".git", "node_modules", "target", ".venv", "__pycache__")
 
 
-def watch_event_stream(spark: SparkSession, watch_dir: str) -> DataFrame:
-    """File-source stream of change events (one JSON object per line)."""
-    return (
-        spark.readStream.schema(FILE_EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 64)
-        .json(watch_dir)
-    )
+def watch_event_stream(
+    spark: SparkSession, watch_dir: str, clean_source: str | None = None
+) -> DataFrame:
+    """File-source stream of change events (one JSON object per line).
+
+    ``clean_source="delete"`` removes spool files once their micro-batch
+    commits — the long-lived server's watcher would otherwise accumulate
+    one file per poll forever AND re-list the whole dir every trigger
+    (listing cost grows linearly with server uptime). Default off: batch
+    replays (tests, availableNow reruns) need the files to persist."""
+    reader = spark.readStream.schema(FILE_EVENT_SCHEMA).option("maxFilesPerTrigger", 64)
+    if clean_source:
+        reader = reader.option("cleanSource", clean_source)
+    return reader.json(watch_dir)
 
 
 def debounced_jobs(

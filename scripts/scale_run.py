@@ -64,6 +64,10 @@ QUERIES = [
     "connected_components_sizes",
     "lpa_invariants",
     "import_usage_xml",
+    # r6: graduated with planted-copy work on top of the fingerprint pass —
+    # data-sized, so its exponent belongs in the evidence set
+    "simhash_buckets",
+    "minhash_lsh_pairs",
 ]
 
 

@@ -2370,3 +2370,68 @@ def test_ruby_bang_method_and_typed_ivar_resolution(ruby_refs):
     )
     assert ("UsersController#update", "User#update_profile") in pairs
     assert ("UsersController#show", "User#get_profile") in pairs
+
+
+def test_python_extractor_agrees_with_stdlib_ast():
+    """Cross-validate the regex extractor against a REAL parser: the
+    container ships no tree-sitter, but Python can parse Python — every
+    ClassDef/FunctionDef/AsyncFunctionDef stdlib `ast` finds must be
+    extracted with the same name on the same 0-based line. Runs over the
+    synthetic pipeline corpus (the text every golden-count oracle is pinned
+    on) plus a handcrafted stress file."""
+    import ast as pyast
+
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+    from knowledge_graph_spark.pipeline.synthetic import _file_text
+
+    sources = {
+        f"corpus_{i}_v{v}.py": _file_text(i, i + 1, v)
+        for i in (0, 3, 7, 10, 15)
+        for v in (1, 2)
+    }
+    sources["stress.py"] = (
+        "import os\n"
+        "\n"
+        "@decorator\n"
+        "@other.decorator(arg=1)\n"
+        "def decorated():\n"
+        "    pass\n"
+        "\n"
+        "async def fetch_all(\n"
+        "    url: str,\n"
+        "    timeout: float = 1.0,\n"
+        ") -> list:\n"
+        "    return []\n"
+        "\n"
+        "class Outer:\n"
+        "    class Inner:\n"
+        "        def method(self):\n"
+        "            def local_helper():\n"
+        "                return 1\n"
+        "            return local_helper()\n"
+        "\n"
+        "    @staticmethod\n"
+        "    def static_method():\n"
+        "        return 2\n"
+        "\n"
+        "def trailing(x, *args, **kwargs):\n"
+        "    if x:\n"
+        "        def conditional():\n"
+        "            return x\n"
+        "        return conditional\n"
+        "    return None\n"
+    )
+    for path, src in sources.items():
+        tree = pyast.parse(src)
+        expected = {
+            (n.name, n.lineno - 1)
+            for n in pyast.walk(tree)
+            if isinstance(n, (pyast.ClassDef, pyast.FunctionDef, pyast.AsyncFunctionDef))
+        }
+        got = {
+            (r[3], r[8])
+            for r in _extract_one(path, "Python", src)
+            if r[2] == "definition"
+        }
+        missing = expected - got
+        assert not missing, (path, sorted(missing), sorted(got))
