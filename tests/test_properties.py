@@ -392,3 +392,64 @@ def test_switch_arm_arrows_are_not_lambdas(case):
     language, line, n = case
     hits = _lambda_hits(language, line)
     assert len(hits) == n, (line, hits)
+
+
+# -- extractor vs stdlib ast on GENERATED programs ----------------------------
+# (the fixed-corpus cross-validation lives in test_language_golden; this one
+# drives randomized nesting/decorators/async through the same invariant)
+
+
+@st.composite
+def _py_program(draw):
+    names = iter(f"sym{i}" for i in range(50))
+
+    def block(depth):
+        lines = []
+        for _ in range(draw(st.integers(1, 3 if depth == 0 else 2))):
+            kind = draw(st.sampled_from(["def", "adef", "class", "stmt"]))
+            ind = "    " * depth
+            name = next(names)
+            if kind == "stmt":
+                lines.append(f"{ind}x_{name} = {depth}")
+                continue
+            if draw(st.booleans()):
+                lines.append(f"{ind}@decorator")
+            if kind == "class":
+                base = draw(st.sampled_from(["", "(Base)", "(ns.Base)"]))
+                lines.append(f"{ind}class {name}{base}:")
+            else:
+                kw = "async def" if kind == "adef" else "def"
+                params = draw(
+                    st.sampled_from(["self", "a, b=1", "x: int, *args, **kw", ""])
+                )
+                ret = draw(st.sampled_from(["", " -> int", " -> 'Thing'"]))
+                lines.append(f"{ind}{kw} {name}({params}){ret}:")
+            if depth < 2 and draw(st.booleans()):
+                lines.extend(block(depth + 1))
+            else:
+                lines.append("    " * (depth + 1) + "pass")
+        return lines
+
+    return "\n".join(block(0)) + "\n"
+
+
+@given(_py_program())
+@settings(**SETTINGS)
+def test_python_extractor_superset_of_ast_on_generated(src):
+    """Every ClassDef/FunctionDef/AsyncFunctionDef stdlib ast finds in a
+    generated program is extracted with the same name on the same 0-based
+    line — nesting depth, decorators, async, annotations included."""
+    import ast as pyast
+
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    tree = pyast.parse(src)
+    expected = {
+        (n.name, n.lineno - 1)
+        for n in pyast.walk(tree)
+        if isinstance(n, (pyast.ClassDef, pyast.FunctionDef, pyast.AsyncFunctionDef))
+    }
+    got = {
+        (r[3], r[8]) for r in _extract_one("gen.py", "Python", src) if r[2] == "definition"
+    }
+    assert expected <= got, (sorted(expected - got), src)
