@@ -72,6 +72,9 @@ _LAMBDA_EDGE_TYPES = {
     ("Java", "Lambda", "Lambda"): "LAMBDA_TO_LAMBDA",
     ("CSharp", "Class", "Lambda"): "CLASS_TO_LAMBDA",
     ("CSharp", "Method", "Lambda"): "METHOD_TO_LAMBDA",
+    # rust.rs:291-301 — enum→variant REUSES ClassToMethod rather than
+    # minting a VARIANT edge type; routed through the same override map
+    ("Rust", "Class", "Variant"): "CLASS_TO_METHOD",
 }
 
 
@@ -313,9 +316,10 @@ def build_graph_from_entities(
             for x in ("|".join(pair), etype)
         ]
     )
-    _is_lam = F.col("p.definition_type").isin("Lambda", "Proc") | F.col(
-        "c.definition_type"
-    ).isin("Lambda", "Proc")
+    _is_lam = (
+        F.col("p.definition_type").isin("Lambda", "Proc")
+        | F.col("c.definition_type").isin("Lambda", "Proc", "Variant")
+    )
     hier = (
         child.alias("c")
         .join(

@@ -555,8 +555,12 @@ _CS_PROP_CONT = re.compile(r"^\{\s*(?:\[[^\]]*\]\s*)?(?:get|set|init)\b")
 # namespace+type as top-level; CSharpFqnPartType::Namespace)
 _CS_NS = re.compile(r"^\s*namespace\s+([\w.]+)")
 _RS_DEF = re.compile(
-    r"^(\s*)(?:pub(?:\([\w:]+\))?\s+)?(?:async\s+)?(?:unsafe\s+)?(fn|struct|enum|trait|mod)\s+([A-Za-z_][\w]*)"
+    r"^(\s*)(?:pub(?:\([\w:]+\))?\s+)?(?:async\s+)?(?:unsafe\s+)?(fn|struct|enum|trait|mod|union)\s+([A-Za-z_][\w]*)"
 )
+# enum variant inside a Rust enum body: `Fast,` / `Packet(u32),` /
+# `Point { x: i32 },` / `Flag = 1,` — RustDefinitionType::Variant; gated on
+# the innermost frame being a Rust enum so match arms never match
+_RS_VARIANT = re.compile(r"^(\s*)(?:pub\s+)?([A-Z]\w*)\s*(?:[,({=]|$)")
 # `impl Type` / `impl Trait for Type` opens a method scope: tracked as an
 # enclosing-name frame (methods inside get parent = the impl target) without
 # emitting a definition row — the reference's tree-sitter analyzers likewise
@@ -739,6 +743,10 @@ _KIND_BY_KEYWORD = {
     "mod": "Module",
     "interface": "Interface",
     "trait": "Interface",
+    # Rust union (RustDefinitionType::Union) joins the struct/enum collapse —
+    # this extractor's cross-language vocabulary folds data types onto Class
+    "union": "Class",
+    "variant": "Variant",
 }
 
 
@@ -1401,12 +1409,36 @@ def _extract_one_scan(
                     # receiver type rides on the row so x.f() calls with
                     # x : ExtendMe resolve into this definition
                     ext_recv = em.group(1).split(".")[-1]
+            kind = _kind_name(language, kw, name)
+            if (
+                language == "Rust"
+                and kw == "fn"
+                and stack
+                and stack[-1][2] in type_kws
+            ):
+                # fn hosted in a struct/enum/trait/union/impl body is the
+                # reference's Method / AssociatedFunction — both map their
+                # hierarchy edge to CLASS_TO_METHOD (rust.rs:301-317); only
+                # free functions stay Function
+                kind = "Method"
             yield row(
-                "definition", name, parent, _kind_name(language, kw, name),
+                "definition", name, parent, kind,
                 None, None, ln, line, col, len(name),
                 receiver_type=ext_recv,
             )
             stack.append((indent, name, kw, ln))
+            if language == "Rust" and kw == "enum" and "{" in line:
+                # one-line enum body (`enum Mode { Fast, Slow }`): variants
+                # never reach the per-line scan, so pull them off the brace
+                # body here
+                body_ix = line.index("{")
+                for vm in re.finditer(r"([A-Z]\w*)\s*(?:[,({=]|\}|$)", line[body_ix + 1 :]):
+                    yield row(
+                        "definition", vm.group(1),
+                        ".".join(scope_names()) or None, "Variant",
+                        None, None, ln, line, body_ix + 1 + vm.start(1),
+                        len(vm.group(1)),
+                    )
             if language == "TypeScript" and kw == "class":
                 ts_ih = _TS_EXTENDS.search(line)
                 if ts_ih:
@@ -1607,6 +1639,23 @@ def _extract_one_scan(
                             ln, line, col, len(cls),
                         )
                 elif language == "Rust":
+                    # enum variants are definitions (RustDefinitionType::
+                    # Variant); gate on the innermost frame being a Rust
+                    # enum so match arms / struct fields never match
+                    if stack and stack[-1][2] == "enum":
+                        vm = _RS_VARIANT.match(line)
+                        if vm:
+                            yield row(
+                                "definition", vm.group(2),
+                                ".".join(scope_names()) or None, "Variant",
+                                None, None, ln, line, vm.start(2),
+                                len(vm.group(2)),
+                            )
+                            # a tuple variant (`Data(u32),`) is declaration
+                            # syntax, not a call site — consume the line so
+                            # the bare-call pass never sees it
+                            byte_off += line_bytes
+                            continue
                     rl = _RS_LET.match(line)
                     if rl and (rl.group(2) or rl.group(3)):
                         local_types[rl.group(1)] = rl.group(2) or rl.group(3)

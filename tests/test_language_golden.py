@@ -2435,3 +2435,55 @@ def test_python_extractor_agrees_with_stdlib_ast():
         }
         missing = expected - got
         assert not missing, (path, sorted(missing), sorted(got))
+
+
+def test_rust_variants_unions_and_method_kinds(spark, tmp_path_factory):
+    """Rust kind parity (rust.rs relationship table): enum variants are
+    definitions whose enum edge REUSES CLASS_TO_METHOD; `union` declares a
+    type; fns hosted in a type/impl body are Methods, free fns stay
+    Functions."""
+    corpus = {
+        "src/conn.rs": (
+            "pub enum Mode { Fast, Slow }\n"
+            "pub enum Packet {\n"
+            "    Ping,\n"
+            "    Data(u32),\n"
+            "    Eof = 3,\n"
+            "}\n"
+            "pub union Raw { a: u32, b: f32 }\n"
+            "pub struct Conn;\n"
+            "impl Conn {\n"
+            "    pub fn new() -> Conn { Conn }\n"
+            "    pub fn close(&self) {}\n"
+            "}\n"
+            "pub fn helper() {}\n"
+        ),
+    }
+    kg = _index_corpus(spark, tmp_path_factory, corpus, "rs-kinds")
+    # Rust FQNs are module-path-prefixed (src.conn.Mode.Fast) — key by the
+    # path-free suffix
+    kinds = {
+        r.fqn.split("conn.", 1)[-1]: r.definition_type
+        for r in kg.definitions.select("fqn", "definition_type").collect()
+    }
+    assert kinds["Mode.Fast"] == "Variant" and kinds["Mode.Slow"] == "Variant"
+    assert kinds["Packet.Ping"] == "Variant"
+    assert kinds["Packet.Data"] == "Variant"
+    assert kinds["Packet.Eof"] == "Variant"
+    assert kinds["Raw"] == "Class"
+    assert kinds["Conn.new"] == "Method"  # associated fn — same edge family
+    assert kinds["Conn.close"] == "Method"
+    assert kinds["helper"] == "Function"
+    # enum→variant hierarchy edge reuses CLASS_TO_METHOD (rust.rs:295-301)
+    de = kg.edges["definition_relationships"]
+    d = kg.definitions.select("id", "fqn")
+    edges = {
+        (r.src.split("conn.", 1)[-1], r.tgt.split("conn.", 1)[-1], r.type)
+        for r in de.join(d.withColumnsRenamed({"id": "source_id", "fqn": "src"}), "source_id")
+        .join(d.withColumnsRenamed({"id": "target_id", "fqn": "tgt"}), "target_id")
+        .select("src", "tgt", "type")
+        .collect()
+    }
+    assert ("Mode", "Mode.Fast", "CLASS_TO_METHOD") in edges, sorted(edges)[:20]
+    assert ("Packet", "Packet.Data", "CLASS_TO_METHOD") in edges
+    assert not any(t == "CLASS_TO_VARIANT" for _s, _t2, t in edges)
