@@ -84,16 +84,31 @@ class FsPoller:
     (tmp-write + rename, so the Spark file-stream source never reads a
     partial file)."""
 
-    def __init__(self, projects: dict[str, str], spool_dir: str, interval: float = 0.5):
-        self.projects = projects  # project key → root dir
+    def __init__(
+        self,
+        projects: dict[str, str],
+        spool_dir: str,
+        interval: float = 0.5,
+        refresh_projects=None,
+    ):
+        self.projects = dict(projects)  # project key → root dir
         self.spool_dir = spool_dir
         self.interval = interval
+        self.refresh_projects = refresh_projects  # () -> {key: root}, optional
         self._snaps = {k: snapshot_tree(root) for k, root in projects.items()}
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
     def poll_once(self) -> int:
         """One diff pass over every project; returns events emitted."""
+        if self.refresh_projects is not None:
+            # pick up projects indexed AFTER the watcher started — the
+            # reference adds watch paths as workspaces register
+            try:
+                for key, root in self.refresh_projects().items():
+                    self.watch(key, root)
+            except Exception:  # noqa: BLE001 — a manifest read race is not fatal
+                pass
         lines = []
         now = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
         for key, root in self.projects.items():
@@ -116,6 +131,14 @@ class FsPoller:
                 fh.write("\n".join(lines) + "\n")
             os.rename(tmp, os.path.join(self.spool_dir, f"ev-{uuid.uuid4().hex}.json"))
         return len(lines)
+
+    def watch(self, key: str, root: str) -> None:
+        """Add a project to the watch set mid-flight (the reference's
+        watcher gains projects as workspaces index, watcher.rs watch paths).
+        The initial snapshot is taken NOW, so pre-existing files don't fire."""
+        if key not in self.projects:
+            self._snaps[key] = snapshot_tree(root)
+            self.projects[key] = root
 
     def _run(self) -> None:
         while not self._stop.is_set():
@@ -262,7 +285,12 @@ class LiveReindexer:
 
     def start(self) -> "LiveReindexer":
         projects = self._watched_projects()
-        self.poller = FsPoller(projects, self.spool_dir, self.poll_interval)
+        self.poller = FsPoller(
+            projects,
+            self.spool_dir,
+            self.poll_interval,
+            refresh_projects=self._watched_projects,
+        )
         jobs = debounced_jobs(
             # delete consumed spool files: a server watching for days must
             # not grow its spool dir (or the per-trigger listing) unboundedly

@@ -178,3 +178,34 @@ def test_live_reindex_e2e(spark, tmp_path_factory):
     finally:
         live.stop()
         srv.shutdown()
+
+
+def test_poller_picks_up_projects_indexed_later(tmp_path):
+    """A project indexed AFTER the watcher starts joins the watch set on the
+    next poll (the reference adds watch paths as workspaces register); its
+    pre-existing files do NOT fire events — only subsequent edits do."""
+    from knowledge_graph_spark.streaming.live_watcher import FsPoller
+
+    early = tmp_path / "early"
+    late = tmp_path / "late"
+    spool = tmp_path / "spool"
+    early.mkdir(); late.mkdir(); spool.mkdir()
+    (early / "a.py").write_text("x = 1\n")
+    (late / "pre.py").write_text("pre = 1\n")
+
+    registry = {str(early): str(early)}
+    p = FsPoller(dict(registry), str(spool), interval=0.05,
+                 refresh_projects=lambda: dict(registry))
+    assert p.poll_once() == 0
+    registry[str(late)] = str(late)  # "indexed" while the watcher runs
+    assert p.poll_once() == 0       # snapshot taken now; pre.py silent
+    (late / "new.py").write_text("n = 1\n")
+    assert p.poll_once() == 1       # but new edits fire
+    evs = [
+        json.loads(line)
+        for f in spool.iterdir() if not f.name.endswith(".tmp")
+        for line in f.read_text().splitlines()
+    ]
+    assert [(e["project"], e["path"], e["change_type"]) for e in evs] == [
+        (str(late), "new.py", "created")
+    ]
