@@ -75,6 +75,10 @@ _LAMBDA_EDGE_TYPES = {
     # rust.rs:291-301 — enum→variant REUSES ClassToMethod rather than
     # minting a VARIANT edge type; routed through the same override map
     ("Rust", "Class", "Variant"): "CLASS_TO_METHOD",
+    # java/analyzer.rs:216-217 — Class→EnumConstant maps to
+    # ClassToEnumEntry (Kotlin's EnumEntry snakes to the same name
+    # naturally and needs no entry here)
+    ("Java", "Class", "EnumConstant"): "CLASS_TO_ENUM_ENTRY",
 }
 
 
@@ -318,7 +322,7 @@ def build_graph_from_entities(
     )
     _is_lam = (
         F.col("p.definition_type").isin("Lambda", "Proc")
-        | F.col("c.definition_type").isin("Lambda", "Proc", "Variant")
+        | F.col("c.definition_type").isin("Lambda", "Proc", "Variant", "EnumConstant")
     )
     hier = (
         child.alias("c")

@@ -557,10 +557,21 @@ _CS_NS = re.compile(r"^\s*namespace\s+([\w.]+)")
 _RS_DEF = re.compile(
     r"^(\s*)(?:pub(?:\([\w:]+\))?\s+)?(?:async\s+)?(?:unsafe\s+)?(fn|struct|enum|trait|mod|union)\s+([A-Za-z_][\w]*)"
 )
-# enum variant inside a Rust enum body: `Fast,` / `Packet(u32),` /
-# `Point { x: i32 },` / `Flag = 1,` — RustDefinitionType::Variant; gated on
-# the innermost frame being a Rust enum so match arms never match
-_RS_VARIANT = re.compile(r"^(\s*)(?:pub\s+)?([A-Z]\w*)\s*(?:[,({=]|$)")
+# enum member inside an enum body: `Fast,` / `Packet(u32),` / `Flag = 1,` /
+# Java `RED, GREEN;` (several per line) / Kotlin `NORTH(0),` — gated on the
+# innermost frame being an enum so match arms / method bodies never match;
+# the lookbehind keeps annotations (`@Deprecated`) and dotted paths out
+_ENUM_ENTRY = re.compile(r"(?<![@.\w])([A-Z]\w*)\s*(?:[,;({=]|\}|$)")
+_ENUM_ENTRY_KIND = {
+    # the reference's per-language member kind names (RustDefinitionType::
+    # Variant, JavaDefinitionType::EnumConstant, KotlinDefinitionType::
+    # EnumEntry); Java/Rust edge names are overridden in build.py to the
+    # reference's reused edge types, Kotlin's snakes naturally to
+    # CLASS_TO_ENUM_ENTRY
+    "Rust": "Variant",
+    "Java": "EnumConstant",
+    "Kotlin": "EnumEntry",
+}
 # `impl Type` / `impl Trait for Type` opens a method scope: tracked as an
 # enclosing-name frame (methods inside get parent = the impl target) without
 # emitting a definition row — the reference's tree-sitter analyzers likewise
@@ -1034,6 +1045,7 @@ def _extract_one_scan(
     pkg: str | None = None  # Java/Kotlin `package` declaration
     local_types: dict[str, str] = {}  # per-def local var → constant type
     local_names: set[str] = set()  # per-def assigned locals (Ruby bare-RHS)
+    enum_closed: set[tuple] = set()  # enum frames past their `;` constants section
     ivar_types: dict[str, str] = {}  # per-file @ivar / field → type
     class_supers: dict[str, str] = {}  # per-file class → superclass (super.x())
     fun_ret_types: dict[str, str] = {}  # Kotlin expression-bodied fun → type
@@ -1376,6 +1388,15 @@ def _extract_one_scan(
                         )
         if hit:
             indent, kw, name = hit
+            if (
+                language == "Kotlin"
+                and kw == "class"
+                and re.search(r"\benum\s+class\b", line)
+            ):
+                # `enum class` frames must read as enums so their entries
+                # extract (KotlinDefinitionType::EnumEntry); the definition
+                # row's kind is Class either way
+                kw = "enum"
             while stack and stack[-1][0] >= indent:
                 _f = stack.pop()
                 if _f[3] is not None:
@@ -1427,15 +1448,16 @@ def _extract_one_scan(
                 receiver_type=ext_recv,
             )
             stack.append((indent, name, kw, ln))
-            if language == "Rust" and kw == "enum" and "{" in line:
-                # one-line enum body (`enum Mode { Fast, Slow }`): variants
+            if language in _ENUM_ENTRY_KIND and kw == "enum" and "{" in line:
+                # one-line enum body (`enum Mode { Fast, Slow }`): members
                 # never reach the per-line scan, so pull them off the brace
                 # body here
                 body_ix = line.index("{")
-                for vm in re.finditer(r"([A-Z]\w*)\s*(?:[,({=]|\}|$)", line[body_ix + 1 :]):
+                for vm in _ENUM_ENTRY.finditer(line[body_ix + 1 :]):
                     yield row(
                         "definition", vm.group(1),
-                        ".".join(scope_names()) or None, "Variant",
+                        ".".join(scope_names()) or None,
+                        _ENUM_ENTRY_KIND[language],
                         None, None, ln, line, body_ix + 1 + vm.start(1),
                         len(vm.group(1)),
                     )
@@ -1596,6 +1618,59 @@ def _extract_one_scan(
                     ln, line, 0, len(line),
                 )
             else:
+                # enum members are DEFINITIONS with a CLASS_TO_ENUM_ENTRY /
+                # CLASS_TO_METHOD edge (java/analyzer.rs:216, kotlin/
+                # analyzer.rs:230, rust.rs:295): gated on the innermost frame
+                # being an enum, and (Java/Kotlin) only until the `;` that
+                # closes the constants section — a package-private enum
+                # constructor after it must not read as a constant
+                _line_ind = len(line) - len(line.lstrip())
+                _eff_enum = next(
+                    (f for f in reversed(stack) if f[0] < _line_ind), None
+                )
+                if (
+                    language in _ENUM_ENTRY_KIND
+                    and _eff_enum is not None
+                    and _eff_enum[2] == "enum"
+                ):
+                    # one-line member frames (a field def) would be popped by
+                    # the NEXT def line; pop them now so the enum is the real
+                    # innermost scope for entry/constructor attribution
+                    while stack and stack[-1][0] >= _line_ind:
+                        _f2 = stack.pop()
+                        if _f2[3] is not None:
+                            spans.append((_f2[1], _f2[3], ln - 1))
+                    if stack[-1] not in enum_closed:
+                        emitted_entry = False
+                        for vm in _ENUM_ENTRY.finditer(line):
+                            yield row(
+                                "definition", vm.group(1),
+                                ".".join(scope_names()) or None,
+                                _ENUM_ENTRY_KIND[language],
+                                None, None, ln, line, vm.start(1),
+                                len(vm.group(1)),
+                            )
+                            emitted_entry = True
+                        if language in ("Java", "Kotlin") and ";" in line:
+                            enum_closed.add(stack[-1])
+                        if emitted_entry:
+                            # declaration syntax, not call sites (`Data(u32),`)
+                            byte_off += line_bytes
+                            continue
+                    elif language == "Java" and re.match(
+                        r"^\s*" + re.escape(stack[-1][1]) + r"\s*\(", line
+                    ):
+                        # package-private enum constructor (`Color(int c) {`)
+                        # — a Constructor definition (the modifier-anchored
+                        # _CTOR can't see it), never a bare call
+                        yield row(
+                            "definition", stack[-1][1],
+                            ".".join(scope_names()) or None, "Method",
+                            None, None, ln, line, line.find(stack[-1][1]),
+                            len(stack[-1][1]),
+                        )
+                        byte_off += line_bytes
+                        continue
                 ctor_cols: set[int] = set()
                 if language == "Java":
                     vd = _JAVA_VAR_DECL.match(line)
@@ -1639,23 +1714,6 @@ def _extract_one_scan(
                             ln, line, col, len(cls),
                         )
                 elif language == "Rust":
-                    # enum variants are definitions (RustDefinitionType::
-                    # Variant); gate on the innermost frame being a Rust
-                    # enum so match arms / struct fields never match
-                    if stack and stack[-1][2] == "enum":
-                        vm = _RS_VARIANT.match(line)
-                        if vm:
-                            yield row(
-                                "definition", vm.group(2),
-                                ".".join(scope_names()) or None, "Variant",
-                                None, None, ln, line, vm.start(2),
-                                len(vm.group(2)),
-                            )
-                            # a tuple variant (`Data(u32),`) is declaration
-                            # syntax, not a call site — consume the line so
-                            # the bare-call pass never sees it
-                            byte_off += line_bytes
-                            continue
                     rl = _RS_LET.match(line)
                     if rl and (rl.group(2) or rl.group(3)):
                         local_types[rl.group(1)] = rl.group(2) or rl.group(3)

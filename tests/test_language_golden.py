@@ -2487,3 +2487,75 @@ def test_rust_variants_unions_and_method_kinds(spark, tmp_path_factory):
     assert ("Mode", "Mode.Fast", "CLASS_TO_METHOD") in edges, sorted(edges)[:20]
     assert ("Packet", "Packet.Data", "CLASS_TO_METHOD") in edges
     assert not any(t == "CLASS_TO_VARIANT" for _s, _t2, t in edges)
+
+
+def test_java_kotlin_enum_entries_extract():
+    """Enum members are definitions: Java EnumConstants (several per line,
+    ctor args, `;`-terminated section) with the package-private constructor
+    AFTER the `;` read as a Constructor-family definition rather than a
+    call; Kotlin EnumEntries (annotated, arg-bearing, one-line bodies) —
+    both edge to CLASS_TO_ENUM_ENTRY (java/analyzer.rs:216,
+    kotlin/analyzer.rs:230)."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    jv = list(_extract_one(
+        "Color.java", "Java",
+        "package p;\n"
+        "public enum Color {\n"
+        "    RED(0xFF0000), GREEN, BLUE;\n"
+        "    private final int code;\n"
+        "    Color(int code) { this.code = code; }\n"
+        "    public int getCode() { return code; }\n"
+        "}\n",
+    ))
+    kinds = {(r[3], r[5]) for r in jv if r[2] == "definition"}
+    assert {("RED", "EnumConstant"), ("GREEN", "EnumConstant"), ("BLUE", "EnumConstant")} <= kinds
+    assert ("Color", "Method") in kinds  # the package-private constructor
+    assert not any(r[2] == "call" and r[3] == "Color" for r in jv)
+
+    kt = list(_extract_one(
+        "D.kt", "Kotlin",
+        "package p\n"
+        "enum class Direction(val deg: Int) {\n"
+        "    NORTH(0),\n"
+        "    @Deprecated SOUTH(180),\n"
+        "    EAST(90);\n"
+        "    fun turn() {}\n"
+        "}\n"
+        "enum class Tiny { A, B }\n",
+    ))
+    kk = {(r[3], r[4], r[5]) for r in kt if r[2] == "definition"}
+    assert ("NORTH", "p.Direction", "EnumEntry") in kk
+    assert ("SOUTH", "p.Direction", "EnumEntry") in kk
+    assert ("EAST", "p.Direction", "EnumEntry") in kk
+    assert ("turn", "p.Direction", "Function") in kk  # past the `;`
+    assert ("A", "p.Tiny", "EnumEntry") in kk and ("B", "p.Tiny", "EnumEntry") in kk
+    assert ("Deprecated", "p.Direction", "EnumEntry") not in kk  # annotation
+
+
+def test_enum_entry_edges_class_to_enum_entry(spark, tmp_path_factory):
+    """The hierarchy edge for Java EnumConstant / Kotlin EnumEntry is
+    CLASS_TO_ENUM_ENTRY in both languages (Java via the override map,
+    Kotlin via natural snake-casing)."""
+    corpus = {
+        "p/Color.java": (
+            "package p;\n"
+            "public enum Color {\n    RED, GREEN;\n}\n"
+        ),
+        "p/Dir.kt": (
+            "package p\n"
+            "enum class Dir { UP, DOWN }\n"
+        ),
+    }
+    kg = _index_corpus(spark, tmp_path_factory, corpus, "enum-edges")
+    de = kg.edges["definition_relationships"]
+    d = kg.definitions.select("id", "fqn")
+    edges = {
+        (r.src.split(".")[-1], r.tgt.split(".")[-1], r.type)
+        for r in de.join(d.withColumnsRenamed({"id": "source_id", "fqn": "src"}), "source_id")
+        .join(d.withColumnsRenamed({"id": "target_id", "fqn": "tgt"}), "target_id")
+        .select("src", "tgt", "type").collect()
+    }
+    assert ("Color", "RED", "CLASS_TO_ENUM_ENTRY") in edges, sorted(edges)[:20]
+    assert ("Dir", "UP", "CLASS_TO_ENUM_ENTRY") in edges
+    assert not any("ENUM_CONSTANT" in t for _a, _b, t in edges)
