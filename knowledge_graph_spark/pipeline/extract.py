@@ -525,6 +525,14 @@ _CS_METHOD_BARE = re.compile(
     r"|break|continue|yield|await|using|lock|var|base|this|try|catch|finally)\b)"
     r"[A-Za-z_][\w]*(?:<[^;={}]*>)?(?:\[\])*\??\s+([A-Za-z_][\w]*)\s*\("
 )
+_CS_DELEGATE = re.compile(
+    # `public delegate void Handler(int x);` — CSharpDefinitionType::Delegate,
+    # which the reference SIMPLIFIES to Class before indexing (csharp.rs:280);
+    # Event and Field simplify to None there and are deliberately not
+    # extracted here either
+    r"^(\s*)(?:public\s+|private\s+|protected\s+|internal\s+)*delegate\s+"
+    r"[\w<>\[\],.\s?]+\s+([A-Za-z_][\w]*)\s*\("
+)
 _CS_IMPORT = re.compile(r"^\s*(?:global\s+)?using\s+(?:static\s+)?([\w.]+)\s*;")
 # `using Alias = Some.Deep.Type;` — namespace/type alias directive: the
 # imported name is the aliased target's last segment, Alias is the alias
@@ -758,6 +766,8 @@ _KIND_BY_KEYWORD = {
     # this extractor's cross-language vocabulary folds data types onto Class
     "union": "Class",
     "variant": "Variant",
+    # C# delegate — the reference simplifies it to Class (csharp.rs:280)
+    "delegate": "Class",
 }
 
 
@@ -943,6 +953,10 @@ def _match_def(language: str, line: str):
         m = _CS_PROP.match(line)
         if m:
             return len(m.group(1)), "property", m.group(2)
+        # delegate before method: its signature shape also matches _CS_METHOD
+        m = _CS_DELEGATE.match(line)
+        if m:
+            return len(m.group(1)), "delegate", m.group(2)
         m = _CS_METHOD.match(line)
         if m:
             return len(m.group(1)), "method", m.group(2)

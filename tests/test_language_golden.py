@@ -2559,3 +2559,23 @@ def test_enum_entry_edges_class_to_enum_entry(spark, tmp_path_factory):
     assert ("Color", "RED", "CLASS_TO_ENUM_ENTRY") in edges, sorted(edges)[:20]
     assert ("Dir", "UP", "CLASS_TO_ENUM_ENTRY") in edges
     assert not any("ENUM_CONSTANT" in t for _a, _b, t in edges)
+
+
+def test_csharp_delegate_and_event_simplification():
+    """csharp.rs:276-292 simplify rules: Delegate indexes as a Class
+    definition; Event (and Field) simplify to None and must NOT extract."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    src = (
+        "namespace N {\n"
+        "  public delegate void Handler(int x);\n"
+        "  public class Bus {\n"
+        "    public event Handler Changed;\n"
+        "    public void Fire() { }\n"
+        "  }\n"
+        "}\n"
+    )
+    defs = {(r[3], r[5]) for r in _extract_one("b.cs", "CSharp", src) if r[2] == "definition"}
+    assert ("Handler", "Class") in defs
+    assert ("Bus", "Class") in defs and ("Fire", "Method") in defs
+    assert all(n != "Changed" for n, _k in defs)  # events are not indexed
