@@ -348,6 +348,18 @@ _KT_EXT_PROP = re.compile(
     r"(?::\s*([A-Za-z_][\w.]*)(?:<[^>]*>)?\s*\??)?\s*$"
 )
 _KT_GETTER = re.compile(r"^\s*get\(\)\s*=\s*(.+)$")
+# class-body / top-level `val`/`var` — KotlinDefinitionType::Property (a
+# first-class indexed kind, kotlin/analyzer.rs:221-245,300: Class→Property
+# is CLASS_TO_PROPERTY, Interface→Property INTERFACE_TO_PROPERTY); function
+# bodies are LocalVariable there, which simplifies to None — excluded here
+# by the innermost-frame gate at the call site. Lowercase-initial name
+# keeps the extension-property receiver form (`val User.twin`) out — that
+# one gets its definition row in the ext-prop branch.
+_KT_PROP = re.compile(
+    r"^(\s*)(?:private\s+|protected\s+|public\s+|internal\s+|open\s+"
+    r"|override\s+|final\s+|const\s+|lateinit\s+)*"
+    r"(?:val|var)\s+([a-z_][\w]*)\s*(?::|=|$)"
+)
 
 # ---------------------------------------------------------------------------
 # Lambda / proc definitions (relationship.rs:36-66 LAMBDA_TO_*/CLASS_TO_PROC;
@@ -1375,9 +1387,10 @@ def _extract_one_scan(
                 ep = _KT_EXT_PROP.match(line)
                 if ep:
                     # extension property: record (receiver, name, result
-                    # type) as an ext_member typing row — NOT a definition
-                    # node; the reference's tests only assert the EDGES the
-                    # property's type enables (kotlin/tests.rs:517-538)
+                    # type) as an ext_member typing row for the one-hop
+                    # member resolution (kotlin/tests.rs:517-538); the
+                    # Property DEFINITION row is emitted below
+
                     ptype = ep.group(3).split(".")[-1] if ep.group(3) else None
                     if ptype is None:
                         for off in range(1, 4):
@@ -1400,6 +1413,43 @@ def _extract_one_scan(
                             receiver_type=ep.group(1).split(".")[-1],
                             member_type=ptype,
                         )
+                # effective enclosing chain at this line's indent — frames a
+                # def line HERE would pop must not contribute (non-def lines
+                # never pop, so a finished fun's frame may still linger)
+                def _kt_eff_parent(_ind: int) -> str | None:
+                    names = [f[1] for f in stack if f[0] < _ind]
+                    prefix = pkg if pkg else path.rsplit(".", 1)[0].replace("/", ".")
+                    return ".".join(prefix.split(".") + names) or None
+
+                if ep:
+                    # the extension property is ALSO a Property definition
+                    # with a receiver-free FQN, like extension functions
+                    # (KotlinDefinitionType::Property)
+                    yield row(
+                        "definition", ep.group(2),
+                        _kt_eff_parent(len(line) - len(line.lstrip())),
+                        "Property",
+                        None, None, ln, line, ep.start(2), len(ep.group(2)),
+                        receiver_type=ep.group(1).split(".")[-1],
+                    )
+                else:
+                    # class-body / top-level property: Property definition
+                    # when the innermost frame surviving this indent is a
+                    # TYPE or absent — function bodies are LocalVariable in
+                    # the reference and simplify to None (not indexed)
+                    pm2 = _KT_PROP.match(line)
+                    if pm2:
+                        _p_ind = len(line) - len(line.lstrip())
+                        _host = next(
+                            (f for f in reversed(stack) if f[0] < _p_ind), None
+                        )
+                        if _host is None or _host[2] in type_kws:
+                            yield row(
+                                "definition", pm2.group(2),
+                                _kt_eff_parent(_p_ind), "Property",
+                                None, None, ln, line, pm2.start(2),
+                                len(pm2.group(2)),
+                            )
         if hit:
             indent, kw, name = hit
             if (

@@ -651,10 +651,12 @@ _KT_CORPUS = {
         "}\n"
     ),
 }
-# hand-counted: defs per file 6/5/... — Person, Person.getName, User,
-# User.getName, Admin, Admin.getName (6) + Config, pick, direct (3) +
-# shout, useExt (2) = 11; imports 3 + 1 = 4
-_KT_CORPUS_DEFS = 11
+# hand-counted: Person, Person.getName, User, User.getName, Admin,
+# Admin.getName (6) + Config, Config.kind [Property, r6], pick, direct (4)
+# + shout, twin [extension Property, r6], useExt (3) = 13; imports 3+1 = 4.
+# Function-body vals (p, u) are LocalVariable in the reference — not
+# indexed (kotlin/analyzer.rs simplify → None), so not counted.
+_KT_CORPUS_DEFS = 13
 _KT_CORPUS_IMPORTS = 4
 
 

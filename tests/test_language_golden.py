@@ -2579,3 +2579,66 @@ def test_csharp_delegate_and_event_simplification():
     assert ("Handler", "Class") in defs
     assert ("Bus", "Class") in defs and ("Fire", "Method") in defs
     assert all(n != "Changed" for n, _k in defs)  # events are not indexed
+
+
+def test_kotlin_property_definitions():
+    """KotlinDefinitionType::Property is a first-class indexed kind
+    (kotlin/analyzer.rs:221-245,300): class-body and top-level val/var are
+    Property definitions (incl. receiver-free extension properties);
+    function-body vals are LocalVariable there and simplify to None —
+    not extracted."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    src = (
+        "package corp.app\n"
+        "class Config {\n"
+        "    val kind: String = \"a\"\n"
+        "    private var count = 0\n"
+        "    fun get(): String {\n"
+        "        val local = kind\n"
+        "        return local\n"
+        "    }\n"
+        "}\n"
+        "val topLevel = Config()\n"
+        "val Config.twin: Config\n"
+        "    get() = Config()\n"
+        "interface I {\n"
+        "    val required: Int\n"
+        "}\n"
+    )
+    defs = {
+        (r[3], r[4], r[5]) for r in _extract_one("C.kt", "Kotlin", src) if r[2] == "definition"
+    }
+    assert ("kind", "corp.app.Config", "Property") in defs
+    assert ("count", "corp.app.Config", "Property") in defs
+    assert ("topLevel", "corp.app", "Property") in defs  # effective top-level parent
+    assert ("twin", "corp.app", "Property") in defs      # receiver-free ext property
+    assert ("required", "corp.app.I", "Property") in defs
+    assert all(n != "local" for n, _p, _k in defs)  # function body → LocalVariable → None
+
+
+def test_kotlin_property_hierarchy_edges(spark, tmp_path_factory):
+    """Class→Property is CLASS_TO_PROPERTY, Interface→Property is
+    INTERFACE_TO_PROPERTY (kotlin/analyzer.rs:221,243)."""
+    corpus = {
+        "p/M.kt": (
+            "package p\n"
+            "class Box {\n"
+            "    val size: Int = 1\n"
+            "}\n"
+            "interface Shape {\n"
+            "    val area: Int\n"
+            "}\n"
+        ),
+    }
+    kg = _index_corpus(spark, tmp_path_factory, corpus, "kt-props")
+    de = kg.edges["definition_relationships"]
+    d = kg.definitions.select("id", "fqn")
+    edges = {
+        (r.src.split(".")[-1], r.tgt.split(".")[-1], r.type)
+        for r in de.join(d.withColumnsRenamed({"id": "source_id", "fqn": "src"}), "source_id")
+        .join(d.withColumnsRenamed({"id": "target_id", "fqn": "tgt"}), "target_id")
+        .select("src", "tgt", "type").collect()
+    }
+    assert ("Box", "size", "CLASS_TO_PROPERTY") in edges, sorted(edges)[:20]
+    assert ("Shape", "area", "INTERFACE_TO_PROPERTY") in edges
