@@ -79,6 +79,11 @@ _LAMBDA_EDGE_TYPES = {
     # ClassToEnumEntry (Kotlin's EnumEntry snakes to the same name
     # naturally and needs no entry here)
     ("Java", "Class", "EnumConstant"): "CLASS_TO_ENUM_ENTRY",
+    # kotlin/analyzer.rs:218-219,240-241 — a Function hosted in a type is a
+    # METHOD edge-wise (Kotlin has one Function kind; the reference's edge
+    # table names the pair ClassToMethod / InterfaceToMethod)
+    ("Kotlin", "Class", "Function"): "CLASS_TO_METHOD",
+    ("Kotlin", "Interface", "Function"): "INTERFACE_TO_METHOD",
 }
 
 
@@ -320,9 +325,12 @@ def build_graph_from_entities(
             for x in ("|".join(pair), etype)
         ]
     )
+    # lambda pairs are GATED by the map (unmapped pair → no edge, matching
+    # the per-language analyzer tables); all other overridden pairs fall
+    # back to the generic name when unmapped, so they ride the coalesce
     _is_lam = (
         F.col("p.definition_type").isin("Lambda", "Proc")
-        | F.col("c.definition_type").isin("Lambda", "Proc", "Variant", "EnumConstant")
+        | F.col("c.definition_type").isin("Lambda", "Proc")
     )
     hier = (
         child.alias("c")
@@ -336,8 +344,21 @@ def build_graph_from_entities(
             F.col("c.id").alias("target_id"),
             F.lit("definition_nodes").alias("source_table"),
             F.lit("definition_nodes").alias("target_table"),
-            F.when(
-                _is_lam,
+            (
+                lambda _ov: F.when(_is_lam, _ov).otherwise(
+                    # non-lambda pairs: the override map wins when present
+                    # (reference edge-name reuse — Variant/EnumConstant/
+                    # Kotlin Function), else the generic UPPER_SNAKE pair
+                    F.coalesce(
+                        _ov,
+                        F.concat(
+                            _snake(F.col("p.definition_type")),
+                            F.lit("_TO_"),
+                            _snake(F.col("c.definition_type")),
+                        ),
+                    )
+                )
+            )(
                 _lam_map[
                     F.concat_ws(
                         "|",
@@ -345,16 +366,8 @@ def build_graph_from_entities(
                         F.col("p.definition_type"),
                         F.col("c.definition_type"),
                     )
-                ],
-            )
-            .otherwise(
-                F.concat(
-                    _snake(F.col("p.definition_type")),
-                    F.lit("_TO_"),
-                    _snake(F.col("c.definition_type")),
-                )
-            )
-            .alias("type"),
+                ]
+            ).alias("type"),
         )
         .filter(F.col("type").isNotNull())
     )

@@ -923,6 +923,10 @@ def _kind_name(language: str, keyword: str, name: str) -> str:
         # Ruby `def self.x` — the reference's distinct SingletonMethod
         # definition type (parser RubyDefinitionType::SingletonMethod)
         return "SingletonMethod"
+    if language == "Kotlin" and keyword == "object":
+        # kotlin/analyzer.rs:293-294: Object and CompanionObject SIMPLIFY to
+        # Class before indexing — only Ruby/Rust modules stay Module
+        return "Class"
     mapped = _KIND_BY_KEYWORD.get(keyword)
     if mapped:
         return mapped

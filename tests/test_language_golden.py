@@ -2642,3 +2642,50 @@ def test_kotlin_property_hierarchy_edges(spark, tmp_path_factory):
     }
     assert ("Box", "size", "CLASS_TO_PROPERTY") in edges, sorted(edges)[:20]
     assert ("Shape", "area", "INTERFACE_TO_PROPERTY") in edges
+
+
+def test_kotlin_object_simplifies_to_class_and_method_edges(spark, tmp_path_factory):
+    """kotlin/analyzer.rs:293-294: Object and CompanionObject simplify to
+    Class; kotlin/analyzer.rs:218-219,240-241: a Function hosted in a
+    class/interface edges as CLASS_TO_METHOD / INTERFACE_TO_METHOD (never
+    the generic CLASS_TO_FUNCTION). Ruby/Rust modules keep Module."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    kinds = {
+        (r[3], r[5])
+        for r in _extract_one(
+            "T.kt", "Kotlin",
+            "package p\nobject Tool {\n    fun run() {}\n}\n"
+            "class C {\n    companion object {\n        fun make() {}\n    }\n}\n",
+        )
+        if r[2] == "definition"
+    }
+    assert ("Tool", "Class") in kinds and ("Companion", "Class") in kinds
+    rb = {
+        (r[3], r[5])
+        for r in _extract_one("m.rb", "Ruby", "module Util\n  def self.go; end\nend\n")
+        if r[2] == "definition"
+    }
+    assert ("Util", "Module") in rb  # Ruby modules are REAL modules
+
+    corpus = {
+        "p/S.kt": (
+            "package p\n"
+            "class Svc {\n    fun run() {}\n}\n"
+            "interface Api {\n    fun call()\n}\n"
+            "object Tool {\n    fun go() {}\n}\n"
+        ),
+    }
+    kg = _index_corpus(spark, tmp_path_factory, corpus, "kt-objedges")
+    de = kg.edges["definition_relationships"]
+    d = kg.definitions.select("id", "fqn")
+    edges = {
+        (r.src.split(".")[-1], r.tgt.split(".")[-1], r.type)
+        for r in de.join(d.withColumnsRenamed({"id": "source_id", "fqn": "src"}), "source_id")
+        .join(d.withColumnsRenamed({"id": "target_id", "fqn": "tgt"}), "target_id")
+        .select("src", "tgt", "type").collect()
+    }
+    assert ("Svc", "run", "CLASS_TO_METHOD") in edges, sorted(edges)[:20]
+    assert ("Api", "call", "INTERFACE_TO_METHOD") in edges
+    assert ("Tool", "go", "CLASS_TO_METHOD") in edges  # object → Class
+    assert not any(t in ("CLASS_TO_FUNCTION", "MODULE_TO_FUNCTION") for _a, _b, t in edges)
