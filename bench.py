@@ -170,7 +170,9 @@ def main() -> None:
         # (r5 verdict: every number must trace to a committed artifact).
         out_name = "BENCH_LOCAL.json"
         if "--out" in sys.argv:
-            out_name = sys.argv[sys.argv.index("--out") + 1]
+            ix = sys.argv.index("--out") + 1
+            if ix < len(sys.argv):  # a bare trailing --out must not
+                out_name = sys.argv[ix]  # IndexError away the artifact
         with open(os.path.join(os.path.dirname(__file__), out_name), "w") as f:
             # the local copy additionally carries every raw run for the
             # ≥10s (median-of-3) queries — min/median/max transparency

@@ -359,6 +359,25 @@ def register_mcp_config(config_path: str, port: int) -> None:
         json.dump(cfg, f, indent=2)
 
 
+def _detached_child_cmd(args, port: int) -> list:
+    """argv for the detached serving child — every serving-relevant flag
+    must be forwarded (--disable-tool was silently dropped; ADVICE r7)."""
+    cmd = [
+        sys.executable,
+        "-m",
+        "knowledge_graph_spark.cli",
+        "server",
+        "start",
+        "--port",
+        str(port),
+    ]
+    if getattr(args, "enable_reindexing", False):
+        cmd.append("--enable-reindexing")  # the child serves; it watches
+    for t in getattr(args, "disable_tool", None) or []:
+        cmd += ["--disable-tool", t]
+    return cmd
+
+
 def cmd_server_start(args) -> int:
     lock = read_lock()
     adopting = (
@@ -383,17 +402,7 @@ def cmd_server_start(args) -> int:
         if getattr(args, "register_mcp", None):
             register_mcp_config(args.register_mcp, port)
         print_server_info(port)
-        cmd = [
-            sys.executable,
-            "-m",
-            "knowledge_graph_spark.cli",
-            "server",
-            "start",
-            "--port",
-            str(port),
-        ]
-        if getattr(args, "enable_reindexing", False):
-            cmd.append("--enable-reindexing")  # the child serves; it watches
+        cmd = _detached_child_cmd(args, port)
         subprocess.Popen(
             cmd,
             stdin=subprocess.DEVNULL,

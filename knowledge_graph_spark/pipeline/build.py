@@ -84,6 +84,10 @@ _LAMBDA_EDGE_TYPES = {
     # table names the pair ClassToMethod / InterfaceToMethod)
     ("Kotlin", "Class", "Function"): "CLASS_TO_METHOD",
     ("Kotlin", "Interface", "Function"): "INTERFACE_TO_METHOD",
+    # rust.rs:299-304 — Trait→Method (a trait default method) reuses
+    # ClassToMethod, not InterfaceToMethod; Rust traits extract as
+    # Interface here, so the pair needs an explicit override
+    ("Rust", "Interface", "Method"): "CLASS_TO_METHOD",
 }
 
 

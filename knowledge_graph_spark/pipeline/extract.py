@@ -579,9 +579,64 @@ _RS_DEF = re.compile(
 )
 # enum member inside an enum body: `Fast,` / `Packet(u32),` / `Flag = 1,` /
 # Java `RED, GREEN;` (several per line) / Kotlin `NORTH(0),` — gated on the
-# innermost frame being an enum so match arms / method bodies never match;
-# the lookbehind keeps annotations (`@Deprecated`) and dotted paths out
-_ENUM_ENTRY = re.compile(r"(?<![@.\w])([A-Z]\w*)\s*(?:[,;({=]|\}|$)")
+# innermost frame being an enum so match arms / method bodies never match
+_ENUM_ENTRY_NAME = re.compile(r"[A-Z]\w*")
+
+
+def _enum_entries(segment: str):
+    """Yield (name, col) for enum members in declaration position only:
+    bracket-depth 0 of *segment*, anchored at the segment start or right
+    after a depth-0 comma (annotations/attributes are transparent).
+
+    A flat regex scan emitted spurious definitions from entry PAYLOADS —
+    Rust `Payload(HashMap<String, Value>),` yielded a bogus `String`
+    Variant, `Pair(A, B),` bogus `A`, Java `RED(new Hue(255)),` a bogus
+    `Hue` constant — because a one-char lookbehind can't see nesting. The
+    reference's tree-sitter grammars surface only enum_variant /
+    enum_constant nodes (rust.rs:295, java/analyzer.rs:216), so this
+    tracks paren depth across the segment instead.
+    """
+    depth = 0
+    anchor = True
+    i, n = 0, len(segment)
+    while i < n:
+        ch = segment[i]
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]":
+            depth = max(0, depth - 1)
+            if ch == "]" and depth == 0:
+                # a closed `#[attr]` keeps declaration position
+                anchor = True
+        elif ch == "}":
+            depth = max(0, depth - 1)
+        elif depth == 0:
+            if ch == ",":
+                anchor = True
+            elif ch == ";":
+                # Java/Kotlin: `;` closes the constants section — nothing
+                # after it on this line is an entry (Rust bodies have no
+                # depth-0 `;`)
+                return
+            elif ch == "@":
+                m = re.match(r"@[\w.]*", segment[i:])
+                i += m.end()
+                continue
+            elif anchor and "A" <= ch <= "Z":
+                m = _ENUM_ENTRY_NAME.match(segment, i)
+                name = m.group(0)
+                j = m.end()
+                while j < n and segment[j] in " \t":
+                    j += 1
+                nxt = segment[j] if j < n else ""
+                if nxt in ",;({=}" or nxt == "":
+                    yield name, i
+                anchor = False
+                i = m.end()
+                continue
+            elif ch not in " \t":
+                anchor = False
+        i += 1
 _ENUM_ENTRY_KIND = {
     # the reference's per-language member kind names (RustDefinitionType::
     # Variant, JavaDefinitionType::EnumConstant, KotlinDefinitionType::
@@ -1503,12 +1558,15 @@ def _extract_one_scan(
                 language == "Rust"
                 and kw == "fn"
                 and stack
-                and stack[-1][2] in type_kws
+                and (stack[-1][2] in type_kws or stack[-1][2] in ("trait", "union"))
             ):
                 # fn hosted in a struct/enum/trait/union/impl body is the
                 # reference's Method / AssociatedFunction — both map their
                 # hierarchy edge to CLASS_TO_METHOD (rust.rs:301-317); only
-                # free functions stay Function
+                # free functions stay Function. `trait`/`union` frames keep
+                # their literal kw (they're not in the cross-language
+                # type_kws set), so they're named here explicitly — trait
+                # default methods were staying Function (ADVICE r7)
                 kind = "Method"
             yield row(
                 "definition", name, parent, kind,
@@ -1521,13 +1579,13 @@ def _extract_one_scan(
                 # never reach the per-line scan, so pull them off the brace
                 # body here
                 body_ix = line.index("{")
-                for vm in _ENUM_ENTRY.finditer(line[body_ix + 1 :]):
+                for vname, vcol in _enum_entries(line[body_ix + 1 :]):
                     yield row(
-                        "definition", vm.group(1),
+                        "definition", vname,
                         ".".join(scope_names()) or None,
                         _ENUM_ENTRY_KIND[language],
-                        None, None, ln, line, body_ix + 1 + vm.start(1),
-                        len(vm.group(1)),
+                        None, None, ln, line, body_ix + 1 + vcol,
+                        len(vname),
                     )
             if language == "TypeScript" and kw == "class":
                 ts_ih = _TS_EXTENDS.search(line)
@@ -1710,13 +1768,13 @@ def _extract_one_scan(
                             spans.append((_f2[1], _f2[3], ln - 1))
                     if stack[-1] not in enum_closed:
                         emitted_entry = False
-                        for vm in _ENUM_ENTRY.finditer(line):
+                        for vname, vcol in _enum_entries(line):
                             yield row(
-                                "definition", vm.group(1),
+                                "definition", vname,
                                 ".".join(scope_names()) or None,
                                 _ENUM_ENTRY_KIND[language],
-                                None, None, ln, line, vm.start(1),
-                                len(vm.group(1)),
+                                None, None, ln, line, vcol,
+                                len(vname),
                             )
                             emitted_entry = True
                         if language in ("Java", "Kotlin") and ";" in line:

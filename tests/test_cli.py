@@ -273,3 +273,23 @@ def test_cli_server_lifecycle_and_clean(cli_env):
     r = run_cli(cli_env, "devtools", "list", timeout=60)
     assert r.returncode == 0
     assert cli_env["proj"] not in r.stdout
+
+
+def test_detached_child_cmd_forwards_gating_flags():
+    """The detached parent's child argv carries --enable-reindexing AND
+    every --disable-tool — dropping the latter silently served all MCP
+    tools (ADVICE r7)."""
+    from types import SimpleNamespace
+
+    from knowledge_graph_spark.cli import _detached_child_cmd
+
+    args = SimpleNamespace(
+        enable_reindexing=True, disable_tool=["index_project", "search"]
+    )
+    cmd = _detached_child_cmd(args, 4242)
+    assert cmd[-7:] == [
+        "--port", "4242", "--enable-reindexing",
+        "--disable-tool", "index_project", "--disable-tool", "search",
+    ]
+    bare = _detached_child_cmd(SimpleNamespace(), 1)
+    assert "--enable-reindexing" not in bare and "--disable-tool" not in bare

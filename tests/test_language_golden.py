@@ -2558,6 +2558,74 @@ def test_enum_entry_edges_class_to_enum_entry(spark, tmp_path_factory):
     }
     assert ("Color", "RED", "CLASS_TO_ENUM_ENTRY") in edges, sorted(edges)[:20]
     assert ("Dir", "UP", "CLASS_TO_ENUM_ENTRY") in edges
+
+
+def test_enum_entry_payloads_are_not_definitions():
+    """Capitalized identifiers INSIDE an entry's payload are not members:
+    Rust `Payload(HashMap<String, Value>),` must not emit a `String`
+    Variant, `Pair(A, B),` no `A`/`B`, Java `RED(new Hue(255)),` no `Hue`
+    constant — tree-sitter surfaces only enum_variant / enum_constant
+    nodes (rust.rs:295, java/analyzer.rs:216). ADVICE r7 repro."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    rs = list(_extract_one(
+        "m.rs", "Rust",
+        "pub enum Msg {\n"
+        "    Payload(HashMap<String, Value>),\n"
+        "    Pair(A, B),\n"
+        "    #[serde(rename = \"x\")] Tagged(u32),\n"
+        "    Plain,\n"
+        "}\n",
+    ))
+    defs = {r[3] for r in rs if r[2] == "definition"}
+    assert defs == {"Msg", "Payload", "Pair", "Tagged", "Plain"}, defs
+
+    jv = list(_extract_one(
+        "E.java", "Java",
+        "package p;\n"
+        "public enum Hue {\n"
+        "    RED(new Hue(255)), GREEN;\n"
+        "}\n",
+    ))
+    jdefs = {(r[3], r[5]) for r in jv if r[2] == "definition"}
+    assert ("RED", "EnumConstant") in jdefs and ("GREEN", "EnumConstant") in jdefs
+    assert ("Hue", "EnumConstant") not in jdefs  # payload ctor arg
+    assert ("Hue", "Class") in jdefs  # the enum itself keeps its row
+
+
+def test_rust_trait_default_methods_are_methods(spark, tmp_path_factory):
+    """Trait-hosted fns (default methods AND required signatures) are kind
+    Method with a CLASS_TO_METHOD hierarchy edge — rust.rs:299-304 maps
+    Trait→Method to ClassToMethod, not InterfaceToMethod. ADVICE r7."""
+    corpus = {
+        "src/greet.rs": (
+            "pub trait Greet {\n"
+            "    fn hello(&self) { println!(\"hi\"); }\n"
+            "    fn name(&self) -> String;\n"
+            "}\n"
+            "pub fn free() {}\n"
+        ),
+    }
+    kg = _index_corpus(spark, tmp_path_factory, corpus, "rs-trait")
+    kinds = {
+        r.fqn.split("greet.", 1)[-1]: r.definition_type
+        for r in kg.definitions.select("fqn", "definition_type").collect()
+    }
+    assert kinds["Greet"] == "Interface"
+    assert kinds["Greet.hello"] == "Method"
+    assert kinds["Greet.name"] == "Method"
+    assert kinds["free"] == "Function"
+    de = kg.edges["definition_relationships"]
+    d = kg.definitions.select("id", "fqn")
+    edges = {
+        (r.src.split("greet.", 1)[-1], r.tgt.split("greet.", 1)[-1], r.type)
+        for r in de.join(d.withColumnsRenamed({"id": "source_id", "fqn": "src"}), "source_id")
+        .join(d.withColumnsRenamed({"id": "target_id", "fqn": "tgt"}), "target_id")
+        .select("src", "tgt", "type").collect()
+    }
+    assert ("Greet", "Greet.hello", "CLASS_TO_METHOD") in edges, sorted(edges)[:20]
+    assert ("Greet", "Greet.name", "CLASS_TO_METHOD") in edges
+    assert not any(t == "INTERFACE_TO_FUNCTION" for _s, _t2, t in edges)
     assert not any("ENUM_CONSTANT" in t for _a, _b, t in edges)
 
 
