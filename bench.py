@@ -118,6 +118,14 @@ def main() -> None:
                 # NEXT heavy query 2-5x (measured: debounce 24.8s -> 3.5s,
                 # workspace_index_stats 129s -> 50s after adding this)
                 spark.sparkContext._jvm.System.gc()
+                if name in front:
+                    # ...and SETTLE between front-family members: GC kicks
+                    # off async shuffle/temp-file deletion, and the family's
+                    # corpus teardown (workspace_index_stats tears down a
+                    # 7-language on-disk index) otherwise lands on the NEXT
+                    # member's clock (r6 driver artifact: pipeline_index_
+                    # stats 1.7 s idle vs 9.3 s right after workspace)
+                    time.sleep(2)
             # variance discipline (ROUND_NOTES r3: the VM's envelope on
             # scheduling-bound queries is ~1.6x, so single samples below
             # that are noise): queries ≥10s get 3 runs and report the
