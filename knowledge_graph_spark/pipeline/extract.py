@@ -360,6 +360,66 @@ _KT_PROP = re.compile(
     r"|override\s+|final\s+|const\s+|lateinit\s+)*"
     r"(?:val|var)\s+([a-z_][\w]*)\s*(?::|=|$)"
 )
+# secondary constructor declaration (`constructor(x: Int) : this(x, 0) {`)
+# — KotlinDefinitionType::Constructor; Class→Constructor maps to
+# CLASS_TO_CONSTRUCTOR (kotlin/analyzer.rs:227-228). The FQN convention is
+# `{ClassFqn}.<init>` — the reference's expression resolver looks
+# constructors up at exactly that key (expression_resolver.rs:742,1460)
+_KT_SECONDARY_CTOR = re.compile(
+    r"^(\s*)(?:private\s+|protected\s+|public\s+|internal\s+)*constructor\s*\("
+)
+_KT_CTOR_PROP = re.compile(r"(?<![\w.])(?:val|var)\s+([a-z_]\w*)")
+
+
+def _kt_primary_ctor_props(masked, ln: int, start_col: int):
+    """(name, line, col) for `val`/`var` PRIMARY-constructor parameters:
+    accepted only at depth 1 of the class header's parameter list (nested
+    default-arg calls / function types are blanked before the name regex
+    runs), scanning ≤16 physical lines from the class line. Plain
+    parameters are KotlinDefinitionType::Parameter in the reference and
+    simplify to None (unindexed); val/var parameters declare class
+    Properties (kotlin/analyzer.rs:221-224 Class→Property).
+
+    Returns (props, last_line) — last_line is the final physical line the
+    parameter list occupied, so the caller can keep the body-property
+    branch off the header's continuation lines."""
+    out = []
+    depth = 0
+    opened = False
+    last = ln
+    for li in range(ln, min(ln + 17, len(masked))):
+        cur = masked[li][0]
+        buf = []
+        done = False
+        for k, ch in enumerate(cur):
+            if li == ln and k < start_col:
+                buf.append(" ")
+                continue
+            if not opened:
+                if ch == "(":
+                    opened = True
+                    depth = 1
+                elif ch == "{":
+                    return out, ln  # body opened first — no primary ctor
+                buf.append(" ")
+                continue
+            if ch == "(":
+                depth += 1
+                buf.append(" ")
+            elif ch == ")":
+                depth -= 1
+                buf.append(" ")
+                if depth == 0:
+                    done = True
+                    break
+            else:
+                buf.append(ch if depth == 1 else " ")
+        for m in _KT_CTOR_PROP.finditer("".join(buf)):
+            out.append((m.group(1), li, m.start(1)))
+        last = li
+        if done:
+            return out, last
+    return out, last
 
 # ---------------------------------------------------------------------------
 # Lambda / proc definitions (relationship.rs:36-66 LAMBDA_TO_*/CLASS_TO_PROC;
@@ -672,6 +732,10 @@ _KEYWORDS = {
     "print", "super", "new", "import", "require", "elif", "unless", "until", "puts",
     "do", "try", "else", "typeof", "await",
 }
+# suppressed in bare-name CALL scans only (never in definition matching —
+# `constructor() {}` is a real TS method definition): `this(...)` /
+# `constructor(...)` are ctor-delegation syntax, not calls to a symbol
+_CALL_NOISE = {"this", "constructor"}
 
 
 # ---------------------------------------------------------------------------
@@ -1329,6 +1393,11 @@ def _extract_one_scan(
             if _pv:
                 ivar_types.setdefault(_pv.group(1), _pv.group(2))
     skip_lines: set[int] = set()  # continuation lines consumed by a joined signature
+    # Kotlin primary-constructor properties found on a class header's
+    # CONTINUATION lines are emitted when the loop reaches that line, so
+    # their byte offsets come from the right line_bytes accumulation
+    kt_pending_props: dict[int, list] = {}
+    kt_header_lines: set[int] = set()
     for ln, (line, imp_line) in enumerate(masked):
         # byte offsets always advance by the ORIGINAL line's encoded length —
         # masking is char-preserving, not byte-preserving
@@ -1336,6 +1405,11 @@ def _extract_one_scan(
         if ln in skip_lines:
             byte_off += line_bytes
             continue
+        for _pname, _pcol, _pparent in kt_pending_props.pop(ln, ()):
+            yield row(
+                "definition", _pname, _pparent, "Property",
+                None, None, ln, line, _pcol, len(_pname),
+            )
         if def_re is not None:
             m = def_re.match(line)
             if m and language == "Ruby":
@@ -1495,9 +1569,11 @@ def _extract_one_scan(
                     # class-body / top-level property: Property definition
                     # when the innermost frame surviving this indent is a
                     # TYPE or absent — function bodies are LocalVariable in
-                    # the reference and simplify to None (not indexed)
+                    # the reference and simplify to None (not indexed).
+                    # Header continuation lines are the PRIMARY-constructor
+                    # scan's territory (kt_header_lines)
                     pm2 = _KT_PROP.match(line)
-                    if pm2:
+                    if pm2 and ln not in kt_header_lines:
                         _p_ind = len(line) - len(line.lstrip())
                         _host = next(
                             (f for f in reversed(stack) if f[0] < _p_ind), None
@@ -1509,6 +1585,36 @@ def _extract_one_scan(
                                 None, None, ln, line, pm2.start(2),
                                 len(pm2.group(2)),
                             )
+                cm2 = _KT_SECONDARY_CTOR.match(line)
+                if cm2:
+                    _c_ind = len(cm2.group(1))
+                    _chost = next(
+                        (f for f in reversed(stack) if f[0] < _c_ind), None
+                    )
+                    if _chost is not None and _chost[2] in (
+                        "class", "enum", "object",
+                    ):
+                        # pop finished same-indent sibling frames (a fun
+                        # body that ended above), exactly like a def line
+                        while stack and stack[-1][0] >= _c_ind:
+                            _f = stack.pop()
+                            if _f[3] is not None:
+                                spans.append((_f[1], _f[3], ln - 1))
+                        yield row(
+                            "definition", "<init>",
+                            ".".join(scope_names()) or None, "Constructor",
+                            None, None, ln, line,
+                            line.find("constructor"), len("constructor"),
+                        )
+                        # open a fun-like frame: ctor-body vals become
+                        # LocalVariable (unindexed), nested lambdas parent
+                        # to Class.<init>, and params type the body's locals
+                        local_types.clear()
+                        local_names.clear()
+                        for _pn, _pt in _param_types(language, line):
+                            local_types[_pn] = _pt
+                            local_names.add(_pn)
+                        stack.append((_c_ind, "<init>", "fun", ln))
         if hit:
             indent, kw, name = hit
             if (
@@ -1574,6 +1680,28 @@ def _extract_one_scan(
                 receiver_type=ext_recv,
             )
             stack.append((indent, name, kw, ln))
+            if language == "Kotlin" and kw in ("class", "enum"):
+                # primary-constructor `val`/`var` parameters declare class
+                # Properties (kotlin/analyzer.rs:221-224); plain parameters
+                # are Parameter → simplify None. Head-line params emit now;
+                # continuation-line params are deferred to their own line
+                # (correct byte offsets) and the body-property branch is
+                # kept off every header line
+                _cparent = ".".join(scope_names()) or None
+                _props, _plast = _kt_primary_ctor_props(
+                    masked, ln, col + len(name)
+                )
+                kt_header_lines.update(range(ln + 1, _plast + 1))
+                for _pname, _pli, _pcol in _props:
+                    if _pli == ln:
+                        yield row(
+                            "definition", _pname, _cparent, "Property",
+                            None, None, ln, line, _pcol, len(_pname),
+                        )
+                    else:
+                        kt_pending_props.setdefault(_pli, []).append(
+                            (_pname, _pcol, _cparent)
+                        )
             if language in _ENUM_ENTRY_KIND and kw == "enum" and "{" in line:
                 # one-line enum body (`enum Mode { Fast, Slow }`): members
                 # never reach the per-line scan, so pull them off the brace
@@ -1884,7 +2012,11 @@ def _extract_one_scan(
                 enclosing = ".".join(scope_names()) or None
                 for cm in _CALL.finditer(line):
                     callee = cm.group(1)
-                    if callee in _KEYWORDS or cm.start(1) in ctor_cols:
+                    if (
+                        callee in _KEYWORDS
+                        or callee in _CALL_NOISE
+                        or cm.start(1) in ctor_cols
+                    ):
                         continue
                     yield row(
                         "call", callee, enclosing, None, None, None,
@@ -2061,7 +2193,11 @@ def _extract_one_scan(
                 enclosing = ".".join(scope_names()) or None
                 for cm in _CALL.finditer(line):
                     callee = cm.group(1)
-                    if callee in _KEYWORDS or cm.start(1) in ctor_cols:
+                    if (
+                        callee in _KEYWORDS
+                        or callee in _CALL_NOISE
+                        or cm.start(1) in ctor_cols
+                    ):
                         continue
                     yield row(
                         "call", callee, enclosing, None, None, None,

@@ -615,8 +615,9 @@ _KT_CORPUS = {
         "import corp.entities.Person\n"
         "import corp.entities.User\n"
         "\n"
-        "class Config {\n"
+        "class Config(val mode: String) {\n"
         "    val kind: String = \"a\"\n"
+        "    constructor() : this(\"std\")\n"
         "}\n"
         "\n"
         "fun pick(cfg: Config) {\n"
@@ -652,11 +653,13 @@ _KT_CORPUS = {
     ),
 }
 # hand-counted: Person, Person.getName, User, User.getName, Admin,
-# Admin.getName (6) + Config, Config.kind [Property, r6], pick, direct (4)
-# + shout, twin [extension Property, r6], useExt (3) = 13; imports 3+1 = 4.
-# Function-body vals (p, u) are LocalVariable in the reference — not
-# indexed (kotlin/analyzer.rs simplify → None), so not counted.
-_KT_CORPUS_DEFS = 13
+# Admin.getName (6) + Config, Config.mode [primary-ctor val → Property,
+# r7], Config.kind [Property, r6], Config.<init> [secondary constructor,
+# r7], pick, direct (6) + shout, twin [extension Property, r6], useExt
+# (3) = 15; imports 3+1 = 4. Function-body vals (p, u) are LocalVariable
+# in the reference — not indexed (kotlin/analyzer.rs simplify → None), so
+# not counted; the plain `this("std")` delegation is syntax, not a call.
+_KT_CORPUS_DEFS = 15
 _KT_CORPUS_IMPORTS = 4
 
 

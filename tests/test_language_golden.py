@@ -2757,3 +2757,73 @@ def test_kotlin_object_simplifies_to_class_and_method_edges(spark, tmp_path_fact
     assert ("Api", "call", "INTERFACE_TO_METHOD") in edges
     assert ("Tool", "go", "CLASS_TO_METHOD") in edges  # object → Class
     assert not any(t in ("CLASS_TO_FUNCTION", "MODULE_TO_FUNCTION") for _a, _b, t in edges)
+
+
+def test_kotlin_constructor_kinds():
+    """KotlinDefinitionType::Constructor (r7, verdict task 2): secondary
+    `constructor(...)` declarations extract as `<init>` Constructor
+    definitions — the reference resolves constructor calls at the FQN key
+    `{Class}.<init>` (expression_resolver.rs:742,1460) — and
+    primary-constructor `val`/`var` parameters extract as class
+    Properties; PLAIN parameters stay unindexed (Parameter → None)."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    src = (
+        "package p\n"
+        "class Config(val host: String, var port: Int, timeout: Int) {\n"
+        "    constructor() : this(\"h\", 0, 1) {\n"
+        "        val t = port\n"
+        "    }\n"
+        "}\n"
+        "class Multi(\n"
+        "    val a: String,\n"
+        "    var b: Int = make(1),\n"
+        "    c: Long,\n"
+        ") {\n"
+        "    fun go() {}\n"
+        "}\n"
+        "class Box<T>(val item: T)\n"
+        "class Sub : Base(1) {\n"
+        "    val real: Int = 2\n"
+        "}\n"
+    )
+    rows = list(_extract_one("C.kt", "Kotlin", src))
+    defs = {(r[3], r[4], r[5]) for r in rows if r[2] == "definition"}
+    assert ("host", "p.Config", "Property") in defs
+    assert ("port", "p.Config", "Property") in defs
+    assert ("timeout", "p.Config", "Property") not in defs  # plain param
+    assert ("<init>", "p.Config", "Constructor") in defs
+    assert ("a", "p.Multi", "Property") in defs   # continuation line
+    assert ("b", "p.Multi", "Property") in defs   # default-arg call nested
+    assert all(n != "c" for n, _p, _k in defs)    # plain param, multi-line
+    assert ("item", "p.Box", "Property") in defs  # generic class header
+    assert ("real", "p.Sub", "Property") in defs
+    # `Base(1)` supertype-call args never read as primary-ctor props, the
+    # ctor body's `val t` is a LocalVariable (the <init> frame shields it),
+    # and `this(...)` delegation is syntax — not a call row
+    assert all(n != "t" for n, _p, _k in defs)
+    assert not any(r[2] == "call" and r[3] in ("this", "constructor") for r in rows)
+
+
+def test_kotlin_constructor_edge_class_to_constructor(spark, tmp_path_factory):
+    """Class→Constructor is CLASS_TO_CONSTRUCTOR (kotlin/analyzer.rs:
+    227-228), and primary-ctor properties ride CLASS_TO_PROPERTY."""
+    corpus = {
+        "p/K.kt": (
+            "package p\n"
+            "class Conn(val host: String) {\n"
+            "    constructor() : this(\"local\")\n"
+            "}\n"
+        ),
+    }
+    kg = _index_corpus(spark, tmp_path_factory, corpus, "kt-ctor")
+    de = kg.edges["definition_relationships"]
+    d = kg.definitions.select("id", "fqn")
+    edges = {
+        (r.src.split("p.", 1)[-1], r.tgt.split("p.", 1)[-1], r.type)
+        for r in de.join(d.withColumnsRenamed({"id": "source_id", "fqn": "src"}), "source_id")
+        .join(d.withColumnsRenamed({"id": "target_id", "fqn": "tgt"}), "target_id")
+        .select("src", "tgt", "type").collect()
+    }
+    assert ("Conn", "Conn.<init>", "CLASS_TO_CONSTRUCTOR") in edges, sorted(edges)
+    assert ("Conn", "Conn.host", "CLASS_TO_PROPERTY") in edges
