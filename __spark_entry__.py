@@ -44,10 +44,9 @@ ROWS_ONLY = {
     # underlying repo_map queries are oracle-checked and the render's bytes
     # are golden-tested against the reference's own e2e assertions
     "repo_map_xml",
-    # the two ANN sketches are probabilistic top-k whose recall floor is
+    # hyperplane LSH is probabilistic top-k whose recall floor is
     # seed-dependent (exact re-score / recall pytests)
     "hyperplane_lsh_ann",
-    "ivf_ann",
 }
 # graduated in r5: pagerank_top20 (BIGINT fixed-point recurrence at 5
 # iterations, top-20 projection — same oracle family as pagerank_exact),
@@ -655,9 +654,17 @@ def _q_hyperplane_lsh_ann(spark, sf_dir):  # rows-only (probabilistic)
     )
 
 
-def _q_ivf_ann(spark, sf_dir):  # rows-only (probabilistic IVF cells)
-    return SIM.ivf_ann(
-        read_table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10
+def _q_ivf_ann(spark, sf_dir):
+    # graduated r7 (ROWS_ONLY → hyperplane only): the k-means-lite
+    # assignment is deterministic given the seeded centroids, so the entry
+    # pins SQL-computable invariants — conservation, independent argmin
+    # re-score (violations = 0), and the planted query (the min-vec_id
+    # corpus vector, whose own cell is always probed) returned at cosine
+    # 1.0. Raw top-k stays available via beyond.similarity.ivf_ann.
+    emb = read_table(spark, sf_dir, "embeddings")
+    row = emb.orderBy("vec_id").limit(1).collect()[0]
+    return SIM.ivf_ann_invariants(
+        emb, [float(v) for v in row["embedding"]], int(row["vec_id"]), k=10
     )
 
 
@@ -1678,6 +1685,7 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "cosine_topk": SIM.COSINE_TOPK_SQL.format(k=10),
+        "ivf_ann": SIM.IVF_ANN_INVARIANTS_SQL,
         "embedding_near_dup": SIM.EMBEDDING_NEAR_DUP_SQL.format(threshold=0.35),
         "dedup_clusters": D._clusters_sql().format(threshold=0.35),
         "stratified_sample": SAMP.STRATIFIED_SAMPLE_SQL.format(k=25),

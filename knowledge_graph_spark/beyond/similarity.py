@@ -234,25 +234,17 @@ ORDER BY vec_a, vec_b
 )
 
 
-def ivf_ann(
+def _ivf_state(
     emb: DataFrame,
     query_vec: list[float],
-    k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
     lloyd_iters: int = 2,
-) -> DataFrame:
-    """IVF (inverted-file) ANN: k-means-lite centroids partition the corpus;
-    a query scores only the ``n_probe`` nearest cells, re-ranked exactly.
-
-    Centroid seeding is deterministic (the first ``n_centroids`` vectors by
-    vec_id) followed by ``lloyd_iters`` Lloyd rounds computed as DataFrame
-    aggregations (component-wise means via posexplode + groupBy). At 100 TB
-    the cell assignment is a write-time partition column; queries touch
-    n_probe/n_centroids of the data.
-    """
-    spark = emb.sparkSession
-    dim = len(query_vec)
+):
+    """The IVF assignment pipeline, shared by :func:`ivf_ann` and
+    :func:`ivf_ann_invariants` — returns (assigned, cents, probe_ids):
+    the fully-assigned corpus, the final centroid list, and the n_probe
+    nearest cell ids to the query."""
     e = emb.select(
         "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("vec")
     )
@@ -306,6 +298,133 @@ def ivf_ann(
 
     probe_ids = [cid for cid, cv in sorted(cents, key=lambda c: d2(c[1], query_vec))[:n_probe]]
     assigned = assign(e, cents)
+    return assigned, cents, probe_ids
+
+
+def ivf_ann(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means-lite centroids partition the corpus;
+    a query scores only the ``n_probe`` nearest cells, re-ranked exactly.
+
+    Centroid seeding is deterministic (the first ``n_centroids`` vectors by
+    vec_id) followed by ``lloyd_iters`` Lloyd rounds computed as DataFrame
+    aggregations (component-wise means via posexplode + groupBy). At 100 TB
+    the cell assignment is a write-time partition column; queries touch
+    n_probe/n_centroids of the data.
+    """
+    assigned, _cents, probe_ids = _ivf_state(
+        emb, query_vec, n_centroids, n_probe, lloyd_iters
+    )
     cand_ids = assigned.filter(F.col("cid").isin(probe_ids)).select("vec_id")
     cands = emb.join(cand_ids, "vec_id", "left_semi")
     return cosine_topk(cands, query_vec, k)
+
+
+def ivf_ann_invariants(
+    emb: DataFrame,
+    query_vec: list[float],
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """SQL-checkable invariants of the IVF pipeline (the graduation pattern
+    minhash/simhash used — raw top-k stays available via :func:`ivf_ann`):
+
+    * ``n_assigned`` — every corpus vector lands in exactly one cell
+      (conservation; oracle: ``count(*)`` of embeddings).
+    * ``assign_violations`` — each row's assigned centroid re-scored as the
+      argmin through an INDEPENDENT distance formulation (dot-product
+      expansion ``|v|²−2v·c+|c|²`` + struct-sort min instead of the
+      assignment's squared-difference + array_min); pinned at 0.
+    * ``query_in_topk`` — ``query_id`` is the min-vec_id corpus vector, so
+      its own cell is always probed (its centroid is the argmin and probes
+      take the ``n_probe`` nearest) and the exact re-rank must return it at
+      cosine 1.0, first among ties (min vec_id). Pinned at 1.
+    * ``topk_le_k`` — the result is bounded by ``k``. Pinned at 1.
+    """
+    assigned, cents, probe_ids = _ivf_state(
+        emb, query_vec, n_centroids, n_probe, lloyd_iters
+    )
+    # independent re-score: per-centroid squared distance via the expanded
+    # dot form, argmin via sorting (d, cid) structs — different arithmetic
+    # and different min-selection than the assignment path
+    alt = F.array(
+        *[
+            F.struct(
+                (
+                    F.aggregate(
+                        F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x
+                    )
+                    - 2.0
+                    * F.aggregate(
+                        F.zip_with(
+                            F.col("vec"),
+                            F.array(*[F.lit(float(x)) for x in cv]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    + F.lit(float(sum(x * x for x in cv)))
+                ).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    checked = assigned.withColumn("alt", F.array_sort(alt)).withColumn(
+        "viol",
+        F.when(
+            F.element_at(
+                F.filter(F.col("alt"), lambda s: s["cid"] == F.col("cid")), 1
+            )["d"]
+            > F.col("alt")[0]["d"] + F.lit(1e-6),
+            1,
+        ).otherwise(0),
+    )
+    cand_ids = assigned.filter(F.col("cid").isin(probe_ids)).select("vec_id")
+    topk = cosine_topk(emb.join(cand_ids, "vec_id", "left_semi"), query_vec, k)
+    metrics = [
+        checked.agg(F.count("*").cast("long").alias("value")).select(
+            F.lit("n_assigned").alias("metric"), "value"
+        ),
+        checked.agg(F.sum("viol").cast("long").alias("value")).select(
+            F.lit("assign_violations").alias("metric"), "value"
+        ),
+        topk.agg(
+            F.max(
+                F.when(
+                    (F.col("vec_id") == F.lit(query_id))
+                    & (F.col("cosine") > F.lit(0.9999985)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("value")
+        ).select(F.lit("query_in_topk").alias("metric"), "value"),
+        topk.agg(
+            (F.count("*") <= F.lit(k)).cast("long").alias("value")
+        ).select(F.lit("topk_le_k").alias("metric"), "value"),
+    ]
+    out = metrics[0]
+    for m in metrics[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("metric")
+
+
+IVF_ANN_INVARIANTS_SQL = """
+SELECT metric, CAST(value AS BIGINT) AS value FROM (
+  SELECT 'assign_violations' AS metric, 0 AS value
+  UNION ALL SELECT 'n_assigned', (SELECT count(*) FROM embeddings)
+  UNION ALL SELECT 'query_in_topk', 1
+  UNION ALL SELECT 'topk_le_k', 1
+) ORDER BY metric
+"""
