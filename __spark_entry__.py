@@ -1353,9 +1353,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_usage": _q_import_usage,
         "get_references": _q_get_references,
         "definition_at": _q_definition_at,
-        "list_matches": _q_list_matches,
+        # r7 window rotation (verdict task 6): the driver hash-checks the
+        # FIRST 50 queries() entries - graduated LLM-pipeline operators
+        # take the slots of redundant library variants (list_matches /
+        # search_xml / top_revenue_orders move past the window; their
+        # P/G7/O coverage stays pinned by in-window siblings + the
+        # pytest oracle mirror)
+        "decontaminate": _q_decontaminate,
         "search_definitions": _q_search_definitions,
-        "search_xml": _q_search_xml,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "search_nodes": _q_search_nodes,
         "neighbors_dir": _q_neighbors_dir,
         "initial_graph": _q_initial_graph,
@@ -1368,7 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    r2's event_type_stats 9.7x "regression" was session churn from
         #    running right after it) ---------------------------------------
         "pricing_summary": _q_pricing_summary,
-        "top_revenue_orders": _q_top_revenue_orders,
+        "dup_ngram_stats": _q_dup_ngram_stats,
         "parts_not_recently_shipped": _q_parts_not_recently_shipped,
         "event_type_stats": _q_event_type_stats,
         "sql_passthrough": _q_sql_passthrough,
@@ -1435,15 +1441,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "gopher_filter": _q_gopher_filter,
         "intra_doc_repetition": _q_intra_doc_repetition,
-        "decontaminate": _q_decontaminate,
-        "dup_ngram_stats": _q_dup_ngram_stats,
+        "list_matches": _q_list_matches,
+        "search_xml": _q_search_xml,
         "import_usage_xml": _q_import_usage_xml,
         "get_references_xml": _q_get_references_xml,
         "read_definitions_xml": _q_read_definitions_xml,
         "get_definition_xml": _q_get_definition_xml,
         # rows-only: probabilistic / iterative / stub (see ROWS_ONLY)
         "repo_map_xml": _q_repo_map_xml,
-        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "top_revenue_orders": _q_top_revenue_orders,
         "simhash_buckets": _q_simhash_buckets,
         "hyperplane_lsh_ann": _q_hyperplane_lsh_ann,
         "ivf_ann": _q_ivf_ann,
