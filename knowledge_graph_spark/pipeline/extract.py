@@ -166,7 +166,8 @@ _TS_METHOD = re.compile(
     # line inside one is a method regardless of what follows the brace
     # (the innermost-frame guard + keyword guard exclude control flow)
     r"^(\s*)(?:(?:public|private|protected|static|readonly|override|abstract|async)\s+)*"
-    r"(?:(get|set)\s+)?([A-Za-z_$][\w$]*)\s*\(.*\{"
+    # generator methods (`*gen() {`) are method_definition nodes too
+    r"(?:(get|set)\s+)?(?:\*\s*)?([A-Za-z_$][\w$]*)\s*\(.*\{"
 )
 # method HEAD without the body brace: params still open at EOL, or closed
 # with an optional return type — the `{` arrives on a continuation line
@@ -174,7 +175,7 @@ _TS_METHOD = re.compile(
 # masked lines before emitting.
 _TS_METHOD_HEAD = re.compile(
     r"^(\s*)(?:(?:public|private|protected|static|readonly|override|abstract|async)\s+)*"
-    r"(?:(get|set)\s+)?([A-Za-z_$][\w$]*)\s*\((?:[^)]*\)\s*(?::[^={;]*)?)?\s*$"
+    r"(?:(get|set)\s+)?(?:\*\s*)?([A-Za-z_$][\w$]*)\s*\((?:[^)]*\)\s*(?::[^={;]*)?)?\s*$"
 )
 _TS_METHOD_CONT = re.compile(r"\)\s*(?::[^={;]*)?\s*\{")
 # `class Foo extends Bar` superclass clause → inheritance-chain entry, the
@@ -384,9 +385,22 @@ def _kt_primary_ctor_props(masked, ln: int, start_col: int):
     parameter list occupied, so the caller can keep the body-property
     branch off the header's continuation lines."""
     out = []
+    last = ln
+    for li, vis in _header_param_lines(masked, ln, start_col):
+        for m in _KT_CTOR_PROP.finditer(vis):
+            out.append((m.group(1), li, m.start(1)))
+        last = li
+    return out, last
+
+
+def _header_param_lines(masked, ln: int, start_col: int):
+    """Yield (line_no, depth1_text) for the parameter list opened by the
+    first ``(`` at/after ``start_col`` on line ``ln`` — nested parens are
+    blanked, positions stay column-faithful; stops at the matching ``)``
+    (or after 16 physical lines). Nothing yields when a ``{`` body opens
+    before any parameter list."""
     depth = 0
     opened = False
-    last = ln
     for li in range(ln, min(ln + 17, len(masked))):
         cur = masked[li][0]
         buf = []
@@ -399,8 +413,8 @@ def _kt_primary_ctor_props(masked, ln: int, start_col: int):
                 if ch == "(":
                     opened = True
                     depth = 1
-                elif ch == "{":
-                    return out, ln  # body opened first — no primary ctor
+                elif ch in "{;":
+                    return  # body/declaration end first — no ctor list
                 buf.append(" ")
                 continue
             if ch == "(":
@@ -414,12 +428,36 @@ def _kt_primary_ctor_props(masked, ln: int, start_col: int):
                     break
             else:
                 buf.append(ch if depth == 1 else " ")
-        for m in _KT_CTOR_PROP.finditer("".join(buf)):
-            out.append((m.group(1), li, m.start(1)))
-        last = li
+        if not opened:
+            # the primary-ctor `(` always sits on the header line itself
+            # (Kotlin and C# grammars) — never scan ahead for one
+            return
+        yield li, "".join(buf)
         if done:
-            return out, last
-    return out, last
+            return
+
+
+# C# positional record parameters — each IS a public init-only property of
+# the record (language semantics; the reference's Record type itself
+# simplifies to Class, csharp.rs:252, and Property is first-class there).
+# The name is the last identifier of the chunk left of any default (`=`).
+_CS_RECORD_PARAM = re.compile(r"([A-Za-z_]\w*)\s*$")
+
+
+def _cs_record_props(masked, ln: int, start_col: int):
+    """(name, line, col) for the positional parameters of a C# record
+    header — `record Person(string Name, int Age = 0)` declares Name/Age
+    properties."""
+    out = []
+    for li, vis in _header_param_lines(masked, ln, start_col):
+        for chunk_m in re.finditer(r"[^,]+", vis):
+            chunk = chunk_m.group(0).split("=", 1)[0].rstrip()
+            m = _CS_RECORD_PARAM.search(chunk)
+            # a one-token chunk is a bare type or continuation debris, not
+            # a (type, name) parameter pair
+            if m and len(chunk.split()) >= 2:
+                out.append((m.group(1), li, chunk_m.start() + m.start(1)))
+    return out
 
 # ---------------------------------------------------------------------------
 # Lambda / proc definitions (relationship.rs:36-66 LAMBDA_TO_*/CLASS_TO_PROC;
@@ -582,8 +620,10 @@ _PY_LOCAL_ASSIGN = re.compile(r"^\s*([a-z_]\w*)\s*=\s*([A-Z]\w*)\s*\(")
 _PY_SELF_ASSIGN = re.compile(r"^\s*self\.(\w+)\s*=\s*([A-Z]\w*)\s*\(")
 _PY_RECV_CALL = re.compile(r"((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)\.([a-z_]\w*)\s*\(")
 _CS_TYPE = re.compile(
-    r"^(\s*)(?:public\s+|private\s+|protected\s+|internal\s+|static\s+|sealed\s+|abstract\s+|partial\s+)*"
-    r"(class|interface|struct|enum|record)\s+([A-Za-z_][\w]*)"
+    # `record struct X` / `record class X` are record declarations of the
+    # compound kind — without the optional group, `struct` read as the name
+    r"^(\s*)(?:public\s+|private\s+|protected\s+|internal\s+|static\s+|sealed\s+|abstract\s+|partial\s+|readonly\s+)*"
+    r"(class|interface|struct|enum|record(?:\s+(?:struct|class))?)\s+([A-Za-z_][\w]*)"
 )
 _CS_METHOD = re.compile(
     r"^(\s*)(?:public\s+|private\s+|protected\s+|internal\s+|static\s+|virtual\s+|"
@@ -1084,7 +1124,10 @@ def _match_def(language: str, line: str):
     if language == "CSharp":
         m = _CS_TYPE.match(line)
         if m:
-            return len(m.group(1)), m.group(2), m.group(3)
+            # `record struct` / `record class` normalize to `record` (the
+            # compound kind is a record either way; csharp.rs:252 Record →
+            # Class)
+            return len(m.group(1)), m.group(2).split()[0], m.group(3)
         m = _CS_PROP.match(line)
         if m:
             return len(m.group(1)), "property", m.group(2)
@@ -1701,6 +1744,23 @@ def _extract_one_scan(
                     else:
                         kt_pending_props.setdefault(_pli, []).append(
                             (_pname, _pcol, _cparent)
+                        )
+            if language == "CSharp" and kw == "record":
+                # positional record parameters are init-only PROPERTIES of
+                # the record (records simplify to Class, csharp.rs:252;
+                # Property is first-class in the C# inventory)
+                _rparent = ".".join(scope_names()) or None
+                for _pname, _pli, _pcol in _cs_record_props(
+                    masked, ln, col + len(name)
+                ):
+                    if _pli == ln:
+                        yield row(
+                            "definition", _pname, _rparent, "Property",
+                            None, None, ln, line, _pcol, len(_pname),
+                        )
+                    else:
+                        kt_pending_props.setdefault(_pli, []).append(
+                            (_pname, _pcol, _rparent)
                         )
             if language in _ENUM_ENTRY_KIND and kw == "enum" and "{" in line:
                 # one-line enum body (`enum Mode { Fast, Slow }`): members

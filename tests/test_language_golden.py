@@ -2827,3 +2827,111 @@ def test_kotlin_constructor_edge_class_to_constructor(spark, tmp_path_factory):
     }
     assert ("Conn", "Conn.<init>", "CLASS_TO_CONSTRUCTOR") in edges, sorted(edges)
     assert ("Conn", "Conn.host", "CLASS_TO_PROPERTY") in edges
+
+
+def test_csharp_record_kinds_and_positional_properties():
+    """Golden sweep r7: records (incl. `record struct` / `readonly record
+    struct`) simplify to Class (csharp.rs:252-255), and positional record
+    parameters extract as Properties — each IS a public init-only property
+    of the record. Attributes and defaults are transparent; a bare base
+    clause (`record Copy : Person;`) contributes nothing."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    cs = list(_extract_one(
+        "P.cs", "CSharp",
+        "namespace App;\n"
+        "public record Person(string Name, int Age = 0);\n"
+        "public record struct Point(double X, double Y);\n"
+        "public readonly record struct Size(int W, int H);\n"
+        "public record Employee(\n"
+        "    string Name,\n"
+        "    List<string> Tags,\n"
+        "    [property: JsonRequired] decimal Pay\n"
+        ") {\n"
+        "    public void Work() { }\n"
+        "}\n"
+        "public record Marker();\n"
+        "public record Copy : Person;\n",
+    ))
+    defs = {(r[3], r[4], r[5]) for r in cs if r[2] == "definition"}
+    assert ("Person", "App", "Class") in defs
+    assert ("Name", "App.Person", "Property") in defs
+    assert ("Age", "App.Person", "Property") in defs
+    assert ("Point", "App", "Class") in defs  # not a bogus `struct` class
+    assert all(n != "struct" for n, _p, _k in defs)
+    assert ("X", "App.Point", "Property") in defs
+    assert ("Size", "App", "Class") in defs
+    assert ("Name", "App.Employee", "Property") in defs  # continuation line
+    assert ("Tags", "App.Employee", "Property") in defs  # generic type
+    assert ("Pay", "App.Employee", "Property") in defs   # attributed param
+    assert ("Work", "App.Employee", "Method") in defs
+    assert ("Copy", "App", "Class") in defs
+    # the base clause / empty list yield no phantom properties
+    assert not any(p == "App.Copy" for _n, p, _k in defs)
+    assert not any(p == "App.Marker" for _n, p, _k in defs)
+
+
+def test_rust_associated_consts_not_indexed():
+    """Golden sweep r7 (negative pin): RustDefinitionType has NO const
+    kind (rust.rs inventory: Struct/Enum/Union/Trait/Impl/Method/
+    AssociatedFunction/Function/Variant/Field/Module) — `const` items in
+    trait or impl bodies must not extract."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    rs = list(_extract_one(
+        "c.rs", "Rust",
+        "pub trait Limits {\n"
+        "    const MAX: u32;\n"
+        "    fn cap(&self) -> u32 { Self::MAX }\n"
+        "}\n"
+        "impl Limits for Conn {\n"
+        "    const MAX: u32 = 5;\n"
+        "    fn cap(&self) -> u32 { 5 }\n"
+        "}\n"
+        "pub const GLOBAL: u32 = 9;\n",
+    ))
+    defs = {(r[3], r[5]) for r in rs if r[2] == "definition"}
+    assert ("Limits", "Interface") in defs
+    assert ("cap", "Method") in defs
+    assert all(n not in ("MAX", "GLOBAL") for n, _k in defs), defs
+
+
+def test_ts_accessor_decorator_generator_members():
+    """Golden sweep r7: get/set accessors, decorated methods, static async
+    factories and generator methods (`*gen()` / `async *stream()`) are all
+    method_definition nodes → Method; class fields stay unindexed
+    (tests.rs:369-454 count excludes fields)."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    ts = list(_extract_one(
+        "t.ts", "TypeScript",
+        "class Temp {\n"
+        "  private _c = 0;\n"
+        "  get celsius(): number {\n"
+        "    return this._c;\n"
+        "  }\n"
+        "  set celsius(v: number) {\n"
+        "    this._c = v;\n"
+        "  }\n"
+        "  @action\n"
+        "  reset(): void {\n"
+        "    this._c = 0;\n"
+        "  }\n"
+        "  static async create(): Promise<Temp> {\n"
+        "    return new Temp();\n"
+        "  }\n"
+        "  *gen(): Iterator<number> {\n"
+        "    yield 1;\n"
+        "  }\n"
+        "  async *stream() {\n"
+        "    yield 2;\n"
+        "  }\n"
+        "}\n",
+    ))
+    defs = [(r[3], r[4], r[5]) for r in ts if r[2] == "definition"]
+    assert defs.count(("celsius", "Temp", "Method")) == 2  # get + set nodes
+    assert ("reset", "Temp", "Method") in defs
+    assert ("create", "Temp", "Method") in defs
+    assert ("gen", "Temp", "Method") in defs
+    assert ("stream", "Temp", "Method") in defs
+    assert all(n != "_c" for n, _p, _k in defs)
