@@ -102,6 +102,19 @@ _PY_IMPORT = re.compile(
 # names are collected up to the closing paren with per-name `as` aliases
 _PY_IMPORT_OPEN = re.compile(r"^\s*from\s+(\.+[\w.]*|[A-Za-z_][\w.]*)\s+import\s*\(")
 _RB_DEF = re.compile(r"^(\s*)(def|class|module)\s+(self\.)?([A-Za-z_][A-Za-z0-9_?!]*)")
+# endless method (`def square(x) = x * x` / `def answer = 42`): a complete
+# one-line definition — it must NOT open a scope frame, or the next def
+# nests under it. Parenless defs with default args (`def f a, b = {}`) and
+# setters (`def width=(w)`) don't match: the `=` must directly follow the
+# closed parens or the bare name.
+_RB_ENDLESS = re.compile(
+    r"^\s*def\s+(?:self\.)?[A-Za-z_][A-Za-z0-9_?!]*(?:\([^)]*\)\s*|\s+)=\s*[^=\s]"
+)
+# `class << self` opens the singleton class: a TRANSPARENT scope frame —
+# contributes no FQN segment, and defs inside are singleton methods of the
+# enclosing class (ruby/scope_resolver.rs:49-53 — "defined with `self.` or
+# in the class's singleton class")
+_RB_SCLASS = re.compile(r"^(\s*)class\s*<<\s*self\b")
 _RB_IMPORT = re.compile(r"^\s*require(?:_relative)?\s+['\"]([^'\"]+)['\"]")
 # `class Foo < Bar` superclass clause — feeds the inheritance chain the
 # reference keeps for method lookup (ruby/scope_resolver.rs:57-63,142-149)
@@ -1252,7 +1265,7 @@ def _extract_one_scan(
         )
 
     def scope_names():
-        names = [f[1] for f in stack]
+        names = [f[1] for f in stack if f[1]]  # sclass frames are nameless
         if language in ("Java", "Kotlin"):
             # package declaration prefixes the scope (reference Java/Kotlin
             # FQNs are package-based: com.example.app.Foo.bar); files in the
@@ -1453,10 +1466,21 @@ def _extract_one_scan(
                 "definition", _pname, _pparent, "Property",
                 None, None, ln, line, _pcol, len(_pname),
             )
+        rb_endless = False
         if def_re is not None:
             m = def_re.match(line)
             if m and language == "Ruby":
                 kw = "def_self" if (m.group(2) == "def" and m.group(3)) else m.group(2)
+                if kw == "def":
+                    _d_ind = len(m.group(1))
+                    _d_host = next(
+                        (f for f in reversed(stack) if f[0] < _d_ind), None
+                    )
+                    if _d_host is not None and _d_host[2] == "sclass":
+                        kw = "def_self"  # inside `class << self`
+                rb_endless = kw in ("def", "def_self") and bool(
+                    _RB_ENDLESS.match(line)
+                )
                 hit = (len(m.group(1)), kw, m.group(4))
                 name_col = m.start(4)
             elif m:
@@ -1464,6 +1488,11 @@ def _extract_one_scan(
                 name_col = m.start(3)
             else:
                 hit, name_col = None, None
+            if hit is None and language == "Ruby":
+                sm = _RB_SCLASS.match(line)
+                if sm:
+                    hit = (len(sm.group(1)), "sclass", "")
+                    name_col = None
             if hit is None and language == "TypeScript":
                 dm = _TS_AMBIENT_MODULE.match(line)
                 if dm:
@@ -1675,14 +1704,17 @@ def _extract_one_scan(
                     # the popped definition's extent ends on the line
                     # before the one hosting the new definition
                     spans.append((_f[1], _f[3], ln - 1))
-            if kw == "impl" or (
-                kw in ("namespace", "module") and language == "TypeScript"
+            if (
+                kw == "impl"
+                or kw == "sclass"
+                or (kw in ("namespace", "module") and language == "TypeScript")
             ):
-                # scope frame only: Rust impl blocks and TS namespaces (incl.
-                # the legacy `module X {}` internal-module syntax) contribute
-                # to contained FQNs but emit no definition row — the
-                # reference analyzer skips Namespace definitions outright
-                # (typescript.rs:42-44 `Namespace → continue`)
+                # scope frame only: Rust impl blocks, Ruby `class << self`
+                # (transparent: empty name, contained defs are singleton
+                # methods) and TS namespaces (incl. the legacy `module X {}`
+                # internal-module syntax) contribute to contained FQNs but
+                # emit no definition row — the reference analyzer skips
+                # Namespace definitions outright (typescript.rs:42-44)
                 stack.append((indent, name, kw, None))
                 byte_off += line_bytes
                 continue
@@ -1722,6 +1754,12 @@ def _extract_one_scan(
                 None, None, ln, line, col, len(name),
                 receiver_type=ext_recv,
             )
+            if rb_endless:
+                # a one-line complete definition: no frame, or the next
+                # def would nest under it; extent is the line itself
+                spans.append((name, ln, ln))
+                byte_off += line_bytes
+                continue
             stack.append((indent, name, kw, ln))
             if language == "Kotlin" and kw in ("class", "enum"):
                 # primary-constructor `val`/`var` parameters declare class

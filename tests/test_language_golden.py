@@ -2935,3 +2935,38 @@ def test_ts_accessor_decorator_generator_members():
     assert ("gen", "Temp", "Method") in defs
     assert ("stream", "Temp", "Method") in defs
     assert all(n != "_c" for n, _p, _k in defs)
+
+
+def test_ruby_endless_methods_and_singleton_class():
+    """Golden sweep r7: endless methods (`def square(x) = x * x`) are
+    complete one-line definitions that must not swallow following defs as
+    children, and `class << self` is a transparent singleton-class scope —
+    contained defs are SingletonMethods of the enclosing class with no
+    extra FQN segment (ruby/scope_resolver.rs:49-53). Setters
+    (`def width=(w)`) and parenless defaults stay plain methods."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    src = (
+        "class Calc\n"
+        "  def square(x) = x * x\n"
+        "  def answer = 42\n"
+        "  def width=(w)\n"
+        "    @w = w\n"
+        "  end\n"
+        "  class << self\n"
+        "    def version\n"
+        "      1\n"
+        "    end\n"
+        "  end\n"
+        "  def after_sclass\n"
+        "    2\n"
+        "  end\n"
+        "end\n"
+    )
+    defs = {(r[3], r[4], r[5]) for r in _extract_one("c.rb", "Ruby", src) if r[2] == "definition"}
+    assert ("square", "Calc", "Method") in defs
+    assert ("answer", "Calc", "Method") in defs       # parent is Calc, not square
+    assert ("width", "Calc", "Method") in defs
+    assert ("version", "Calc", "SingletonMethod") in defs  # sclass: no FQN segment
+    assert ("after_sclass", "Calc", "Method") in defs  # back to instance scope
+    assert not any("." in (p or "") and p != "Calc" for _n, p, _k in defs), defs

@@ -453,3 +453,208 @@ def test_python_extractor_superset_of_ast_on_generated(src):
         (r[3], r[8]) for r in _extract_one("gen.py", "Python", src) if r[2] == "definition"
     }
     assert expected <= got, (sorted(expected - got), src)
+
+
+# ---------------------------------------------------------------------------
+# Generated-program cross-validation for languages with no in-container
+# parser (r7 verdict task 3): grammar-constrained emitters whose expected
+# definition set is known BY CONSTRUCTION — every constructed definition
+# must extract at the right (name, 0-based line, kind), whatever nesting,
+# noise statements, comments, or string literals the draw interleaves.
+# The Python twin (test_python_extractor_superset_of_ast_on_generated)
+# validates against stdlib ast; these validate against the construction.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _rb_program(draw):
+    names = iter(f"sym{i}" for i in range(64))
+    expected: list = []
+    lines: list = []
+
+    def block(depth):
+        for _ in range(draw(st.integers(1, 3 if depth == 0 else 2))):
+            kind = draw(
+                st.sampled_from(["module", "class", "def", "sdef", "stmt", "block"])
+            )
+            ind = "  " * depth
+            if kind == "stmt":
+                lines.append(ind + draw(st.sampled_from([
+                    'x = "def not_a_def"',
+                    "# def commented_out",
+                    "y = compute(1, 2)",
+                    "puts 'class NotAClass'",
+                    "@ivar = Widget.new",
+                ])))
+                continue
+            if kind == "block":
+                # do-blocks are NOT lambdas and define nothing
+                lines.append(ind + "items.each do |it|")
+                lines.append(ind + "  use(it)")
+                lines.append(ind + "end")
+                continue
+            nm = next(names)
+            if kind in ("module", "class"):
+                cname = nm.capitalize()
+                expected.append((cname, len(lines), "Module" if kind == "module" else "Class"))
+                if kind == "module":
+                    lines.append(f"{ind}module {cname}")
+                else:
+                    sup = draw(st.sampled_from(["", " < Base", " < NS::Base"]))
+                    lines.append(f"{ind}class {cname}{sup}")
+                if kind == "class" and draw(st.booleans()):
+                    # singleton-class block: contained defs are singleton
+                    # methods of cname, FQN-transparent
+                    snm = next(names)
+                    lines.append(f"{ind}  class << self")
+                    expected.append((snm, len(lines), "SingletonMethod"))
+                    lines.append(f"{ind}    def {snm}")
+                    lines.append(f"{ind}      :s")
+                    lines.append(f"{ind}    end")
+                    lines.append(f"{ind}  end")
+                if depth < 2 and draw(st.booleans()):
+                    block(depth + 1)
+                else:
+                    lines.append(f"{ind}  VALUE = {depth}")
+                lines.append(f"{ind}end")
+            else:
+                bang = draw(st.sampled_from(["", "!", "?"]))
+                endless = draw(st.booleans())
+                if endless:
+                    # complete one-line definition: no end, no frame
+                    body = draw(st.sampled_from(["(x) = x * x", " = 42"]))
+                    kindname = "SingletonMethod" if kind == "sdef" else "Method"
+                    sp = "self." if kind == "sdef" else ""
+                    expected.append((nm + bang if not body.startswith("(") else nm, len(lines), kindname))
+                    lines.append(f"{ind}def {sp}{nm}{'' if body.startswith('(') else bang}{body}")
+                    continue
+                params = draw(st.sampled_from(["", "(a)", "(a, b = 1)", " a, b"]))
+                if kind == "sdef":
+                    expected.append((nm + bang, len(lines), "SingletonMethod"))
+                    lines.append(f"{ind}def self.{nm}{bang}{params}")
+                else:
+                    expected.append((nm + bang, len(lines), "Method"))
+                    lines.append(f"{ind}def {nm}{bang}{params}")
+                lines.append(f"{ind}  :done")
+                lines.append(f"{ind}end")
+
+    block(0)
+    return "\n".join(lines) + "\n", expected
+
+
+@given(_rb_program())
+@settings(**SETTINGS)
+def test_ruby_extractor_matches_generated_programs(prog):
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    src, expected = prog
+    got = {
+        (r[3], r[8], r[5])
+        for r in _extract_one("gen.rb", "Ruby", src)
+        if r[2] == "definition"
+    }
+    missing = set(expected) - got
+    assert not missing, (sorted(missing), sorted(got), src)
+    # no phantom definitions under generated names: every sym*-named row
+    # the extractor emits must be one we constructed
+    phantom = {g for g in got if g[0].lower().startswith("sym")} - set(expected)
+    assert not phantom, (sorted(phantom), src)
+
+
+@st.composite
+def _ts_program(draw):
+    names = iter(f"sym{i}" for i in range(64))
+    expected: list = []
+    lines: list = []
+
+    def members(depth, host):
+        for _ in range(draw(st.integers(1, 2))):
+            nm = next(names)
+            style = draw(st.sampled_from(["plain", "static_async", "accessor", "gen", "field"]))
+            ind = "  " * depth
+            if style == "field":
+                lines.append(f"{ind}{nm}: number = {depth};")  # NOT indexed
+                continue
+            if style == "accessor":
+                expected.append((nm, len(lines), "Method"))
+                lines.append(f"{ind}get {nm}(): number {{")
+                lines.append(f"{ind}  return 1;")
+                lines.append(f"{ind}}}")
+                expected.append((nm, len(lines), "Method"))
+                lines.append(f"{ind}set {nm}(v: number) {{")
+                lines.append(f"{ind}  this._x = v;")
+                lines.append(f"{ind}}}")
+                continue
+            head = {
+                "plain": f"{nm}(a: number, b = 1): void {{",
+                "static_async": f"static async {nm}(): Promise<void> {{",
+                "gen": f"*{nm}(): Iterator<number> {{",
+            }[style]
+            expected.append((nm, len(lines), "Method"))
+            lines.append(ind + head)
+            lines.append(f"{ind}  return;")
+            lines.append(f"{ind}}}")
+
+    def block(depth):
+        for _ in range(draw(st.integers(1, 3 if depth == 0 else 2))):
+            kind = draw(
+                st.sampled_from(["class", "iface", "fn", "arrow", "stmt"])
+            )
+            ind = "  " * depth
+            if kind == "stmt":
+                lines.append(ind + draw(st.sampled_from([
+                    'const s = "function fake() {";',
+                    "// function commented() {}",
+                    "let n = compute(1, 2);",
+                    "register(handler, cb);",
+                ])))
+                continue
+            nm = next(names)
+            if kind == "class":
+                cname = nm.capitalize()
+                expected.append((cname, len(lines), "Class"))
+                sup = draw(st.sampled_from(["", " extends Base"]))
+                lines.append(f"{ind}class {cname}{sup} {{")
+                members(depth + 1, cname)
+                lines.append(ind + "}")
+            elif kind == "iface":
+                cname = nm.capitalize()
+                expected.append((cname, len(lines), "Interface"))
+                lines.append(f"{ind}interface {cname} {{")
+                lines.append(f"{ind}  width: number;")
+                lines.append(ind + "}")
+            elif kind == "arrow":
+                # named arrow folds to Function (typescript.rs:286-303)
+                expected.append((nm, len(lines), "Function"))
+                lines.append(f"{ind}const {nm} = (x: number): number => {{")
+                lines.append(f"{ind}  return x;")
+                lines.append(ind + "};")
+            else:
+                expected.append((nm, len(lines), "Function"))
+                mod = draw(st.sampled_from(["", "async ", "export "]))
+                lines.append(f"{ind}{mod}function {nm}(a: string) {{")
+                if depth < 2 and draw(st.booleans()):
+                    block(depth + 1)
+                else:
+                    lines.append(f"{ind}  return a;")
+                lines.append(ind + "}")
+
+    block(0)
+    return "\n".join(lines) + "\n", expected
+
+
+@given(_ts_program())
+@settings(**SETTINGS)
+def test_ts_extractor_matches_generated_programs(prog):
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    src, expected = prog
+    got = {
+        (r[3], r[8], r[5])
+        for r in _extract_one("gen.ts", "TypeScript", src)
+        if r[2] == "definition"
+    }
+    missing = set(expected) - got
+    assert not missing, (sorted(missing), sorted(got), src)
+    phantom = {g for g in got if g[0].lower().startswith("sym")} - set(expected)
+    assert not phantom, (sorted(phantom), src)
