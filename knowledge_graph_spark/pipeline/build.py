@@ -426,8 +426,28 @@ def build_graph_from_entities(
         )
 
     # candidate definitions by name (broadcast definition map, J7)
-    target_defs = definitions.select(F.col("id").alias("target_id"), F.col("name").alias("callee"))
-    def_refs = _ref_edges(bare_calls.join(F.broadcast(target_defs), "callee"))
+    target_defs = definitions.select(
+        F.col("id").alias("target_id"),
+        F.col("name").alias("callee"),
+        F.col("fqn").alias("_tfqn"),
+    )
+    # constructor preference (expression_resolver.rs:741-749,1459-1468): a
+    # bare call naming a class resolves to `{class}.<init>` when an explicit
+    # secondary constructor exists — the class row is only the fallback.
+    # `<init>` names exist only for Kotlin, so no language gate is needed;
+    # overloaded ctors fan out and land as AMBIGUOUSLY_CALLS, mirroring the
+    # reference's duplicated-definitions path.
+    ctors = definitions.filter(F.col("name") == "<init>").select(
+        F.expr("substring(fqn, 1, length(fqn) - 7)").alias("_ctor_of"),
+        F.col("id").alias("_ctor_id"),
+    )
+    matched = (
+        bare_calls.join(F.broadcast(target_defs), "callee")
+        .join(F.broadcast(ctors), F.col("_tfqn") == F.col("_ctor_of"), "left")
+        .withColumn("target_id", F.coalesce("_ctor_id", "target_id"))
+        .drop("_tfqn", "_ctor_of", "_ctor_id")
+    )
+    def_refs = _ref_edges(matched)
 
     # receiver-typed calls (Ruby/Java): resolve within the receiver's type —
     # singleton calls to SingletonMethod defs, instance calls to Methods —

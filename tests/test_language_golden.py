@@ -2970,3 +2970,40 @@ def test_ruby_endless_methods_and_singleton_class():
     assert ("version", "Calc", "SingletonMethod") in defs  # sclass: no FQN segment
     assert ("after_sclass", "Calc", "Method") in defs  # back to instance scope
     assert not any("." in (p or "") and p != "Calc" for _n, p, _k in defs), defs
+
+
+def test_kotlin_ctor_call_resolves_to_init(spark, tmp_path_factory):
+    """Constructor preference (expression_resolver.rs:741-749): a `Foo(...)`
+    call resolves to `Foo.<init>` when an explicit secondary constructor
+    exists; classes WITHOUT one keep resolving to the class row."""
+    corpus = {
+        "p/Conn.kt": (
+            "package p\n"
+            "class Conn(val host: String) {\n"
+            "    constructor() : this(\"local\")\n"
+            "}\n"
+            "class Plain {\n"
+            "    fun id() = 1\n"
+            "}\n"
+        ),
+        "p/Main.kt": (
+            "package p\n"
+            "fun main() {\n"
+            "    val c = Conn()\n"
+            "    val q = Plain()\n"
+            "}\n"
+        ),
+    }
+    kg = _index_corpus(spark, tmp_path_factory, corpus, "kt-ctor-call")
+    de = kg.edges["definition_relationships"]
+    d = kg.definitions.select("id", "fqn")
+    edges = {
+        (r.src, r.tgt, r.type)
+        for r in de.join(d.withColumnsRenamed({"id": "source_id", "fqn": "src"}), "source_id")
+        .join(d.withColumnsRenamed({"id": "target_id", "fqn": "tgt"}), "target_id")
+        .filter(F.col("type").isin("CALLS", "AMBIGUOUSLY_CALLS"))
+        .select("src", "tgt", "type").collect()
+    }
+    assert ("p.main", "p.Conn.<init>", "CALLS") in edges, sorted(edges)
+    assert not any(t == "p.Conn" for _s, t, _ty in edges)  # redirected
+    assert ("p.main", "p.Plain", "CALLS") in edges  # fallback: the class
