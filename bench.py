@@ -130,8 +130,13 @@ def main() -> None:
             # scheduling-bound queries is ~1.6x, so single samples below
             # that are noise): queries ≥10s get 3 runs and report the
             # MEDIAN; sub-10s queries stay single-sample (their absolute
-            # error is bounded by the threshold)
-            if runs[0] < 10.0:
+            # error is bounded by the threshold). Cache-CREATOR queries
+            # always get 3 runs: their run 1 pays a one-time session-cache
+            # build that straddles the 10s threshold (r6 driver artifact:
+            # pipeline_index_stats 9.34 single-sample vs 1.69 steady-state
+            # — same query, same plan, threshold luck), so a single sample
+            # measures the cache build, not the query
+            if runs[0] < 10.0 and name not in cache_creators:
                 break
         timings[name] = sorted(runs)[len(runs) // 2]
         if len(runs) > 1:
