@@ -479,13 +479,23 @@ def _rb_program(draw):
             )
             ind = "  " * depth
             if kind == "stmt":
-                lines.append(ind + draw(st.sampled_from([
+                noise = draw(st.sampled_from([
                     'x = "def not_a_def"',
                     "# def commented_out",
                     "y = compute(1, 2)",
                     "puts 'class NotAClass'",
                     "@ivar = Widget.new",
-                ])))
+                    "HEREDOC",
+                ]))
+                if noise == "HEREDOC":
+                    # heredoc bodies are data: fake defs inside must not
+                    # extract (mask pre-pass)
+                    lines.append(ind + "tpl = <<~HTML")
+                    lines.append(ind + "  def fake_heredoc_def")
+                    lines.append(ind + "  class FakeHeredocClass")
+                    lines.append(ind + "HTML")
+                else:
+                    lines.append(ind + noise)
                 continue
             if kind == "block":
                 # do-blocks are NOT lambdas and define nothing
@@ -598,7 +608,7 @@ def _ts_program(draw):
     def block(depth):
         for _ in range(draw(st.integers(1, 3 if depth == 0 else 2))):
             kind = draw(
-                st.sampled_from(["class", "iface", "fn", "arrow", "stmt"])
+                st.sampled_from(["class", "iface", "fn", "arrow", "stmt", "ns"])
             )
             ind = "  " * depth
             if kind == "stmt":
@@ -612,9 +622,10 @@ def _ts_program(draw):
             nm = next(names)
             if kind == "class":
                 cname = nm.capitalize()
+                mod = draw(st.sampled_from(["", "export ", "export abstract ", "export default "]))
                 expected.append((cname, len(lines), "Class"))
                 sup = draw(st.sampled_from(["", " extends Base"]))
-                lines.append(f"{ind}class {cname}{sup} {{")
+                lines.append(f"{ind}{mod}class {cname}{sup} {{")
                 members(depth + 1, cname)
                 lines.append(ind + "}")
             elif kind == "iface":
@@ -629,9 +640,18 @@ def _ts_program(draw):
                 lines.append(f"{ind}const {nm} = (x: number): number => {{")
                 lines.append(f"{ind}  return x;")
                 lines.append(ind + "};")
+            elif kind == "ns":
+                # namespaces are scope-transparent: NO definition row
+                # (typescript.rs:42-44), but contents still extract
+                lines.append(f"{ind}namespace Ns{nm.capitalize()} {{")
+                if depth < 2:
+                    block(depth + 1)
+                else:
+                    lines.append(f"{ind}  const nsLocal = 1;")
+                lines.append(ind + "}")
             else:
                 expected.append((nm, len(lines), "Function"))
-                mod = draw(st.sampled_from(["", "async ", "export "]))
+                mod = draw(st.sampled_from(["", "async ", "export ", "export default "]))
                 lines.append(f"{ind}{mod}function {nm}(a: string) {{")
                 if depth < 2 and draw(st.booleans()):
                     block(depth + 1)
