@@ -678,3 +678,174 @@ def test_ts_extractor_matches_generated_programs(prog):
     assert not missing, (sorted(missing), sorted(got), src)
     phantom = {g for g in got if g[0].lower().startswith("sym")} - set(expected)
     assert not phantom, (sorted(phantom), src)
+
+
+@st.composite
+def _kt_program(draw):
+    names = iter(f"sym{i}" for i in range(64))
+    expected: list = []
+    lines: list = []
+    lines.append("package gen.prog")
+
+    def fun_body(depth):
+        ind = "    " * depth
+        lines.append(ind + draw(st.sampled_from([
+            "val local = compute(1)",   # LocalVariable → not indexed
+            "return",
+            'val s = "fun fake() {}"',
+            "// fun commented() {}",
+        ])))
+
+    def class_body(depth, kind):
+        ind = "    " * depth
+        for _ in range(draw(st.integers(1, 2))):
+            member = draw(st.sampled_from(["fun", "prop", "ctor", "companion", "nested"]))
+            nm = next(names)
+            if member == "fun":
+                expected.append((nm, len(lines), "Function"))
+                mods = draw(st.sampled_from(["", "override ", "private ", "suspend "]))
+                lines.append(f"{ind}{mods}fun {nm}(a: Int, b: String = \"x\") {{")
+                fun_body(depth + 1)
+                lines.append(ind + "}")
+            elif member == "prop":
+                expected.append((nm, len(lines), "Property"))
+                form = draw(st.sampled_from([
+                    f"val {nm}: Int = 1",
+                    f"var {nm} = compute()",
+                    f"lateinit var {nm}: Widget",
+                ]))
+                lines.append(ind + form)
+            elif member == "ctor" and kind == "class":
+                expected.append(("<init>", len(lines), "Constructor"))
+                if draw(st.booleans()):
+                    lines.append(f"{ind}constructor() : this(1) {{")
+                    lines.append(f"{ind}    val t = 0")  # shielded
+                    lines.append(ind + "}")
+                else:
+                    lines.append(f"{ind}constructor(n: Long) : this(n.toInt())")
+            elif member == "companion" and kind == "class":
+                # companion object simplifies to Class named Companion
+                expected.append(("Companion", len(lines), "Class"))
+                cnm = next(names)
+                lines.append(f"{ind}companion object {{")
+                expected.append((cnm, len(lines), "Function"))
+                lines.append(f"{ind}    fun {cnm}() {{")
+                lines.append(f"{ind}        return")
+                lines.append(f"{ind}    }}")
+                lines.append(ind + "}")
+            elif member == "nested":
+                cname = nm.capitalize()
+                expected.append((cname, len(lines), "Class"))
+                lines.append(f"{ind}class {cname} {{")
+                lines.append(f"{ind}    val NESTED = 1")
+                lines.append(ind + "}")
+
+    def top(depth=0):
+        ind = "    " * depth
+        for _ in range(draw(st.integers(2, 4))):
+            kind = draw(st.sampled_from(
+                ["class", "iface", "fun", "prop", "object", "enum", "stmt"]
+            ))
+            nm = next(names)
+            if kind == "stmt":
+                noise = draw(st.sampled_from([
+                    'check("class Fake(val x: Int)")',
+                    "// constructor(q: Int) : this()",
+                    "private val topNoise = make(1, 2)",
+                ]))
+                lines.append(noise)
+                if "topNoise" in noise:
+                    # a top-level val IS a Property by the rules
+                    expected.append(("topNoise", len(lines) - 1, "Property"))
+                continue
+            if kind == "class":
+                cname = nm.capitalize()
+                expected.append((cname, len(lines), "Class"))
+                # primary ctor: val/var params ARE Properties, plain are not
+                params = draw(st.sampled_from(["", "ctor", "multiline"]))
+                if params == "":
+                    sup = draw(st.sampled_from(["", " : Base()", " : Face"]))
+                    lines.append(f"{ind}class {cname}{sup} {{")
+                elif params == "ctor":
+                    p1, p2 = next(names), next(names)
+                    expected.append((p1, len(lines), "Property"))
+                    lines.append(
+                        f"{ind}class {cname}(val {p1}: String, var plainX: Int, plainY: Long) {{"
+                    )
+                    # NOTE: `var plainX` IS a property too
+                    expected.append(("plainX", len(lines) - 1, "Property"))
+                    del p2
+                else:
+                    p1 = next(names)
+                    lines.append(f"{ind}class {cname}(")
+                    expected.append((p1, len(lines), "Property"))
+                    lines.append(f"{ind}    val {p1}: Map<String, Int> = mapOf(),")
+                    lines.append(f"{ind}    plain: Double,")
+                    lines.append(f"{ind}) {{")
+                class_body(depth + 1, "class")
+                lines.append(ind + "}")
+            elif kind == "iface":
+                cname = nm.capitalize()
+                expected.append((cname, len(lines), "Interface"))
+                inm = next(names)
+                lines.append(f"{ind}interface {cname} {{")
+                expected.append((inm, len(lines), "Property"))
+                lines.append(f"{ind}    val {inm}: Int")
+                lines.append(ind + "}")
+            elif kind == "fun":
+                expected.append((nm, len(lines), "Function"))
+                mods = draw(st.sampled_from(["", "suspend ", "private ", "inline "]))
+                lines.append(f"{ind}{mods}fun {nm}(x: Int): Int {{")
+                fun_body(depth + 1)
+                lines.append(ind + "}")
+            elif kind == "prop":
+                expected.append((nm, len(lines), "Property"))
+                lines.append(f"{ind}val {nm} = Widget()")
+            elif kind == "object":
+                cname = nm.capitalize()
+                expected.append((cname, len(lines), "Class"))  # Object → Class
+                onm = next(names)
+                lines.append(f"{ind}object {cname} {{")
+                expected.append((onm, len(lines), "Function"))
+                lines.append(f"{ind}    fun {onm}() {{")
+                lines.append(f"{ind}        return")
+                lines.append(f"{ind}    }}")
+                lines.append(ind + "}")
+            else:  # enum
+                cname = nm.capitalize()
+                expected.append((cname, len(lines), "Class"))
+                lines.append(f"{ind}enum class {cname} {{")
+                e1, e2 = f"E{nm.upper()}A", f"E{nm.upper()}B"
+                expected.append((e1, len(lines), "EnumEntry"))
+                expected.append((e2, len(lines), "EnumEntry"))
+                lines.append(f"{ind}    {e1}, {e2};")
+                fnm = next(names)
+                expected.append((fnm, len(lines), "Function"))
+                lines.append(f"{ind}    fun {fnm}() {{")
+                lines.append(f"{ind}        return")
+                lines.append(f"{ind}    }}")
+                lines.append(ind + "}")
+
+    top()
+    return "\n".join(lines) + "\n", expected
+
+
+@given(_kt_program())
+@settings(**SETTINGS)
+def test_kotlin_extractor_matches_generated_programs(prog):
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    src, expected = prog
+    got = {
+        (r[3], r[8], r[5])
+        for r in _extract_one("gen.kt", "Kotlin", src)
+        if r[2] == "definition"
+    }
+    missing = set(expected) - got
+    assert not missing, (sorted(missing), sorted(got), src)
+    phantom = {
+        g for g in got
+        if g[0].lower().startswith(("sym", "fake", "plain", "local", "noise", "t", "nested"))
+        and g[0] not in ("topNoise",)
+    } - set(expected)
+    assert not phantom, (sorted(phantom), src)
