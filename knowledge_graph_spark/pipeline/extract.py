@@ -815,6 +815,18 @@ _LANG_SYNTAX = {
 }
 _MULTILINE_STRINGS = ('"""', "'''", "`")
 
+# string-interpolation openers whose inner EXPRESSION stays VISIBLE in the
+# code view: tree-sitter parses interpolations as real expression nodes, so
+# calls inside f"{fmt(x)}" / "${u.name()}" / `#{call()}` are call sites in
+# the reference. The opener/closer braces themselves are masked (so
+# brace-counting logic never sees them); inner text is copied verbatim.
+# Python f-strings and C# $-strings are detected per-literal at open time.
+_INTERP_OPENERS = {
+    "Kotlin": {'"': "${", '"""': "${"},
+    "TypeScript": {"`": "${"},
+    "Ruby": {'"': "#{"},
+}
+
 
 # Ruby heredoc opener, matched in code position: `<<~EOS` / `<<-EOS` /
 # `<<'EOS'` / `<<"EOS"` always open one; bare `<<IDENT` only when IDENT is
@@ -894,10 +906,24 @@ def _mask_text(language: str, text: str) -> list[tuple[str, str]]:
                         continue
                 delim = next((d for d in strings if line.startswith(d, i)), None)
                 if delim is not None:
+                    opener = _INTERP_OPENERS.get(language, {}).get(delim)
+                    if language == "Python":
+                        # f-string: an f/F in the (≤3-char) prefix
+                        j = i - 1
+                        pref = ""
+                        while j >= 0 and line[j].isalpha() and len(pref) < 3:
+                            pref = line[j] + pref
+                            j -= 1
+                        opener = "{" if "f" in pref.lower() else None
+                    elif language == "CSharp" and delim == '"':
+                        if (i >= 1 and line[i - 1] == "$") or (
+                            i >= 2 and line[i - 2 : i] in ("$@", "@$")
+                        ):
+                            opener = "{"
                     code.append(delim)
                     imp.append(delim)
                     i += len(delim)
-                    state = ("str", delim)
+                    state = ("str", delim, opener)
                     continue
                 code.append(line[i])
                 imp.append(line[i])
@@ -913,8 +939,8 @@ def _mask_text(language: str, text: str) -> list[tuple[str, str]]:
                     code.append(" ")
                     imp.append(" ")
                     i += 1
-            else:  # inside a string literal
-                delim = state[1]
+            elif state[0] == "str":  # inside a string literal
+                delim, opener = state[1], state[2]
                 if line[i] == "\\" and i + 1 < n:
                     code.append("  ")
                     imp.append(line[i : i + 2])
@@ -924,10 +950,41 @@ def _mask_text(language: str, text: str) -> list[tuple[str, str]]:
                     imp.append(delim)
                     i += len(delim)
                     state = None
+                elif opener and line.startswith(opener, i):
+                    if opener == "{" and line.startswith("{{", i):
+                        # escaped literal brace (f-string / C# $-string)
+                        code.append("  ")
+                        imp.append(line[i : i + 2])
+                        i += 2
+                    else:
+                        code.append(" " * len(opener))
+                        imp.append(line[i : i + len(opener)])
+                        i += len(opener)
+                        state = ("interp", delim, opener, 1)
                 else:
                     code.append(" ")
                     imp.append(line[i])
                     i += 1
+            else:  # inside an interpolation: expression chars stay visible
+                delim, opener, depth = state[1], state[2], state[3]
+                ch = line[i]
+                if ch == "{":
+                    state = ("interp", delim, opener, depth + 1)
+                    code.append(ch)
+                    imp.append(ch)
+                elif ch == "}":
+                    if depth == 1:
+                        code.append(" ")  # the closer is masked like the opener
+                        imp.append(ch)
+                        state = ("str", delim, opener)
+                    else:
+                        state = ("interp", delim, opener, depth - 1)
+                        code.append(ch)
+                        imp.append(ch)
+                else:
+                    code.append(ch)
+                    imp.append(ch)
+                i += 1
         if isinstance(state, tuple) and state[1] not in _MULTILINE_STRINGS:
             state = None  # unterminated single-line literal: reset at EOL
         out.append(("".join(code), "".join(imp)))

@@ -68,6 +68,9 @@ QUERIES = [
     # data-sized, so its exponent belongs in the evidence set
     "simhash_buckets",
     "minhash_lsh_pairs",
+    # r7: graduated as invariants (assignment over all rows + independent
+    # argmin re-score) — data-sized, linear expected
+    "ivf_ann",
 ]
 
 
@@ -111,6 +114,12 @@ def main() -> None:
         release_persisted_since,
     )
 
+    # optional subset: `scale_run.py out.json q1 q2` re-measures only the
+    # named queries and MERGE-updates the artifact (same contract as
+    # isolated_bench) — a refresh of changed entries need not re-pay the
+    # whole evidence set
+    subset = [q for q in sys.argv[2:] if q in set(QUERIES)] or QUERIES
+
     results: dict[str, dict] = {}
     for sf_dir, label in ((SRC, "sf0.1"), (DST, "sf1")):
         kg = mod._graph(spark, sf_dir)
@@ -118,7 +127,7 @@ def main() -> None:
         protected = persistent_rdd_ids(spark)
         qs = mod.queries()
         cache_creators = getattr(mod, "SESSION_CACHE_QUERIES", set())
-        for name in QUERIES:
+        for name in subset:
             t0 = time.time()
             qs[name](spark, sf_dir).collect()
             dt = round(time.time() - t0, 2)
@@ -133,8 +142,16 @@ def main() -> None:
         if r.get("sf0.1") and r.get("sf1"):
             r["exponent"] = round(math.log10(max(r["sf1"], 0.01) / max(r["sf0.1"], 0.01)), 2)
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_run.json"
+    merged: dict = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                merged = json.load(f)
+        except (OSError, ValueError):
+            merged = {}
+    merged.update(results)
     with open(out, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(merged, f, indent=1)
     print(json.dumps(results))
 
 

@@ -3007,3 +3007,51 @@ def test_kotlin_ctor_call_resolves_to_init(spark, tmp_path_factory):
     assert ("p.main", "p.Conn.<init>", "CALLS") in edges, sorted(edges)
     assert not any(t == "p.Conn" for _s, t, _ty in edges)  # redirected
     assert ("p.main", "p.Plain", "CALLS") in edges  # fallback: the class
+
+
+def test_string_interpolation_expressions_are_code():
+    """tree-sitter parses string interpolations as real expression nodes —
+    calls inside f"{fmt(x)}" (Python), `${touch()}` (TS template),
+    "#{touch()}" (Ruby), $"{Touch()}" (C#) are call sites in the
+    reference. The interpolation DELIMITERS stay masked (brace-counting
+    logic never sees them), plain string contents stay data, and escaped
+    {{braces}} stay literal."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    cases = [
+        ("Python", "s.py",
+         'def run():\n    m = f"total {fmt(1)}"\n    r = "call_me(2)"\n',
+         {"fmt"}, {"call_me"}),
+        ("TypeScript", "t.ts",
+         "function run() {\n  const m = `v=${touch(1)}`;\n  const r = 'noop(2)';\n}\n",
+         {"touch"}, {"noop"}),
+        ("Ruby", "r.rb",
+         'def run\n  m = "v=#{touch(1)}"\n  r = "noop(2)"\nend\n',
+         {"touch"}, {"noop"}),
+        ("CSharp", "c.cs",
+         'public class A {\n    public void Run() {\n'
+         '        var m = $"v={Touch(1)} and {{esc}}";\n'
+         '        var r = "Noop(2)";\n    }\n}\n',
+         {"Touch"}, {"Noop"}),
+    ]
+    for lang, path, src, want, dont in cases:
+        calls = {r[3] for r in _extract_one(path, lang, src) if r[2] == "call"}
+        assert want <= calls, (lang, sorted(calls))
+        assert not (dont & calls), (lang, sorted(calls))
+    # Kotlin: ${...} receiver expressions resolve like plain code — a
+    # typed local's method call inside a template string yields the edge
+    kt = list(_extract_one(
+        "k.kt", "Kotlin",
+        "package p\n"
+        "class User {\n"
+        "    fun touch(): Int = 1\n"
+        "}\n"
+        "fun run() {\n"
+        "    val u = User()\n"
+        "    val m = \"v=${u.touch()} plain $name\"\n"
+        "    val r = \"noop(1)\"\n"
+        "}\n",
+    ))
+    recv = {(r[3], r[14]) for r in kt if r[2] == "call"}
+    assert ("touch", "User") in recv, recv
+    assert all(n != "noop" for n, _t in recv)
