@@ -294,10 +294,6 @@ _CTOR = re.compile(
     r"^(\s*)(?:public\s+|private\s+|protected\s+|internal\s+)+([A-Z][\w]*)\s*\("
 )
 # Java field: modifiers + type + lowercase name ending in '=' or ';'
-_JAVA_FIELD = re.compile(
-    r"^(\s*)(?:public\s+|private\s+|protected\s+|static\s+|final\s+|volatile\s+|transient\s+)+"
-    r"[\w<>\[\],\s]+\s+([a-z][\w]*)\s*[=;]"
-)
 # C# auto-property: modifiers + type + PascalCase name + '{ get' / '{ set'
 _CS_PROP = re.compile(
     r"^(\s*)(?:public\s+|private\s+|protected\s+|internal\s+|static\s+|virtual\s+|override\s+)+"
@@ -1176,9 +1172,12 @@ def _match_def(language: str, line: str):
         m = _CTOR.match(line)
         if m:
             return len(m.group(1)), "method", m.group(2)
-        m = _JAVA_FIELD.match(line)
-        if m:
-            return len(m.group(1)), "property", m.group(2)
+        # fields are deliberately NOT definitions: the reference skips
+        # LocalVariable/Parameter/Field for Java ("We don't want to index
+        # local variables, parameters, or fields", java/analyzer.rs:64-69)
+        # — the declared type still feeds receiver resolution and the
+        # initializer's calls still extract (caller = the class), both via
+        # the non-def branch (_JAVA_VAR_DECL + receiver_calls)
         m = _JAVA_METHOD_BARE.match(line)
         if m:
             return len(m.group(1)), "method", m.group(2)

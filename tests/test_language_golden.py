@@ -1347,10 +1347,15 @@ def test_java_field_type_feeds_receiver_resolution(java_user_service):
         "com.example.userservice.controller.UserController.getAllUsers",
         "Logger",
     ) in imp_calls, sorted(c for c in imp_calls if "getAllUsers" in c[0])
+    # fields are not definitions (java/analyzer.rs:64-69 skips Field), so
+    # the initializer's call attributes to the CLASS
     assert (
-        "com.example.userservice.controller.UserController.logger",
+        "com.example.userservice.controller.UserController",
         "LogManager",
     ) in imp_calls, sorted(c for c in imp_calls if c[1] == "LogManager")
+    assert not any(
+        c[0].endswith(".logger") for c in imp_calls
+    )  # no field definition nodes exist to be callers
 
 
 def test_get_references_xml_populated(ruby_refs):

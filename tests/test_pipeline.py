@@ -179,9 +179,9 @@ def test_definitions_and_fqns(indexed):
     assert "dotnet.Handler.Handler.Process" in fqns
     assert "dotnet.Handler.Handler.Handler" in fqns  # constructor
     assert "dotnet.Handler.Handler.Retries" in fqns  # auto-property
-    # Java constructor + field
+    # Java constructor; fields are NOT indexed (java/analyzer.rs:64-69)
     assert "jvm.Service.Service.Service" in fqns
-    assert "jvm.Service.Service.names" in fqns
+    assert "jvm.Service.Service.names" not in fqns
     assert "native.lib.Engine" in fqns and "native.lib.run_engine" in fqns
     # Rust fns inside `impl Engine` attribute to Engine; the impl block
     # itself emits no definition row
@@ -354,8 +354,9 @@ def test_repo_map_fs_walk(indexed, repo_dir):
     files = {p for p, r in rows.items() if r.entry_type == "file"}
     assert "web/main.ts" in files and "app/facade.py" in files
     assert "app/models/user.py" not in files  # depth 3 > cap
-    # Service, ctor, names field, syncAll, helper
-    assert rows["jvm/Service.java"].n_definitions == 5
+    # Service, ctor, syncAll, helper (the `names` field is NOT a
+    # definition — java/analyzer.rs:64-69 skips fields)
+    assert rows["jvm/Service.java"].n_definitions == 4
     assert rows["app"].n_definitions == 0  # dirs carry no defs
 
 
