@@ -88,6 +88,9 @@ _LAMBDA_EDGE_TYPES = {
     # ClassToMethod, not InterfaceToMethod; Rust traits extract as
     # Interface here, so the pair needs an explicit override
     ("Rust", "Interface", "Method"): "CLASS_TO_METHOD",
+    # rust.rs:287-292,317-322 — Struct→Field / Union→Field reuse
+    # ClassToMethod (both simplify to Class here)
+    ("Rust", "Class", "Field"): "CLASS_TO_METHOD",
 }
 
 

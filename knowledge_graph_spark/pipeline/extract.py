@@ -764,6 +764,11 @@ _RS_IMPL = re.compile(
     r"^(\s*)impl(?:<[^>]*>)?\s+(?:[\w:<>]+\s+for\s+)?([A-Za-z_][\w]*)(?:<[^>]*>)?\s*(?:\{|$)"
 )
 _RS_IMPORT = re.compile(r"^\s*(?:pub\s+)?use\s+([\w:]+)(?:\s+as\s+(\w+))?")
+# struct/union field in a type body: `pub host: String,` — the reference
+# indexes Rust Fields with Struct→Field / Union→Field reusing ClassToMethod
+# (rust.rs:287-292,317-322); gated on the innermost frame being a
+# struct/union so fn params, match arms and where-clauses never match
+_RS_FIELD = re.compile(r"^\s*(?:pub(?:\([\w:]+\))?\s+)?([a-z_]\w*)\s*:\s*\S")
 # Rust: `let x = Type::new()` / `let x: Type = ...` types the local;
 # `Type::assoc_fn()` associated calls resolve into the impl'd type
 _RS_LET = re.compile(
@@ -1869,6 +1874,47 @@ def _extract_one_scan(
                         None, None, ln, line, body_ix + 1 + vcol,
                         len(vname),
                     )
+            if (
+                language == "Rust"
+                and kw in ("struct", "union")
+                and "{" in line
+            ):
+                # one-line body (`pub struct Conn { host: String }`): field
+                # names are the depth-0 `name:` tokens of the brace body
+                body_ix = line.index("{")
+                seg = line[body_ix + 1 :]
+                depth = 0
+                anchor = True
+                k = 0
+                while k < len(seg):
+                    ch = seg[k]
+                    if ch in "(<[":
+                        depth += 1
+                    elif ch in ")>]":
+                        depth = max(0, depth - 1)
+                    elif depth == 0 and ch == ",":
+                        anchor = True
+                    elif depth == 0 and anchor and (ch.islower() or ch == "_"):
+                        fm_ = re.match(
+                            r"(?:pub(?:\([\w:]+\))?\s+)?([a-z_]\w*)\s*:",
+                            seg[k:],
+                        )
+                        if fm_:
+                            yield row(
+                                "definition", fm_.group(1),
+                                ".".join(scope_names()) or None, "Field",
+                                None, None, ln, line,
+                                body_ix + 1 + k + fm_.start(1),
+                                len(fm_.group(1)),
+                            )
+                            k += fm_.end(1)
+                        else:
+                            k += 1
+                        anchor = False
+                        continue
+                    elif ch not in " \t":
+                        anchor = False
+                    k += 1
             if language == "TypeScript" and kw == "class":
                 ts_ih = _TS_EXTENDS.search(line)
                 if ts_ih:
@@ -2079,6 +2125,25 @@ def _extract_one_scan(
                         )
                         byte_off += line_bytes
                         continue
+                if language == "Rust":
+                    # struct/union FIELD lines (rust.rs:287-292,317-322 —
+                    # Fields are indexed, edge reuses CLASS_TO_METHOD via
+                    # the build override map)
+                    _f_ind = len(line) - len(line.lstrip())
+                    _f_host = next(
+                        (f for f in reversed(stack) if f[0] < _f_ind), None
+                    )
+                    if _f_host is not None and _f_host[2] in ("struct", "union"):
+                        fm_ = _RS_FIELD.match(line)
+                        if fm_:
+                            yield row(
+                                "definition", fm_.group(1),
+                                ".".join(scope_names()) or None, "Field",
+                                None, None, ln, line, fm_.start(1),
+                                len(fm_.group(1)),
+                            )
+                            byte_off += line_bytes
+                            continue
                 ctor_cols: set[int] = set()
                 if language == "Java":
                     vd = _JAVA_VAR_DECL.match(line)

@@ -3060,3 +3060,44 @@ def test_string_interpolation_expressions_are_code():
     recv = {(r[3], r[14]) for r in kt if r[2] == "call"}
     assert ("touch", "User") in recv, recv
     assert all(n != "noop" for n, _t in recv)
+
+
+def test_rust_struct_union_fields_are_definitions(spark, tmp_path_factory):
+    """Rust Fields ARE indexed (unlike Java/C# fields): Struct→Field and
+    Union→Field reuse CLASS_TO_METHOD (rust.rs:287-292,317-322). fn-body
+    typed lets, match arms, tuple/unit structs contribute nothing."""
+    corpus = {
+        "src/conn.rs": (
+            "pub struct Conn {\n"
+            "    pub host: String,\n"
+            "    port: u16,\n"
+            "}\n"
+            "pub union Raw { a: u32, b: f32 }\n"
+            "pub struct Tup(u32, u32);\n"
+            "impl Conn {\n"
+            "    pub fn open(&self) -> bool {\n"
+            "        let ok: bool = true;\n"
+            "        ok\n"
+            "    }\n"
+            "}\n"
+        ),
+    }
+    kg = _index_corpus(spark, tmp_path_factory, corpus, "rs-fields")
+    kinds = {
+        r.fqn.split("conn.", 1)[-1]: r.definition_type
+        for r in kg.definitions.select("fqn", "definition_type").collect()
+    }
+    assert kinds["Conn.host"] == "Field" and kinds["Conn.port"] == "Field"
+    assert kinds["Raw.a"] == "Field" and kinds["Raw.b"] == "Field"
+    assert "Conn.open.ok" not in kinds and not any(k.endswith(".ok") for k in kinds)
+    de = kg.edges["definition_relationships"]
+    d = kg.definitions.select("id", "fqn")
+    edges = {
+        (r.src.split("conn.", 1)[-1], r.tgt.split("conn.", 1)[-1], r.type)
+        for r in de.join(d.withColumnsRenamed({"id": "source_id", "fqn": "src"}), "source_id")
+        .join(d.withColumnsRenamed({"id": "target_id", "fqn": "tgt"}), "target_id")
+        .select("src", "tgt", "type").collect()
+    }
+    assert ("Conn", "Conn.host", "CLASS_TO_METHOD") in edges, sorted(edges)
+    assert ("Raw", "Raw.a", "CLASS_TO_METHOD") in edges
+    assert not any(t == "CLASS_TO_FIELD" for _s, _t2, t in edges)
