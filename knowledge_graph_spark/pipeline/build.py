@@ -91,6 +91,13 @@ _LAMBDA_EDGE_TYPES = {
     # rust.rs:287-292,317-322 — Struct→Field / Union→Field reuse
     # ClassToMethod (both simplify to Class here)
     ("Rust", "Class", "Field"): "CLASS_TO_METHOD",
+    # rust.rs:283-285 — `(Module, _)` is a WILDCARD arm: every child of a
+    # Rust module rides ModuleToSingletonMethod, whatever its kind
+    ("Rust", "Module", "Function"): "MODULE_TO_SINGLETON_METHOD",
+    ("Rust", "Module", "Class"): "MODULE_TO_SINGLETON_METHOD",
+    ("Rust", "Module", "Interface"): "MODULE_TO_SINGLETON_METHOD",
+    ("Rust", "Module", "Module"): "MODULE_TO_SINGLETON_METHOD",
+    ("Rust", "Module", "Method"): "MODULE_TO_SINGLETON_METHOD",
 }
 
 

@@ -3101,3 +3101,42 @@ def test_rust_struct_union_fields_are_definitions(spark, tmp_path_factory):
     assert ("Conn", "Conn.host", "CLASS_TO_METHOD") in edges, sorted(edges)
     assert ("Raw", "Raw.a", "CLASS_TO_METHOD") in edges
     assert not any(t == "CLASS_TO_FIELD" for _s, _t2, t in edges)
+
+
+def test_rust_module_children_edge_is_module_to_singleton_method(spark, tmp_path_factory):
+    """rust.rs:283-285 — the `(Module, _)` match arm is a wildcard: EVERY
+    child of a Rust module (free fn, struct, trait, nested mod) rides
+    MODULE_TO_SINGLETON_METHOD."""
+    corpus = {
+        "src/api.rs": (
+            "pub mod api {\n"
+            "    pub fn ping() {}\n"
+            "    pub struct Req;\n"
+            "    pub trait Call {\n"
+            "        fn go(&self);\n"
+            "    }\n"
+            "    pub mod inner {\n"
+            "        pub fn deep() {}\n"
+            "    }\n"
+            "}\n"
+        ),
+    }
+    kg = _index_corpus(spark, tmp_path_factory, corpus, "rs-mod-edges")
+    de = kg.edges["definition_relationships"]
+    d = kg.definitions.select("id", "fqn")
+    edges = {
+        (r.src.split("api.", 1)[-1] or "api", r.tgt.rsplit(".", 1)[-1], r.type)
+        for r in de.join(d.withColumnsRenamed({"id": "source_id", "fqn": "src"}), "source_id")
+        .join(d.withColumnsRenamed({"id": "target_id", "fqn": "tgt"}), "target_id")
+        .filter(F.col("type").startswith("MODULE"))
+        .select("src", "tgt", "type").collect()
+    }
+    assert ("api", "ping", "MODULE_TO_SINGLETON_METHOD") in edges, sorted(edges)
+    assert ("api", "Req", "MODULE_TO_SINGLETON_METHOD") in edges
+    assert ("api", "Call", "MODULE_TO_SINGLETON_METHOD") in edges
+    assert ("api", "inner", "MODULE_TO_SINGLETON_METHOD") in edges
+    assert any(
+        s.endswith("inner") and t == "deep" and ty == "MODULE_TO_SINGLETON_METHOD"
+        for s, t, ty in edges
+    ), sorted(edges)
+    assert not any(t in ("MODULE_TO_FUNCTION", "MODULE_TO_CLASS") for _s, _t2, t in edges)
