@@ -55,6 +55,8 @@ _EDGE_COLS = [
 _LAMBDA_EDGE_TYPES = {
     ("Python", "Class", "Lambda"): "CLASS_TO_LAMBDA",
     ("Python", "Method", "Lambda"): "METHOD_TO_LAMBDA",
+    ("Python", "Function", "Lambda"): "FUNCTION_TO_LAMBDA",
+    ("Python", "Lambda", "Function"): "LAMBDA_TO_FUNCTION",
     ("Python", "Lambda", "Lambda"): "LAMBDA_TO_LAMBDA",
     ("Python", "Lambda", "Class"): "LAMBDA_TO_CLASS",
     ("Python", "Lambda", "Method"): "LAMBDA_TO_FUNCTION",

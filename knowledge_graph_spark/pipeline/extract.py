@@ -1796,6 +1796,15 @@ def _extract_one_scan(
                     # x : ExtendMe resolve into this definition
                     ext_recv = em.group(1).split(".")[-1]
             kind = _kind_name(language, kw, name)
+            if language == "Python" and kind == "Method":
+                # the reference splits Python defs by host: class-hosted
+                # defs are Method, module-level and fn-nested defs are
+                # Function (python/analyzer.rs:1051-1060 simplify table —
+                # FunctionToFunction/FunctionToLambda arms exist ONLY for
+                # the Function kind). Ruby keeps Method everywhere (its
+                # inventory has no Function).
+                if not stack or stack[-1][2] != "class":
+                    kind = "Function"
             if (
                 language == "Rust"
                 and kw == "fn"

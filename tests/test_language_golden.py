@@ -3140,3 +3140,35 @@ def test_rust_module_children_edge_is_module_to_singleton_method(spark, tmp_path
         for s, t, ty in edges
     ), sorted(edges)
     assert not any(t in ("MODULE_TO_FUNCTION", "MODULE_TO_CLASS") for _s, _t2, t in edges)
+
+
+def test_python_function_vs_method_kind_split():
+    """python/analyzer.rs:1051-1060: class-hosted defs are Method;
+    module-level AND function-nested defs are Function (the reference's
+    edge table has FunctionToFunction/FunctionToLambda arms only for the
+    Function kind — (Class, Function) and (Method, Method) pairs cannot
+    occur)."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    kinds = {
+        (r[3], r[5])
+        for r in _extract_one("a.py", "Python",
+            "def top():\n"
+            "    def inner():\n"
+            "        pass\n"
+            "class C:\n"
+            "    def m(self):\n"
+            "        def helper():\n"
+            "            pass\n"
+            "    @staticmethod\n"
+            "    def sm():\n"
+            "        pass\n"
+            "async def afetch():\n"
+            "    pass\n")
+        if r[2] == "definition"
+    }
+    assert ("top", "Function") in kinds and ("afetch", "Function") in kinds
+    assert ("inner", "Function") in kinds     # fn-nested → Function
+    assert ("helper", "Function") in kinds    # method-nested → Function
+    assert ("m", "Method") in kinds and ("sm", "Method") in kinds
+    assert ("C", "Class") in kinds
