@@ -86,6 +86,13 @@ _LAMBDA_EDGE_TYPES = {
     # table names the pair ClassToMethod / InterfaceToMethod)
     ("Kotlin", "Class", "Function"): "CLASS_TO_METHOD",
     ("Kotlin", "Interface", "Function"): "INTERFACE_TO_METHOD",
+    # kotlin/analyzer.rs:246-266 — a FUNCTION parent names its edges as a
+    # METHOD (one Kotlin Function kind; the table's Function→X arms are
+    # MethodToMethod / MethodToClass / MethodToInterface / MethodToProperty)
+    ("Kotlin", "Function", "Function"): "METHOD_TO_METHOD",
+    ("Kotlin", "Function", "Class"): "METHOD_TO_CLASS",
+    ("Kotlin", "Function", "Interface"): "METHOD_TO_INTERFACE",
+    ("Kotlin", "Function", "Property"): "METHOD_TO_PROPERTY",
     # rust.rs:299-304 — Trait→Method (a trait default method) reuses
     # ClassToMethod, not InterfaceToMethod; Rust traits extract as
     # Interface here, so the pair needs an explicit override

@@ -1796,6 +1796,18 @@ def _extract_one_scan(
                     # x : ExtendMe resolve into this definition
                     ext_recv = em.group(1).split(".")[-1]
             kind = _kind_name(language, kw, name)
+            if (
+                language == "CSharp"
+                and kind == "Method"
+                and stack
+                and stack[-1][1] == name
+                and stack[-1][2] in type_kws
+            ):
+                # a member named like its host type is a constructor —
+                # CSharpDefinitionType::Constructor, whose hierarchy edge
+                # is ClassToConstructor (csharp.rs:196-199), unlike Java
+                # where ctors stay Method/ClassToMethod
+                kind = "Constructor"
             if language == "Python" and kind == "Method":
                 # the reference splits Python defs by host: class-hosted
                 # defs are Method, module-level and fn-nested defs are

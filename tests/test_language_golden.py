@@ -3172,3 +3172,71 @@ def test_python_function_vs_method_kind_split():
     assert ("helper", "Function") in kinds    # method-nested → Function
     assert ("m", "Method") in kinds and ("sm", "Method") in kinds
     assert ("C", "Class") in kinds
+
+
+def test_csharp_constructor_kind_and_edge(spark, tmp_path_factory):
+    """csharp.rs:196-199: C# constructors are a distinct kind whose
+    hierarchy edge is CLASS_TO_CONSTRUCTOR (unlike Java, where ctors stay
+    Method/ClassToMethod); a method named like a DIFFERENT class stays
+    Method."""
+    corpus = {
+        "App/H.cs": (
+            "namespace App;\n"
+            "public class Handler {\n"
+            "    public Handler(int n) { }\n"
+            "    public void Process() { }\n"
+            "}\n"
+            "public class Wrap {\n"
+            "    public void Handler() { }\n"
+            "}\n"
+        ),
+    }
+    kg = _index_corpus(spark, tmp_path_factory, corpus, "cs-ctor")
+    kinds = {
+        r.fqn.split(".App.", 1)[-1]: r.definition_type
+        for r in kg.definitions.select("fqn", "definition_type").collect()
+    }
+    assert kinds["Handler.Handler"] == "Constructor"
+    assert kinds["Handler.Process"] == "Method"
+    assert kinds["Wrap.Handler"] == "Method"  # not ITS host's name
+    de = kg.edges["definition_relationships"]
+    d = kg.definitions.select("id", "fqn")
+    edges = {
+        (r.src.split(".App.", 1)[-1], r.tgt.split(".App.", 1)[-1], r.type)
+        for r in de.join(d.withColumnsRenamed({"id": "source_id", "fqn": "src"}), "source_id")
+        .join(d.withColumnsRenamed({"id": "target_id", "fqn": "tgt"}), "target_id")
+        .select("src", "tgt", "type").collect()
+    }
+    assert ("Handler", "Handler.Handler", "CLASS_TO_CONSTRUCTOR") in edges, sorted(edges)
+    assert ("Handler", "Handler.Process", "CLASS_TO_METHOD") in edges
+
+
+def test_kotlin_function_parent_edges_use_method_names(spark, tmp_path_factory):
+    """kotlin/analyzer.rs:246-266: a Function PARENT names edges as a
+    Method — a local class inside a fun is METHOD_TO_CLASS, a nested fun
+    METHOD_TO_METHOD (never FUNCTION_TO_*)."""
+    corpus = {
+        "p/L.kt": (
+            "package p\n"
+            "fun outer() {\n"
+            "    fun inner() {\n"
+            "        return\n"
+            "    }\n"
+            "    class Local {\n"
+            "        val z: Int = 1\n"
+            "    }\n"
+            "}\n"
+        ),
+    }
+    kg = _index_corpus(spark, tmp_path_factory, corpus, "kt-fn-parent")
+    de = kg.edges["definition_relationships"]
+    d = kg.definitions.select("id", "fqn")
+    edges = {
+        (r.src.split("p.", 1)[-1], r.tgt.split("p.", 1)[-1], r.type)
+        for r in de.join(d.withColumnsRenamed({"id": "source_id", "fqn": "src"}), "source_id")
+        .join(d.withColumnsRenamed({"id": "target_id", "fqn": "tgt"}), "target_id")
+        .select("src", "tgt", "type").collect()
+    }
+    assert ("outer", "outer.inner", "METHOD_TO_METHOD") in edges, sorted(edges)
+    assert ("outer", "outer.Local", "METHOD_TO_CLASS") in edges
+    assert not any(t.startswith("FUNCTION_TO") for _s, _t2, t in edges)
