@@ -107,6 +107,17 @@ _LAMBDA_EDGE_TYPES = {
     ("Rust", "Module", "Interface"): "MODULE_TO_SINGLETON_METHOD",
     ("Rust", "Module", "Module"): "MODULE_TO_SINGLETON_METHOD",
     ("Rust", "Module", "Method"): "MODULE_TO_SINGLETON_METHOD",
+    # ruby/analyzer.rs:214-233 — the Ruby table has NO Method→X or
+    # SingletonMethod→X arms: a def/class nested inside a method body gets
+    # no hierarchy edge in the reference. "" = suppressed (filtered out).
+    ("Ruby", "Method", "Method"): "",
+    ("Ruby", "Method", "SingletonMethod"): "",
+    ("Ruby", "Method", "Class"): "",
+    ("Ruby", "Method", "Module"): "",
+    ("Ruby", "SingletonMethod", "Method"): "",
+    ("Ruby", "SingletonMethod", "SingletonMethod"): "",
+    ("Ruby", "SingletonMethod", "Class"): "",
+    ("Ruby", "SingletonMethod", "Module"): "",
 }
 
 
@@ -392,7 +403,7 @@ def build_graph_from_entities(
                 ]
             ).alias("type"),
         )
-        .filter(F.col("type").isNotNull())
+        .filter(F.col("type").isNotNull() & (F.col("type") != ""))
     )
     hier = _null_loc(hier).select(*_EDGE_COLS)
 

@@ -3240,3 +3240,38 @@ def test_kotlin_function_parent_edges_use_method_names(spark, tmp_path_factory):
     assert ("outer", "outer.inner", "METHOD_TO_METHOD") in edges, sorted(edges)
     assert ("outer", "outer.Local", "METHOD_TO_CLASS") in edges
     assert not any(t.startswith("FUNCTION_TO") for _s, _t2, t in edges)
+
+
+def test_ruby_method_nested_defs_have_no_hierarchy_edge(spark, tmp_path_factory):
+    """ruby/analyzer.rs:214-233 — the Ruby edge table has no Method→X
+    arms: a def (or class) nested inside a method body is a definition but
+    gets NO hierarchy edge; class/module-hosted siblings keep theirs."""
+    corpus = {
+        "app/j.rb": (
+            "class Jobs\n"
+            "  def run\n"
+            "    def late_bound\n"
+            "      1\n"
+            "    end\n"
+            "  end\n"
+            "  def normal\n"
+            "    2\n"
+            "  end\n"
+            "end\n"
+        ),
+    }
+    kg = _index_corpus(spark, tmp_path_factory, corpus, "rb-nested")
+    fqns = {r.fqn for r in kg.definitions.select("fqn").collect()}
+    assert any(f.endswith("run#late_bound") for f in fqns), fqns  # still a def
+    de = kg.edges["definition_relationships"]
+    d = kg.definitions.select("id", "fqn")
+    edges = {
+        (r.src.split("#")[-1].split(".")[-1],
+         r.tgt.split("#")[-1].split(".")[-1], r.type)
+        for r in de.join(d.withColumnsRenamed({"id": "source_id", "fqn": "src"}), "source_id")
+        .join(d.withColumnsRenamed({"id": "target_id", "fqn": "tgt"}), "target_id")
+        .select("src", "tgt", "type").collect()
+    }
+    assert ("Jobs", "run", "CLASS_TO_METHOD") in edges
+    assert ("Jobs", "normal", "CLASS_TO_METHOD") in edges
+    assert not any(t == "late_bound" for _s, t, _ty in edges), sorted(edges)
