@@ -302,7 +302,9 @@ _CS_PROP = re.compile(
 _KT_DEF = re.compile(
     r"^(\s*)(?:data\s+|open\s+|sealed\s+|abstract\s+|final\s+|private\s+|public\s+"
     r"|protected\s+|internal\s+|suspend\s+|override\s+|operator\s+|inner\s+"
-    r"|inline\s+|tailrec\s+|external\s+|enum\s+|annotation\s+)*"
+    # `value class` is KotlinDefinitionType::ValueClass — indexed like any
+    # class (kotlin_file.rs:119-124 ValueClass → index_class)
+    r"|inline\s+|tailrec\s+|external\s+|enum\s+|annotation\s+|value\s+)*"
     r"(class|interface|object|fun)\s+(?:<[^>]*>\s+)?"
     # extension receiver (`fun String.capitalizeWords()`, possibly dotted /
     # generic) is NOT part of the reference FQN — kotlin/tests.rs:495 expects

@@ -3275,3 +3275,25 @@ def test_ruby_method_nested_defs_have_no_hierarchy_edge(spark, tmp_path_factory)
     assert ("Jobs", "run", "CLASS_TO_METHOD") in edges
     assert ("Jobs", "normal", "CLASS_TO_METHOD") in edges
     assert not any(t == "late_bound" for _s, t, _ty in edges), sorted(edges)
+
+
+def test_kotlin_value_class_extracts():
+    """`value class` is KotlinDefinitionType::ValueClass — indexed like a
+    class (kotlin_file.rs:119-124), primary-ctor val included; a local
+    named `value` stays a LocalVariable."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    defs = {
+        (r[3], r[4], r[5])
+        for r in _extract_one("v.kt", "Kotlin",
+            "package p\n"
+            "@JvmInline\n"
+            "value class UserId(val raw: Long)\n"
+            "fun use() {\n"
+            "    val value = 1\n"
+            "}\n")
+        if r[2] == "definition"
+    }
+    assert ("UserId", "p", "Class") in defs
+    assert ("raw", "p.UserId", "Property") in defs
+    assert all(n != "value" for n, _p, _k in defs)
