@@ -849,3 +849,318 @@ def test_kotlin_extractor_matches_generated_programs(prog):
         and g[0] not in ("topNoise",)
     } - set(expected)
     assert not phantom, (sorted(phantom), src)
+
+
+@st.composite
+def _java_program(draw):
+    names = iter(f"sym{i}" for i in range(64))
+    expected: list = []
+    lines: list = []
+    lines.append("package gen.prog;")
+    lines.append("import java.util.List;")
+
+    def class_body(depth, cname, kind):
+        ind = "    " * depth
+        for _ in range(draw(st.integers(1, 2))):
+            member = draw(st.sampled_from(["method", "field", "ctor", "nested"]))
+            nm = next(names)
+            if member == "method":
+                mods = draw(st.sampled_from(
+                    ["public ", "private static ", "protected final ", ""]
+                ))
+                if draw(st.booleans()):
+                    lines.append(f"{ind}@Override")
+                expected.append((nm, len(lines), "Method"))
+                lines.append(f"{ind}{mods}List<String> {nm}(int a, String b) {{")
+                lines.append(f"{ind}    return null;")
+                lines.append(ind + "}")
+            elif member == "field":
+                # fields are NOT definitions (java/analyzer.rs:64-69)
+                lines.append(
+                    f"{ind}private static final String F_{nm} = \"class Fake {{\";"
+                )
+            elif member == "ctor" and kind == "class":
+                expected.append((cname, len(lines), "Method"))
+                lines.append(f"{ind}public {cname}(int n) {{")
+                lines.append(f"{ind}    this.n = n;")
+                lines.append(ind + "}")
+            else:
+                nested = nm.capitalize()
+                expected.append((nested, len(lines), "Class"))
+                lines.append(f"{ind}static class {nested} {{")
+                lines.append(f"{ind}    void tick() {{")
+                lines.append(f"{ind}    }}")
+                lines.append(ind + "}")
+                expected.append(("tick", len(lines) - 3, "Method"))
+
+    def top():
+        for _ in range(draw(st.integers(2, 4))):
+            kind = draw(st.sampled_from(["class", "iface", "enum"]))
+            nm = next(names)
+            cname = nm.capitalize()
+            if kind == "class":
+                mods = draw(st.sampled_from(["public ", "public abstract ", ""]))
+                sup = draw(st.sampled_from(["", " extends Base", " implements Face"]))
+                expected.append((cname, len(lines), "Class"))
+                lines.append(f"{mods}class {cname}{sup} {{")
+                class_body(1, cname, "class")
+                lines.append("}")
+            elif kind == "iface":
+                inm = next(names)
+                expected.append((cname, len(lines), "Interface"))
+                lines.append(f"public interface {cname} {{")
+                expected.append((inm, len(lines), "Method"))
+                lines.append(f"    default int {inm}() {{")
+                lines.append("        return 1;")
+                lines.append("    }")
+                lines.append("}")
+            else:
+                e1, e2 = f"E{nm.upper()}A", f"E{nm.upper()}B"
+                expected.append((cname, len(lines), "Class"))
+                lines.append(f"public enum {cname} {{")
+                expected.append((e1, len(lines), "EnumConstant"))
+                expected.append((e2, len(lines), "EnumConstant"))
+                arg = draw(st.sampled_from(["", "(1)", "(new Hue(255))"]))
+                lines.append(f"    {e1}{arg}, {e2};")
+                mnm = next(names)
+                expected.append((mnm, len(lines), "Method"))
+                lines.append(f"    public int {mnm}() {{")
+                lines.append("        return 0;")
+                lines.append("    }")
+                lines.append("}")
+
+    top()
+    return "\n".join(lines) + "\n", expected
+
+
+@given(_java_program())
+@settings(**SETTINGS)
+def test_java_extractor_matches_generated_programs(prog):
+    """Java by construction: classes/interfaces/enums (+constants with
+    payload args that must NOT leak — the r7 ADVICE repro — and post-;
+    members), constructors (Method kind, like the reference), default
+    interface methods, nested types, @Override noise — while FIELDS are
+    never definitions (java/analyzer.rs:64-69)."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    src, expected = prog
+    got = {
+        (r[3], r[8], r[5])
+        for r in _extract_one("Gen.java", "Java", src)
+        if r[2] == "definition"
+    }
+    missing = set(expected) - got
+    assert not missing, (sorted(missing), sorted(got), src)
+    phantom = {
+        g for g in got
+        if g[0].lower().startswith(("sym", "fake", "f_", "hue"))
+    } - set(expected)
+    assert not phantom, (sorted(phantom), src)
+
+
+@st.composite
+def _cs_program(draw):
+    names = iter(f"sym{i}" for i in range(64))
+    expected: list = []
+    lines: list = []
+    lines.append("namespace Gen.Prog;")
+    lines.append("using System.Collections.Generic;")
+
+    def class_body(depth, cname):
+        ind = "    " * depth
+        for _ in range(draw(st.integers(1, 2))):
+            member = draw(st.sampled_from(
+                ["method", "prop", "field", "ctor", "event"]
+            ))
+            nm = next(names).capitalize()
+            if member == "method":
+                mods = draw(st.sampled_from(
+                    ["public ", "public static async ", "internal override ", ""]
+                ))
+                expected.append((nm, len(lines), "Method"))
+                lines.append(f"{ind}{mods}List<string> {nm}(int a, string b) {{")
+                lines.append(f"{ind}    return null;")
+                lines.append(ind + "}")
+            elif member == "prop":
+                expected.append((nm, len(lines), "Property"))
+                lines.append(f"{ind}public int {nm} {{ get; set; }}")
+            elif member == "field":
+                # Field -> None (csharp.rs:280): never a definition
+                lines.append(f"{ind}private readonly string _f{nm} = \"class Fake {{\";")
+            elif member == "event":
+                # Event -> None (csharp.rs:292)
+                lines.append(f"{ind}public event EventHandler Changed{nm};")
+            else:
+                expected.append((cname, len(lines), "Constructor"))
+                lines.append(f"{ind}public {cname}(int n) {{")
+                lines.append(f"{ind}    _n = n;")
+                lines.append(ind + "}")
+
+    def top():
+        for _ in range(draw(st.integers(2, 4))):
+            kind = draw(st.sampled_from(
+                ["class", "iface", "struct", "record", "rstruct", "enum", "delegate"]
+            ))
+            nm = next(names)
+            cname = nm.capitalize()
+            if kind in ("class", "struct"):
+                mods = draw(st.sampled_from(["public ", "public sealed ", "internal "]))
+                expected.append((cname, len(lines), "Class"))
+                lines.append(f"{mods}{'class' if kind == 'class' else 'struct'} {cname} {{")
+                class_body(1, cname)
+                lines.append("}")
+            elif kind == "iface":
+                pnm = next(names).capitalize()
+                expected.append((f"I{cname}", len(lines), "Interface"))
+                lines.append(f"public interface I{cname} {{")
+                # Interface→InstanceMethod IS an arm (InterfaceToMethod,
+                # csharp.rs:170-175): signatures extract as Methods
+                expected.append((pnm, len(lines), "Method"))
+                lines.append(f"    int {pnm}();")
+                lines.append("}")
+            elif kind == "record":
+                p1 = next(names).capitalize()
+                expected.append((cname, len(lines), "Class"))
+                expected.append((p1, len(lines), "Property"))
+                lines.append(f"public record {cname}(string {p1}, int PlainAge = 0);")
+                expected.append(("PlainAge", len(lines) - 1, "Property"))
+            elif kind == "rstruct":
+                p1 = next(names).capitalize()
+                expected.append((cname, len(lines), "Class"))
+                expected.append((p1, len(lines), "Property"))
+                lines.append(f"public readonly record struct {cname}(double {p1});")
+            elif kind == "enum":
+                e1, e2 = f"E{nm.upper()}A", f"E{nm.upper()}B"
+                expected.append((cname, len(lines), "Class"))
+                lines.append(f"public enum {cname} {{")
+                # the C# inventory has NO enum-member kind (csharp.rs
+                # simplify table) — constants are not definitions there
+                lines.append(f"    {e1},")
+                lines.append(f"    {e2}")
+                lines.append("}")
+            else:
+                expected.append((cname, len(lines), "Class"))  # delegate → Class
+                lines.append(f"public delegate void {cname}(int x);")
+
+    top()
+    return "\n".join(lines) + "\n", expected
+
+
+@given(_cs_program())
+@settings(**SETTINGS)
+def test_csharp_extractor_matches_generated_programs(prog):
+    """C# by construction: classes/structs/records (+positional
+    properties)/readonly record structs/interfaces/enums/delegates (→
+    Class), constructors (Constructor kind), auto-properties — while
+    FIELDS and EVENTS are never definitions (csharp.rs:280,292) and
+    interface method signatures stay unextracted."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    src, expected = prog
+    got = {
+        (r[3], r[8], r[5])
+        for r in _extract_one("Gen.cs", "CSharp", src)
+        if r[2] == "definition"
+    }
+    missing = set(expected) - got
+    assert not missing, (sorted(missing), sorted(got), src)
+    phantom = {
+        g for g in got
+        if g[0].lower().startswith(("sym", "fake", "_f", "changed", "isym"))
+    } - set(expected)
+    assert not phantom, (sorted(phantom), src)
+    # enum constants must be ABSENT (no kind for them in the C# inventory)
+    assert not any(n.startswith("ESYM") for n, _l, _k in got), sorted(got)
+
+
+@st.composite
+def _rs_program(draw):
+    names = iter(f"sym{i}" for i in range(64))
+    expected: list = []
+    lines: list = []
+
+    def top(depth):
+        ind = "    " * depth
+        for _ in range(draw(st.integers(2, 3 if depth == 0 else 2))):
+            kind = draw(st.sampled_from(
+                ["struct", "enum", "trait", "impl", "fn", "mod", "const"]
+            ))
+            nm = next(names)
+            cname = nm.capitalize()
+            if kind == "struct":
+                f1 = next(names)
+                expected.append((cname, len(lines), "Class"))
+                lines.append(f"{ind}pub struct {cname} {{")
+                expected.append((f1, len(lines), "Field"))
+                lines.append(f"{ind}    pub {f1}: Vec<String>,")
+                lines.append(f"{ind}    plain_ty: u32,")
+                expected.append(("plain_ty", len(lines) - 1, "Field"))
+                lines.append(ind + "}")
+            elif kind == "enum":
+                v1 = f"V{nm.capitalize()}"
+                expected.append((cname, len(lines), "Class"))
+                lines.append(f"{ind}pub enum {cname} {{")
+                expected.append((v1, len(lines), "Variant"))
+                payload = draw(st.sampled_from(["", "(u32)", "(HashMap<String, Value>)", " = 3"]))
+                lines.append(f"{ind}    {v1}{payload},")
+                lines.append(ind + "}")
+            elif kind == "trait":
+                m1 = next(names)
+                expected.append((cname, len(lines), "Interface"))
+                lines.append(f"{ind}pub trait {cname} {{")
+                expected.append((m1, len(lines), "Method"))
+                sig = draw(st.sampled_from(
+                    [f"fn {m1}(&self);", f"fn {m1}(&self) -> u32 {{ 1 }}"]
+                ))
+                lines.append(f"{ind}    {sig}")
+                lines.append(ind + "}")
+            elif kind == "impl":
+                m1 = next(names)
+                lines.append(f"{ind}impl Host{cname} {{")
+                expected.append((m1, len(lines), "Method"))
+                lines.append(f"{ind}    pub fn {m1}(&self) -> bool {{")
+                lines.append(f"{ind}        let flag: bool = true;")
+                lines.append(f"{ind}        flag")
+                lines.append(f"{ind}    }}")
+                lines.append(ind + "}")
+            elif kind == "fn":
+                expected.append((nm, len(lines), "Function"))
+                mods = draw(st.sampled_from(["pub ", "pub async ", "", "pub(crate) "]))
+                lines.append(f"{ind}{mods}fn {nm}(x: u32) -> u32 {{")
+                lines.append(f"{ind}    x + 1")
+                lines.append(ind + "}")
+            elif kind == "mod" and depth == 0:
+                expected.append((nm, len(lines), "Module"))
+                lines.append(f"{ind}pub mod {nm} {{")
+                top(depth + 1)
+                lines.append(ind + "}")
+            else:
+                # consts are NOT indexed (no const kind in the inventory)
+                lines.append(f"{ind}pub const C_{nm.upper()}: u32 = 9;")
+
+    top(0)
+    return "\n".join(lines) + "\n", expected
+
+
+@given(_rs_program())
+@settings(**SETTINGS)
+def test_rust_extractor_matches_generated_programs(prog):
+    """Rust by construction: structs+fields (Field IS indexed), enums+
+    variants (payload identifiers must not leak), traits (+default and
+    required methods), impl-hosted Methods, free Functions, nested mods —
+    while consts and fn-body typed lets are never definitions."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    src, expected = prog
+    got = {
+        (r[3], r[8], r[5])
+        for r in _extract_one("gen.rs", "Rust", src)
+        if r[2] == "definition"
+    }
+    missing = set(expected) - got
+    assert not missing, (sorted(missing), sorted(got), src)
+    phantom = {
+        g for g in got
+        if g[0].lower().startswith(("sym", "c_", "flag", "string", "value", "hashmap"))
+    } - set(expected)
+    assert not phantom, (sorted(phantom), src)
