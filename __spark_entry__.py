@@ -44,9 +44,6 @@ ROWS_ONLY = {
     # underlying repo_map queries are oracle-checked and the render's bytes
     # are golden-tested against the reference's own e2e assertions
     "repo_map_xml",
-    # hyperplane LSH is probabilistic top-k whose recall floor is
-    # seed-dependent (exact re-score / recall pytests)
-    "hyperplane_lsh_ann",
 }
 # graduated in r5: pagerank_top20 (BIGINT fixed-point recurrence at 5
 # iterations, top-20 projection — same oracle family as pagerank_exact),
@@ -648,9 +645,19 @@ def _q_simhash_buckets(spark, sf_dir):  # graduated r6: planted co-bucket pin
     return n_rows.crossJoin(matched)
 
 
-def _q_hyperplane_lsh_ann(spark, sf_dir):  # rows-only (probabilistic)
-    return SIM.hyperplane_lsh_ann(
-        read_table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10
+def _q_hyperplane_lsh_ann(spark, sf_dir):
+    # graduated r8 (ROWS_ONLY → repo_map_xml only): the sign-pattern
+    # bucketing is deterministic given the seeded hyperplanes, and an exact
+    # copy of the query vector lands in the query's bucket whatever the
+    # seed — so the entry pins SQL-computable invariants (conservation,
+    # planted-copy co-bucket, independent plain-double re-score with
+    # violations = 0, planted query returned at cosine 1.0). Raw top-k
+    # stays available via beyond.similarity.hyperplane_lsh_ann; recall is
+    # a pytest (test_beyond.py), not an oracle claim.
+    emb = read_table(spark, sf_dir, "embeddings")
+    row = emb.orderBy("vec_id").limit(1).collect()[0]
+    return SIM.hyperplane_lsh_invariants(
+        emb, [float(v) for v in row["embedding"]], int(row["vec_id"]), k=10
     )
 
 
@@ -1692,6 +1699,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cosine_topk": SIM.COSINE_TOPK_SQL.format(k=10),
         "ivf_ann": SIM.IVF_ANN_INVARIANTS_SQL,
+        "hyperplane_lsh_ann": SIM.HYPERPLANE_LSH_INVARIANTS_SQL,
         "embedding_near_dup": SIM.EMBEDDING_NEAR_DUP_SQL.format(threshold=0.35),
         "dedup_clusters": D._clusters_sql().format(threshold=0.35),
         "stratified_sample": SAMP.STRATIFIED_SAMPLE_SQL.format(k=25),

@@ -9,12 +9,13 @@ derive + materialize all 8 graph tables (the "index" analog); each query then
 runs against the materialized graph (cached, as a deployment would read the
 parquet at rest).
 
-Variance discipline (round 4): any query whose first run takes ≥10 s is run
-THREE times and reported as the median (raw runs land in BENCH_LOCAL.json's
-"runs" map) — single samples on scheduling-bound queries carry the VM's
-~1.6x envelope (ROUND_NOTES r3 A/B). For queries that warm a session cache
-on run 1 (shared synthetic base graph), the median is the steady-state
-latency; run 1's cold cost stays visible in "runs".
+Variance discipline (round 4, widened round 8): any query whose first run
+takes ≥2 s is run THREE times and reported as the median (raw runs land in
+BENCH_LOCAL.json's "runs" map) — single samples on scheduling-bound queries
+carry the VM's ~1.6x envelope (ROUND_NOTES r3 A/B; r7's driver-artifact 17%
+total swing was single-sample luck in the 2-10 s tier). For queries that
+warm a session cache on run 1 (shared synthetic base graph), the median is
+the steady-state latency; run 1's cold cost stays visible in "runs".
 """
 
 from __future__ import annotations
@@ -128,15 +129,17 @@ def main() -> None:
                     time.sleep(2)
             # variance discipline (ROUND_NOTES r3: the VM's envelope on
             # scheduling-bound queries is ~1.6x, so single samples below
-            # that are noise): queries ≥10s get 3 runs and report the
-            # MEDIAN; sub-10s queries stay single-sample (their absolute
-            # error is bounded by the threshold). Cache-CREATOR queries
-            # always get 3 runs: their run 1 pays a one-time session-cache
-            # build that straddles the 10s threshold (r6 driver artifact:
-            # pipeline_index_stats 9.34 single-sample vs 1.69 steady-state
-            # — same query, same plan, threshold luck), so a single sample
+            # that are noise): every query whose first run is ≥2s gets 3
+            # runs and reports the MEDIAN (r7 verdict task #1 — the r7
+            # driver artifact's 17% total swing was pure sampling luck on
+            # single-sample 2-10s queries, e.g. ngram_jaccard_pairs
+            # 4.5↔9.0s across artifacts); sub-2s queries stay
+            # single-sample (absolute error bounded by the threshold).
+            # Cache-CREATOR queries always get 3 runs: their run 1 pays a
+            # one-time session-cache build (r6: pipeline_index_stats 9.34
+            # single-sample vs 1.69 steady-state), so a single sample
             # measures the cache build, not the query
-            if runs[0] < 10.0 and name not in cache_creators:
+            if runs[0] < 2.0 and name not in cache_creators:
                 break
         timings[name] = sorted(runs)[len(runs) // 2]
         if len(runs) > 1:

@@ -94,16 +94,18 @@ LIMIT {k}
 """
 
 
-def hyperplane_lsh_ann(
-    emb: DataFrame, query_vec: list[float], k: int = 10, planes: int = 6, seed: int = 42
-) -> DataFrame:
-    """LSH-bucketed ANN: sign pattern against ``planes`` pseudo-random
-    hyperplanes buckets the vectors; the query's bucket (plus Hamming-1
-    neighbors) is re-scored exactly. Probabilistic recall — the exact
-    ``cosine_topk`` is the oracle for the bucket's contents.
+def _hyperplane_state(
+    emb: DataFrame, query_vec: list[float], planes: int, seed: int
+):
+    """Shared bucketing state for the hyperplane-LSH family: the corpus
+    with its sign-pattern ``bucket`` column, the query's bucket, and the
+    candidate bucket list (query bucket + Hamming-1 neighbors).
 
     Hyperplanes are generated deterministically from ``seed`` via a
     splitmix-style integer mix — no RNG state, reproducible across runs.
+    The driver-side query bucket uses the same left-to-right double
+    accumulation as the Spark-side ``aggregate`` fold, so an exact copy of
+    the query vector in the corpus lands in the query's bucket bit-for-bit.
     """
     def mix(a: int) -> float:
         a = (a ^ (a >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
@@ -126,14 +128,130 @@ def hyperplane_lsh_ann(
 
     qb = 0
     for p, hp in enumerate(hyper):
-        d = sum(float(a) * float(b) for a, b in zip(query_vec, hp))
+        d = 0.0
+        for a, b in zip(query_vec, hp):
+            d += float(a) * float(b)
         if d >= 0:
             qb |= 1 << p
     bucketed = emb.withColumn("bucket", sign_bits(F.col("embedding")))
     # query bucket + Hamming-1 neighbor buckets
     cands = [qb] + [qb ^ (1 << p) for p in range(planes)]
+    return bucketed, qb, cands
+
+
+def hyperplane_lsh_ann(
+    emb: DataFrame, query_vec: list[float], k: int = 10, planes: int = 6, seed: int = 42
+) -> DataFrame:
+    """LSH-bucketed ANN: sign pattern against ``planes`` pseudo-random
+    hyperplanes buckets the vectors; the query's bucket (plus Hamming-1
+    neighbors) is re-scored exactly. Probabilistic recall — the exact
+    ``cosine_topk`` is the oracle for the bucket's contents.
+    """
+    bucketed, _qb, cands = _hyperplane_state(emb, query_vec, planes, seed)
     filtered = bucketed.filter(F.col("bucket").isin(cands))
     return cosine_topk(filtered, query_vec, k)
+
+
+def hyperplane_lsh_invariants(
+    emb: DataFrame,
+    query_vec: list[float],
+    query_id: int,
+    k: int = 10,
+    planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """SQL-checkable invariants of the hyperplane-LSH pipeline — the ivf
+    graduation pattern (similarity.py:329); raw top-k stays available via
+    :func:`hyperplane_lsh_ann`. All hold for ANY seed (no recall claim —
+    that stays a pytest):
+
+    * ``n_bucketed`` — every corpus vector gets exactly one sign-pattern
+      bucket (conservation; oracle: ``count(*)`` of embeddings).
+    * ``planted_copy_cobucket`` — ``query_id`` IS the query vector's corpus
+      row (an exact planted copy): identical vectors produce identical sign
+      bits whatever the hyperplanes, so it must land in the driver-computed
+      query bucket. Pinned at 1.
+    * ``rescore_violations`` — every returned top-k row re-scored through
+      an INDEPENDENT cosine formulation (plain-double fold, no decimal
+      accumulator) within 2e-6 of the reported (decimal-exact, 6-dp
+      rounded) score. Pinned at 0.
+    * ``query_in_topk`` — the query's own bucket is always probed, so the
+      exact re-rank must return the planted copy at cosine 1.0. Pinned 1.
+    * ``topk_le_k`` — the result is bounded by ``k``. Pinned at 1.
+    """
+    import math
+
+    bucketed, qb, cands = _hyperplane_state(emb, query_vec, planes, seed)
+    filtered = bucketed.filter(F.col("bucket").isin(cands))
+    topk = cosine_topk(filtered, query_vec, k)
+    # independent re-score: plain double arithmetic end-to-end (different
+    # accumulator type and no per-term decimal cast vs cosine_topk's path)
+    e = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    q = F.array(*[F.lit(float(v)).cast("double") for v in query_vec])
+    dot = F.aggregate(
+        F.zip_with(e, q, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(e, lambda v: v * v), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    nq = math.sqrt(sum(float(v) * float(v) for v in query_vec))
+    rescored = emb.select(
+        "vec_id", (dot / (na * F.lit(nq))).alias("cos_indep")
+    )
+    joined = topk.join(rescored, "vec_id")
+    metrics = [
+        bucketed.agg(F.count("*").cast("long").alias("value")).select(
+            F.lit("n_bucketed").alias("metric"), "value"
+        ),
+        bucketed.filter(F.col("vec_id") == F.lit(query_id))
+        .agg(
+            F.max(F.when(F.col("bucket") == F.lit(qb), 1).otherwise(0))
+            .cast("long")
+            .alias("value")
+        )
+        .select(F.lit("planted_copy_cobucket").alias("metric"), "value"),
+        joined.agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("cosine") - F.col("cos_indep")) > F.lit(2e-6), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("value")
+        ).select(F.lit("rescore_violations").alias("metric"), "value"),
+        topk.agg(
+            F.max(
+                F.when(
+                    (F.col("vec_id") == F.lit(query_id))
+                    & (F.col("cosine") > F.lit(0.9999985)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("value")
+        ).select(F.lit("query_in_topk").alias("metric"), "value"),
+        topk.agg((F.count("*") <= F.lit(k)).cast("long").alias("value")).select(
+            F.lit("topk_le_k").alias("metric"), "value"
+        ),
+    ]
+    out = metrics[0]
+    for m in metrics[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("metric")
+
+
+HYPERPLANE_LSH_INVARIANTS_SQL = """
+SELECT metric, CAST(value AS BIGINT) AS value FROM (
+  SELECT 'n_bucketed' AS metric, (SELECT count(*) FROM embeddings) AS value
+  UNION ALL SELECT 'planted_copy_cobucket', 1
+  UNION ALL SELECT 'query_in_topk', 1
+  UNION ALL SELECT 'rescore_violations', 0
+  UNION ALL SELECT 'topk_le_k', 1
+) ORDER BY metric
+"""
 
 
 def embedding_near_dup_pairs(

@@ -404,12 +404,18 @@ def _kt_primary_ctor_props(masked, ln: int, start_col: int):
     return out, last
 
 
-def _header_param_lines(masked, ln: int, start_col: int):
+def _header_param_lines(masked, ln: int, start_col: int, nested_fill: str = " "):
     """Yield (line_no, depth1_text) for the parameter list opened by the
     first ``(`` at/after ``start_col`` on line ``ln`` — nested parens are
     blanked, positions stay column-faithful; stops at the matching ``)``
     (or after 16 physical lines). Nothing yields when a ``{`` body opens
-    before any parameter list."""
+    before any parameter list.
+
+    ``nested_fill`` is the replacement char for nested-paren regions:
+    ``" "`` erases them (Kotlin — ctor-prop regex must not see them);
+    a non-space placeholder keeps them as an opaque TOKEN so a chunk like
+    ``(int A, string B) Pair`` still splits into (type, name) downstream
+    (C# positional records with tuple types)."""
     depth = 0
     opened = False
     for li in range(ln, min(ln + 17, len(masked))):
@@ -430,15 +436,15 @@ def _header_param_lines(masked, ln: int, start_col: int):
                 continue
             if ch == "(":
                 depth += 1
-                buf.append(" ")
+                buf.append(nested_fill if depth >= 2 else " ")
             elif ch == ")":
                 depth -= 1
-                buf.append(" ")
+                buf.append(nested_fill if depth >= 1 else " ")
                 if depth == 0:
                     done = True
                     break
             else:
-                buf.append(ch if depth == 1 else " ")
+                buf.append(ch if depth == 1 else nested_fill)
         if not opened:
             # the primary-ctor `(` always sits on the header line itself
             # (Kotlin and C# grammars) — never scan ahead for one
@@ -458,9 +464,25 @@ _CS_RECORD_PARAM = re.compile(r"([A-Za-z_]\w*)\s*$")
 def _cs_record_props(masked, ln: int, start_col: int):
     """(name, line, col) for the positional parameters of a C# record
     header — `record Person(string Name, int Age = 0)` declares Name/Age
-    properties."""
+    properties. Tuple types (`record R((int A, string B) Pair)`) survive
+    as an opaque placeholder token via ``nested_fill``, and generic-type
+    commas (`Dictionary<int, string> Map`) are blanked to the same
+    placeholder before splitting so they can't split a parameter chunk."""
     out = []
-    for li, vis in _header_param_lines(masked, ln, start_col):
+    for li, vis in _header_param_lines(masked, ln, start_col, nested_fill="\x01"):
+        # blank <...> contents (column-faithful) so generic commas don't
+        # split chunks and generic `=` can't truncate them
+        buf, ad = [], 0
+        for ch in vis:
+            if ch == "<":
+                ad += 1
+                buf.append("\x01")
+            elif ch == ">" and ad > 0:
+                ad -= 1
+                buf.append("\x01")
+            else:
+                buf.append("\x01" if ad > 0 else ch)
+        vis = "".join(buf)
         for chunk_m in re.finditer(r"[^,]+", vis):
             chunk = chunk_m.group(0).split("=", 1)[0].rstrip()
             m = _CS_RECORD_PARAM.search(chunk)
@@ -970,7 +992,33 @@ def _mask_text(language: str, text: str) -> list[tuple[str, str]]:
                     i += 1
             else:  # inside an interpolation: expression chars stay visible
                 delim, opener, depth = state[1], state[2], state[3]
+                nq = state[4] if len(state) > 4 else None
                 ch = line[i]
+                if nq is not None:
+                    # inside a nested string literal WITHIN the interpolation
+                    # (Ruby "#{h["}"]}", Kotlin "${f("}")}"): mask its
+                    # contents so a '}' or quote in it can't close the
+                    # interpolation early and desync the rest of the line
+                    if ch == "\\" and i + 1 < n:
+                        code.append("  ")
+                        imp.append(line[i : i + 2])
+                        i += 2
+                        continue
+                    if ch == nq:
+                        code.append(ch)
+                        imp.append(ch)
+                        state = ("interp", delim, opener, depth)
+                    else:
+                        code.append(" ")
+                        imp.append(ch)
+                    i += 1
+                    continue
+                if ch in ('"', "'"):
+                    code.append(ch)
+                    imp.append(ch)
+                    state = ("interp", delim, opener, depth, ch)
+                    i += 1
+                    continue
                 if ch == "{":
                     state = ("interp", delim, opener, depth + 1)
                     code.append(ch)

@@ -279,15 +279,67 @@ class InotifyWatcher:
     def _drop_dir(self, wd: int, emit: list) -> None:
         """A watched directory vanished (deleted or moved away): emit
         deleted for every file it was known to hold, recursively for its
-        known subdirectories — no disk access needed."""
-        key, dirpath = self._wd_dir.pop(wd)
+        known subdirectories — no disk access needed.
+
+        The descendant list is snapshotted before recursing, so a
+        grandchild may already have been popped by a child's recursion —
+        pop-with-default and bail instead of KeyError (a raise here runs
+        on the watcher thread with the fd already drained, losing the
+        whole event batch)."""
+        ent = self._wd_dir.pop(wd, None)
+        if ent is None:
+            return
+        key, dirpath = ent
         self._dir_wd.pop(dirpath, None)
+        # release the kernel watch — a moved-away subtree keeps delivering
+        # events to a dead wd and counts against max_user_watches otherwise.
+        # EINVAL/ENOENT (already auto-removed on delete) are expected.
+        try:
+            self._libc.inotify_rm_watch(self._fd, wd)
+        except Exception:  # noqa: BLE001 — best-effort release
+            pass
         root = self.projects.get(key, dirpath)
         for fn in self._dir_files.pop(wd, ()):
             emit.append((key, os.path.relpath(os.path.join(dirpath, fn), root), "deleted"))
         prefix = dirpath + os.sep
         for child_wd in [w for w, (_k, d) in self._wd_dir.items() if d.startswith(prefix)]:
             self._drop_dir(child_wd, emit)
+
+    def _overflow_recover(self, raw: list) -> None:
+        """IN_Q_OVERFLOW recovery. Two passes, both bounded:
+
+        1. Rescan each project tree — registers any directories created
+           during the lost window and marks every on-disk file modified.
+        2. Diff every live watch against disk — emit 'deleted' for names
+           in ``_dir_files`` that no longer exist and REPLACE (not union)
+           the set, and drop watches whose directory vanished entirely.
+        """
+        for key, root in self.projects.items():
+            marks: list = []
+            self._scan_dir_tree(key, root, emit=marks)
+            raw.extend((k, p, "modified") for k, p, _c in marks)
+        for wd in list(self._wd_dir):
+            ent = self._wd_dir.get(wd)
+            if ent is None:  # dropped by an earlier iteration's recursion
+                continue
+            key, dirpath = ent
+            try:
+                # not is_dir() (symlink-following) mirrors os.walk's
+                # file/dir split used at registration time
+                on_disk = {
+                    e.name for e in os.scandir(dirpath) if not e.is_dir()
+                }
+            except OSError:
+                # the watched directory itself vanished during the window
+                self._drop_dir(wd, raw)
+                continue
+            known = self._dir_files.get(wd, set())
+            root = self.projects.get(key, dirpath)
+            for fn in known - on_disk:
+                raw.append(
+                    (key, os.path.relpath(os.path.join(dirpath, fn), root), "deleted")
+                )
+            self._dir_files[wd] = on_disk
 
     # -- event drain ----------------------------------------------------------
     def _drain_fd(self) -> bytes:
@@ -321,14 +373,14 @@ class InotifyWatcher:
             name = buf[off + 16 : off + 16 + nlen].split(b"\0", 1)[0]
             off += 16 + nlen
             if mask & _IN_Q_OVERFLOW:
-                # kernel dropped events: recover by re-reporting every
-                # watched file as modified (one bounded walk; the incremental
-                # splice re-derives actual state from disk)
+                # kernel dropped events: recover with one bounded walk that
+                # re-reports every on-disk file as modified AND diffs each
+                # watch's bookkeeping against disk so files/dirs deleted
+                # during the overflow window get their 'deleted' events
+                # (the splice re-derives content state from disk, but it
+                # only looks at paths we report)
                 self.overflows += 1
-                for key, root in self.projects.items():
-                    marks: list = []
-                    self._scan_dir_tree(key, root, emit=marks)
-                    raw.extend((k, p, "modified") for k, p, _c in marks)
+                self._overflow_recover(raw)
                 continue
             ent = self._wd_dir.get(wd)
             if ent is None:

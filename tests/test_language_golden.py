@@ -646,6 +646,34 @@ def test_masking_ruby_negatives():
         assert bad not in names, bad
 
 
+def test_masking_nested_literals_inside_interpolations():
+    """A quote or '}' inside a string literal NESTED in an interpolation
+    (Ruby "#{h["}"]}", Kotlin "${f("}")}") must not close the interpolation
+    early — pre-r8 this desynced the mask and ate real code after the
+    string (r7 ADVICE low, extract.py interp state)."""
+    cases = [
+        # the nested literal smuggles both '}' and def-keyword text —
+        # neither may close the interp early nor mint a phantom definition
+        # (interp EXPRESSIONS like f(...) stay visible by design: call scans)
+        ("m.rb", "Ruby",
+         'x = "#{h["} def phantom "]}"\ndef real\nend\n', "real"),
+        ("m.kt", "Kotlin",
+         'val s = "${f("} fun phantom() = 1 ")}"\nfun real() = 1\n', "real"),
+        ("m.py", "Python",
+         "x = f\"{d['} def phantom(): pass ']}\"\ndef real(): pass\n", "real"),
+        ("m.cs", "CSharp",
+         'class C {\n'
+         '  string S => $"{F("} void Phantom() {} ")}";\n'
+         '  void Real() {}\n'
+         '}\n',
+         "Real"),
+    ]
+    for path, lang, text, want in cases:
+        names = {n for _, n in _names(path, lang, text)}
+        assert want in names, (lang, names)
+        assert not ({"phantom", "Phantom"} & names), (lang, names)
+
+
 def test_typescript_namespace_module_scoping():
     """TS namespaces emit no definition row but scope member FQNs
     (typescript.rs:41-44 Namespace → continue); the legacy `module X {}`
@@ -2874,6 +2902,34 @@ def test_csharp_record_kinds_and_positional_properties():
     # the base clause / empty list yield no phantom properties
     assert not any(p == "App.Copy" for _n, p, _k in defs)
     assert not any(p == "App.Marker" for _n, p, _k in defs)
+
+
+def test_csharp_record_tuple_and_generic_positional_properties():
+    """r8 (ADVICE low): parenthesized tuple types and generic-comma types
+    in positional record parameters — the tuple's parens used to blank to
+    a one-token chunk that the (type, name) guard rejected, and generic
+    commas split chunks so the name only extracted by accident."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    cs = list(_extract_one(
+        "T.cs", "CSharp",
+        "namespace App;\n"
+        "public record R((int A, string B) Pair, Dictionary<int, string> Map);\n"
+        "public record Multi(\n"
+        "    (int X, int Y) Point,\n"
+        "    List<(string K, int V)> Items,\n"
+        "    Func<int, int> Op = null\n"
+        ");\n",
+    ))
+    defs = {(r[3], r[4], r[5]) for r in cs if r[2] == "definition"}
+    assert ("Pair", "App.R", "Property") in defs
+    assert ("Map", "App.R", "Property") in defs
+    assert ("Point", "App.Multi", "Property") in defs
+    assert ("Items", "App.Multi", "Property") in defs
+    assert ("Op", "App.Multi", "Property") in defs
+    # tuple ELEMENT names are not record properties; generic params either
+    names = {n for n, _p, _k in defs}
+    assert not ({"A", "B", "X", "Y", "K", "V", "int", "string"} & names), names
 
 
 def test_rust_associated_consts_not_indexed():

@@ -331,6 +331,107 @@ def test_inotify_picks_up_projects_indexed_later(tmp_path):
         w.stop()
 
 
+def _inotify_watch_count(fd: int) -> int:
+    """Live kernel watches on an inotify fd, from /proc fdinfo."""
+    with open(f"/proc/self/fdinfo/{fd}") as f:
+        return sum(1 for line in f if line.startswith("inotify wd:"))
+
+
+def test_inotify_nested_subtree_move_out(tmp_path):
+    """Moving a >=2-deep watched tree OUT delivers one MOVED_FROM for the
+    top dir; _drop_dir recursion must tolerate grandchildren already popped
+    by a child's recursion (r7 ADVICE high: KeyError lost the whole drained
+    batch), emit deletions for every known file, release the kernel watches
+    (ADVICE low: max_user_watches leak), and not lose unrelated events from
+    the same batch."""
+    from knowledge_graph_spark.streaming.live_watcher import InotifyWatcher
+
+    proj = tmp_path / "proj"
+    spool = tmp_path / "spool"
+    (proj / "a" / "b" / "c").mkdir(parents=True)
+    spool.mkdir()
+    (proj / "a" / "x.py").write_text("x = 1\n")
+    (proj / "a" / "b" / "y.py").write_text("y = 1\n")
+    (proj / "a" / "b" / "c" / "z.py").write_text("z = 1\n")
+    (proj / "keep.py").write_text("k = 1\n")
+    w = InotifyWatcher({str(proj): str(proj)}, str(spool), interval=0.05)
+    try:
+        assert w.poll_once() == 0
+        watches_before = _inotify_watch_count(w._fd)
+        # unrelated edit FIRST so it shares the drained batch with the move
+        (proj / "keep.py").write_text("k = 2\n")
+        (tmp_path / "outside").mkdir()
+        import os as _os
+
+        _os.rename(str(proj / "a"), str(tmp_path / "outside" / "a"))
+        time.sleep(0.05)
+        n = w.poll_once()  # pre-fix: KeyError on grandchild, batch lost
+        assert n == 4, n  # keep.py modified + 3 files deleted
+        evs = [
+            json.loads(line)
+            for f in spool.iterdir() if not f.name.endswith(".tmp")
+            for line in f.read_text().splitlines()
+        ]
+        got = {(e["path"], e["change_type"]) for e in evs}
+        assert {
+            ("keep.py", "modified"),
+            ("a/x.py", "deleted"),
+            ("a/b/y.py", "deleted"),
+            ("a/b/c/z.py", "deleted"),
+        } <= got
+        # moved-away dirs' kernel watches released (proj root remains)
+        assert _inotify_watch_count(w._fd) == watches_before - 3
+        # the moved subtree no longer delivers: edits there are silent
+        (tmp_path / "outside" / "a" / "x.py").write_text("x = 9\n")
+        time.sleep(0.05)
+        assert w.poll_once() == 0
+    finally:
+        w.stop()
+
+
+def test_inotify_overflow_recovery_emits_deletions(tmp_path):
+    """IN_Q_OVERFLOW recovery (r7 ADVICE medium): files and dirs deleted
+    during the lost window must yield 'deleted' events and drop from the
+    bookkeeping — not linger as stale names forever. Simulated by draining
+    the fd (losing the events) and invoking the recovery path directly."""
+    from knowledge_graph_spark.streaming.live_watcher import InotifyWatcher
+
+    proj = tmp_path / "proj"
+    spool = tmp_path / "spool"
+    (proj / "sub").mkdir(parents=True)
+    spool.mkdir()
+    (proj / "live.py").write_text("a = 1\n")
+    (proj / "gone.py").write_text("b = 1\n")
+    (proj / "sub" / "inner.py").write_text("c = 1\n")
+    w = InotifyWatcher({str(proj): str(proj)}, str(spool), interval=0.05)
+    try:
+        assert w.poll_once() == 0
+        # the "overflow window": changes happen but their events are lost
+        (proj / "gone.py").unlink()
+        (proj / "fresh.py").write_text("f = 1\n")
+        import shutil
+
+        shutil.rmtree(proj / "sub")
+        time.sleep(0.05)
+        w._drain_fd()  # discard the queued events, as an overflow would
+        raw: list = []
+        w._overflow_recover(raw)
+        got = {(p, c) for _k, p, c in raw}
+        assert ("gone.py", "deleted") in got
+        assert ("sub/inner.py", "deleted") in got
+        assert ("live.py", "modified") in got     # on-disk files re-reported
+        assert ("fresh.py", "modified") in got    # created-during-window
+        # bookkeeping REPLACED: no stale names, vanished dir dropped
+        all_known = set().union(*w._dir_files.values()) if w._dir_files else set()
+        assert "gone.py" not in all_known and "inner.py" not in all_known
+        assert all(d != str(proj / "sub") for _w, (_k, d) in w._wd_dir.items())
+        # steady state afterwards: quiescent (the IN_IGNORED debris from
+        # rm_watch maps to already-popped wds and yields no events)
+        assert w.poll_once() == 0
+    finally:
+        w.stop()
+
+
 def test_make_fs_watcher_backend_selection(tmp_path):
     from knowledge_graph_spark.streaming.live_watcher import (
         FsPoller,
