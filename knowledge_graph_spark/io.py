@@ -51,6 +51,12 @@ def ensure_session_confs(spark: SparkSession) -> None:
         # overhead at test scale; AQE coalescing makes 32 safe at any scale
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # cached plans are excluded from AQE unless this is set — without
+        # it every cache() in the build pipeline runs shuffles at full
+        # static width (see session.py)
+        spark.conf.set(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
         from knowledge_graph_spark.session import default_parallelism
 
         spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))

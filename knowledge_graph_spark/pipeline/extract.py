@@ -101,7 +101,14 @@ _PY_IMPORT = re.compile(
 # `from X import (` — parenthesized name list, usually spanning lines; the
 # names are collected up to the closing paren with per-name `as` aliases
 _PY_IMPORT_OPEN = re.compile(r"^\s*from\s+(\.+[\w.]*|[A-Za-z_][\w.]*)\s+import\s*\(")
-_RB_DEF = re.compile(r"^(\s*)(def|class|module)\s+(self\.)?([A-Za-z_][A-Za-z0-9_?!]*)")
+# setter defs (`def width=(w)`) index under their Ruby method name `width=`:
+# tree-sitter-ruby's `method` node names a setter via a `setter` node whose
+# text INCLUDES the `=` (grammar: setter := identifier "="), and Ruby itself
+# defines the method as :width= — the `=` is captured only when directly
+# attached (an endless `def answer = 42` has a space before `=`, no match)
+_RB_DEF = re.compile(
+    r"^(\s*)(def|class|module)\s+(self\.)?([A-Za-z_][A-Za-z0-9_?!]*=?(?![=~>]))"
+)
 # endless method (`def square(x) = x * x` / `def answer = 42`): a complete
 # one-line definition — it must NOT open a scope frame, or the next def
 # nests under it. Parenless defs with default args (`def f a, b = {}`) and
@@ -255,14 +262,28 @@ _TS_NAMED_EXPR = re.compile(
     r"^(\s*)(?:export\s+)?(?:default\s+)?(?:const|let|var)\s+([A-Za-z_$][\w$]*)"
     r"\s*(?::[^=]+)?=\s*(?:(class)\b|(?:async\s+)?function\b\s*\*?)"
 )
+# class FIELD initialized with an arrow (`private go = () => {...}`):
+# a named arrow binding like the const form above (NamedArrowFunction →
+# Function, typescript.rs:294), scoped to the class. Gated at the call site
+# on the enclosing frame being a class so method-body assignments
+# (`x = y => ...`) never match.
+_TS_FIELD_ARROW = re.compile(
+    r"^(\s*)(?:public\s+|private\s+|protected\s+|readonly\s+|static\s+"
+    r"|override\s+|accessor\s+)*"
+    r"(?!(?:const|let|var|return|if|while|for|switch|case|typeof|await"
+    r"|yield|new|else|do|export|import|delete|void|in|of)\b)"
+    r"([A-Za-z_$][\w$]*)\s*[?!]?\s*(?::[^=]+)?=\s*(?:async\s+)?"
+    r"(?:\([^)]*\)|[A-Za-z_$][\w$]*)\s*(?::[^=]*?)?\s*=>"
+)
 # Brace-language analyzers (Java/Kotlin/C#/Rust): type + member declarations.
 # Same contract as the tree-sitter analyzers they stand in for
 # (parsing/processor.rs:195-204 lists the 7 supported languages).
 _JAVA_TYPE = re.compile(
-    # `@interface` = annotation type declaration (an interface kind in
-    # tree-sitter's grammar); the optional `@` folds it onto the same path
+    # `@interface` = annotation type declaration — the reference simplifies
+    # JavaDefinitionType::AnnotationDeclaration to CLASS, not Interface
+    # (java/analyzer.rs:276); the captured `@` routes it accordingly
     r"^(\s*)(?:public\s+|private\s+|protected\s+|static\s+|final\s+|abstract\s+|sealed\s+)*"
-    r"@?(class|interface|enum|record)\s+([A-Za-z_$][\w$]*)"
+    r"(@?)(class|interface|enum|record)\s+([A-Za-z_$][\w$]*)"
 )
 _JAVA_METHOD = re.compile(
     r"^(\s*)(?:public\s+|private\s+|protected\s+|static\s+|final\s+|abstract\s+"
@@ -298,6 +319,30 @@ _CTOR = re.compile(
 _CS_PROP = re.compile(
     r"^(\s*)(?:public\s+|private\s+|protected\s+|internal\s+|static\s+|virtual\s+|override\s+)+"
     r"[\w<>\[\],\s?]+\s+([A-Z][\w]*)\s*\{\s*(?:get|set)"
+)
+# kind-inventory audit (r8, CSharpDefinitionType arms csharp.rs:245-297):
+# Indexer → Property (indexed under the declared token `this`), Finalizer →
+# InstanceMethod (name `~Type`, keeping the FQN distinct from the ctor's),
+# Operator → StaticMethod (name `operator<sym>`); Event and Field simplify
+# to None there and stay unextracted here. parser-core's exact name strings
+# for these members aren't pinned by any reference fixture — the source
+# tokens are used, documented in COVERAGE.md.
+_CS_INDEXER = re.compile(
+    r"^(\s*)(?:public\s+|private\s+|protected\s+|internal\s+|static\s+|virtual\s+"
+    r"|override\s+|abstract\s+|sealed\s+|extern\s+|unsafe\s+|readonly\s+)+"
+    r"[\w<>\[\],.\s?]+\s+(this)\s*\["
+)
+_CS_FINALIZER = re.compile(r"^(\s*)~([A-Z][\w]*)\s*\(\s*\)")
+_CS_OPERATOR = re.compile(
+    r"^(\s*)(?:public\s+|private\s+|protected\s+|internal\s+|static\s+|extern\s+"
+    r"|unsafe\s+)+[\w<>\[\],.\s?]*\boperator\s*"
+    r"([+\-*/%!~&|^<>=]{1,3}|true|false|checked\s+[+\-*/]{1,2})\s*\("
+)
+# conversion operators (`public static implicit operator Celsius(double d)`)
+# — the declared name is the TARGET TYPE after `operator`
+_CS_CONV_OPERATOR = re.compile(
+    r"^(\s*)(?:public\s+|private\s+|protected\s+|internal\s+|static\s+)+"
+    r"(?:implicit|explicit)\s+operator\s+([A-Za-z_][\w.<>\[\]]*)\s*\("
 )
 _KT_DEF = re.compile(
     r"^(\s*)(?:data\s+|open\s+|sealed\s+|abstract\s+|final\s+|private\s+|public\s+"
@@ -586,6 +631,13 @@ def _lambda_hits(language: str, line: str) -> list[tuple[int, str]]:
                     depth -= 1
                 i += 1
             regions.append((sw.end(), i))
+        # an operator DECLARATION's parameter list is not a lambda: for
+        # `operator ==(C a, C b) => ...` the operator's own trailing `=`
+        # satisfies the delimiter guard, so mask its param list out
+        op = _CS_OPERATOR.match(line) or _CS_CONV_OPERATOR.match(line)
+        if op:
+            close = line.find(")", op.end())
+            regions.append((op.start(2), close + 1 if close >= 0 else len(line)))
         out = []
         for m in _CS_LAMBDA.finditer(line):
             if m.group("csid") in ("get", "set", "value"):
@@ -649,6 +701,8 @@ def _kt_expr_ctor(rhs: str, masked: list, ln: int) -> str | None:
 # (`x = ClassName(...)`), self-attribute types from `self.x = ClassName()`,
 # inheritance chain from `class A(B):`
 _PY_INHERIT = re.compile(r"^\s*class\s+[A-Za-z_]\w*\s*\(\s*([A-Za-z_][\w.]*)")
+# Rust macro_rules! opener — its body is a token tree, suppressed wholesale
+_RS_MACRO_RULES = re.compile(r"^(\s*)(?:pub\s+)?macro_rules!\s*[A-Za-z_]\w*\s*[{(\[]")
 _PY_LOCAL_ASSIGN = re.compile(r"^\s*([a-z_]\w*)\s*=\s*([A-Z]\w*)\s*\(")
 _PY_SELF_ASSIGN = re.compile(r"^\s*self\.(\w+)\s*=\s*([A-Z]\w*)\s*\(")
 _PY_RECV_CALL = re.compile(r"((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)\.([a-z_]\w*)\s*\(")
@@ -831,7 +885,10 @@ _LANG_SYNTAX = {
     "Python": {"line_comment": "#", "strings": ('"""', "'''", '"', "'")},
     "Ruby": {"line_comment": "#", "strings": ('"', "'"), "block_line": ("=begin", "=end")},
     "TypeScript": {"line_comment": "//", "block": ("/*", "*/"), "strings": ('"', "'", "`")},
-    "Java": {"line_comment": "//", "block": ("/*", "*/"), "strings": ('"', "'")},
+    # Java 15+ text blocks (`"""`) are multiline strings — without the
+    # triple delimiter their bodies leak into the code view (r8 hostile
+    # generator catch: class/method text inside a text block extracted)
+    "Java": {"line_comment": "//", "block": ("/*", "*/"), "strings": ('"""', '"', "'")},
     "Kotlin": {"line_comment": "//", "block": ("/*", "*/"), "strings": ('"""', '"', "'")},
     "CSharp": {"line_comment": "//", "block": ("/*", "*/"), "strings": ('"', "'")},
     # Rust: `'` is a lifetime marker far more often than a char literal —
@@ -1220,7 +1277,9 @@ def _match_def(language: str, line: str):
     if language == "Java":
         m = _JAVA_TYPE.match(line)
         if m:
-            return len(m.group(1)), m.group(2), m.group(3)
+            # `@interface` (AnnotationDeclaration) indexes as a Class
+            kw = "class" if m.group(2) == "@" else m.group(3)
+            return len(m.group(1)), kw, m.group(4)
         m = _JAVA_METHOD.match(line)
         if m:
             return len(m.group(1)), "method", m.group(2)
@@ -1259,6 +1318,21 @@ def _match_def(language: str, line: str):
         m = _CS_DELEGATE.match(line)
         if m:
             return len(m.group(1)), "delegate", m.group(2)
+        # indexer / finalizer / operator before method (csharp.rs:245-297:
+        # Indexer → Property, Finalizer → InstanceMethod, Operator →
+        # StaticMethod; names are the source tokens — see COVERAGE.md)
+        m = _CS_INDEXER.match(line)
+        if m:
+            return len(m.group(1)), "property", "this"
+        m = _CS_FINALIZER.match(line)
+        if m:
+            return len(m.group(1)), "method", "~" + m.group(2)
+        m = _CS_CONV_OPERATOR.match(line)
+        if m:
+            return len(m.group(1)), "method", "operator " + m.group(2)
+        m = _CS_OPERATOR.match(line)
+        if m:
+            return len(m.group(1)), "method", "operator" + m.group(2).replace(" ", "")
         m = _CS_METHOD.match(line)
         if m:
             return len(m.group(1)), "method", m.group(2)
@@ -1560,6 +1634,8 @@ def _extract_one_scan(
             if _pv:
                 ivar_types.setdefault(_pv.group(1), _pv.group(2))
     skip_lines: set[int] = set()  # continuation lines consumed by a joined signature
+    rs_macro_ind: int | None = None  # inside a macro_rules! body (Rust)
+    rs_macro_ln = -1
     # Kotlin primary-constructor properties found on a class header's
     # CONTINUATION lines are emitted when the loop reaches that line, so
     # their byte offsets come from the right line_bytes accumulation
@@ -1577,6 +1653,27 @@ def _extract_one_scan(
                 "definition", _pname, _pparent, "Property",
                 None, None, ln, line, _pcol, len(_pname),
             )
+        if language == "Rust":
+            # macro_rules! bodies are TOKEN TREES, not items — tree-sitter
+            # parses them as macro_definition with no child definitions, so
+            # `struct X;` / `fn y()` text inside must not extract (r8
+            # hostile-generator catch). Suppress every line of the body:
+            # from the `macro_rules!` line until the first non-blank line
+            # back at (or left of) the opening indent.
+            if rs_macro_ind is not None:
+                _ms = line.strip()
+                if _ms and ln > rs_macro_ln and (
+                    len(line) - len(line.lstrip())
+                ) <= rs_macro_ind:
+                    rs_macro_ind = None  # body closed; process this line
+                else:
+                    byte_off += line_bytes
+                    continue
+            _mm = _RS_MACRO_RULES.match(line)
+            if _mm is not None:
+                rs_macro_ind, rs_macro_ln = len(_mm.group(1)), ln
+                byte_off += line_bytes
+                continue
         rb_endless = False
         if def_re is not None:
             m = def_re.match(line)
@@ -1627,7 +1724,16 @@ def _extract_one_scan(
                     # under the declarator name (typescript.rs:286-303)
                     kw = "class" if ne.group(3) else "function"
                     hit, name_col = (len(ne.group(1)), kw, ne.group(2)), None
-                elif hit is None:
+                if hit is None:
+                    fa = _TS_FIELD_ARROW.match(line)
+                    if fa:
+                        _fa_ind = len(fa.group(1))
+                        _encl = next(
+                            (f[2] for f in reversed(stack) if f[0] < _fa_ind), None
+                        )
+                        if _encl == "class":
+                            hit, name_col = (_fa_ind, "function", fa.group(2)), None
+                if hit is None:
                     mm = _TS_METHOD.match(line)
                     if mm is None:
                         hm = _TS_METHOD_HEAD.match(line)
@@ -2498,7 +2604,23 @@ def _extract_one_scan(
         # return lambda x: x`) nests under the def's freshly-pushed frame
         lam_hits = _lambda_hits(language, line)
         if lam_hits:
-            base_chain = ".".join(scope_names()) or None
+            # effective enclosing chain AT THIS LINE: a finished same-indent
+            # sibling frame is no ancestor (a module-level `f = lambda: ...`
+            # after a def used to inherit the def as parent) — keep frames
+            # that are strictly shallower than this line's indent, plus any
+            # frame opened ON this line (one-liner `def g(): return lambda`)
+            _l_ind = len(line) - len(line.lstrip())
+            _encl = [
+                f[1]
+                for f in stack
+                if f[1] and (f[0] < _l_ind or (len(f) > 3 and f[3] == ln))
+            ]
+            if language in ("Java", "Kotlin"):
+                _pfx = pkg if pkg else path.rsplit(".", 1)[0].replace("/", ".")
+                _encl = _pfx.split(".") + _encl
+            elif language == "CSharp" and pkg:
+                _encl = pkg.split(".") + _encl
+            base_chain = ".".join(_encl) or None
             open_lams: list[tuple[int, str]] = []  # same-line (col, name) nest stack
             for col, dtype in lam_hits:
                 if language == "Python":

@@ -65,16 +65,30 @@ def index_repository(
             df.unpersist()
         kg = KnowledgeGraph.read(spark, out_dir, repository_name)
 
-    n_files = kg.files.count()
-    n_defs = kg.definitions.count()
-    n_imps = kg.imports.count()
-    edge_counts = {k: kg.edges[k].count() for k in kg.edges}
+    # stats counts: ~12 independent tiny jobs (3 node counts, 8 edge
+    # counts, the per-language rollup) — submit them CONCURRENTLY like
+    # write() does its table writes; sequential submission leaves the
+    # cluster idle between scheduler round-trips and dominated the
+    # workspace-index wall time (r7 verdict task #2: each tiny job carries
+    # ~0.2-0.5 s fixed latency on a busy 32-thread local JVM)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(8) as ex:
+        f_files = ex.submit(kg.files.count)
+        f_defs = ex.submit(kg.definitions.count)
+        f_imps = ex.submit(kg.imports.count)
+        f_edges = {k: ex.submit(kg.edges[k].count) for k in kg.edges}
+        f_lang = ex.submit(
+            kg.files.groupBy("language").agg(F.count(F.lit(1)).alias("files")).collect
+        )
+        n_files = f_files.result()
+        n_defs = f_defs.result()
+        n_imps = f_imps.result()
+        edge_counts = {k: f.result() for k, f in f_edges.items()}
+        lang_rows = f_lang.result()
     n_rels = sum(edge_counts.values())
     dur = time.time() - t0
-    per_lang = {
-        r["language"]: {"files": r["files"]}
-        for r in kg.files.groupBy("language").agg(F.count(F.lit(1)).alias("files")).collect()
-    }
+    per_lang = {r["language"]: {"files": r["files"]} for r in lang_rows}
     # per-language definition counts + definition-type breakdown — one
     # aggregated collect over the (small) definition frame; the reference's
     # LanguageStatistics shape (stats.rs:96-139: file_count,

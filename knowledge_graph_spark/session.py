@@ -45,6 +45,14 @@ def get_spark(app_name: str = "knowledge-graph-spark", master: str | None = None
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # by default AQE is DISABLED for any plan under a cache() —
+        # canChangeCachedPlanOutputPartitioning=false pins the cached
+        # layout, so the graph build's cached intermediates ran every
+        # shuffle at full width (32 near-empty tasks per stage on small
+        # corpora). Allowing AQE to re-plan cached output costs nothing
+        # at scale (coalescing only merges sub-target partitions) and
+        # collapses the small-corpus indexing fixed overhead.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # The events table is written as TIMESTAMP(NANOS) parquet. Depending

@@ -446,3 +446,106 @@ def test_make_fs_watcher_backend_selection(tmp_path):
     auto.stop()
     forced = make_fs_watcher({str(proj): str(proj)}, str(spool), backend="poll")
     assert isinstance(forced, FsPoller)
+
+
+@pytest.mark.parametrize("backend", ["poll", "inotify"])
+def test_live_reindex_directory_rename_converges(spark, tmp_path_factory, backend):
+    """r7 verdict task #6: rename a directory BETWEEN debounce windows and
+    assert the served graph converges — old paths gone, new paths present,
+    no duplicate definitions — on both watcher backends. On inotify a
+    rename is MOVED_FROM (per-file deletions from bookkeeping, kernel
+    watches released) + MOVED_TO (one bounded subtree rescan); on the
+    poller it is a snapshot diff."""
+    from knowledge_graph_spark.cli import start_live_reindexer
+    from knowledge_graph_spark.serving.http_server import make_server
+    from knowledge_graph_spark.workspace import WorkspaceManager
+
+    ws_root = tmp_path_factory.mktemp(f"ren-ws-{backend}")
+    proj = ws_root / "proj"
+    (proj / "olddir").mkdir(parents=True)
+    (proj / "olddir" / "mover.py").write_text(
+        "class Mover:\n    def shift(self):\n        return 1\n"
+    )
+    (proj / "stay.py").write_text("def stays():\n    return 0\n")
+    mgr = WorkspaceManager(str(tmp_path_factory.mktemp(f"ren-data-{backend}")))
+    mgr.register_project(str(ws_root), str(proj))
+    srv = make_server(spark, mgr, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def get(path):
+        with urllib.request.urlopen(base + path, timeout=120) as r:
+            return r.status, json.loads(r.read())
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return r.status, json.loads(r.read())
+
+    status, out = post("/api/workspace/index", {"workspace_folder_path": str(ws_root)})
+    assert status == 200 and out["status"] == "completed", out
+    pp = f"/{quote(str(ws_root), safe='')}/{quote(str(proj), safe='')}"
+
+    def search_paths(term):
+        try:
+            status, found = get(f"/api/graph/search{pp}?search_term={term}&limit=10")
+        except Exception:
+            return None
+        if status != 200:
+            return None
+        return [
+            (n["label"], n.get("properties", {}).get("primary_file_path")
+             or n.get("properties", {}).get("path"))
+            for n in found.get("nodes", [])
+        ]
+
+    def def_count():
+        try:
+            status, stats = get(f"/api/graph/stats{pp}")
+        except Exception:
+            return None
+        if status != 200:
+            return None
+        return stats["node_counts"]["definition_count"]
+
+    before = None
+    for _ in range(30):
+        before = def_count()
+        if before is not None:
+            break
+        time.sleep(2)
+    assert before == 3  # Mover, shift, stays
+
+    live = start_live_reindexer(spark, mgr, srv.service, backend=backend)
+    try:
+        import os as _os
+
+        # first debounce window sees an unrelated edit...
+        (proj / "stay.py").write_text("def stays():\n    return 9\n")
+        time.sleep(1.0)
+        # ...then, in a LATER window, the directory rename
+        _os.rename(str(proj / "olddir"), str(proj / "newdir"))
+
+        deadline = time.time() + 300
+        ok = False
+        while time.time() < deadline:
+            hits = search_paths("Mover")
+            cnt = def_count()
+            if hits is not None and cnt is not None:
+                paths = {p for _l, p in hits if p}
+                if (
+                    cnt == 3                                  # no duplicates
+                    and any("newdir/" in (p or "") for p in paths)
+                    and not any("olddir/" in (p or "") for p in paths)
+                ):
+                    ok = True
+                    break
+            time.sleep(2)
+        hits = search_paths("Mover")
+        assert ok, (def_count(), hits, live.reindexes_done)
+    finally:
+        live.stop()
+        srv.shutdown()

@@ -410,7 +410,16 @@ def _py_program(draw):
             ind = "    " * depth
             name = next(names)
             if kind == "stmt":
-                lines.append(f"{ind}x_{name} = {depth}")
+                stmt = draw(st.sampled_from([
+                    f"x_{name} = {depth}",
+                    # r8 hostile: nested quote in an f-string interpolation
+                    # smuggles '}' and def text (ast-validated: the superset
+                    # invariant proves no real def is lost after it)
+                    "x_" + name + " = f\"{d['}']}" + " def symphantom(): pass\"",
+                    f'x_{name} = """\ndef symphantom_tq(): pass\n"""',
+                ]))
+                for part in stmt.split("\n"):
+                    lines.append(ind + part if part else part)
                 continue
             if draw(st.booleans()):
                 lines.append(f"{ind}@decorator")
@@ -453,6 +462,9 @@ def test_python_extractor_superset_of_ast_on_generated(src):
         (r[3], r[8]) for r in _extract_one("gen.py", "Python", src) if r[2] == "definition"
     }
     assert expected <= got, (sorted(expected - got), src)
+    # hostile-noise negatives: def text inside f-string interpolations and
+    # triple-quoted strings must not mint definitions (r8)
+    assert not any(n.startswith("symphantom") for n, _l in got), sorted(got)
 
 
 # ---------------------------------------------------------------------------
@@ -486,6 +498,10 @@ def _rb_program(draw):
                     "puts 'class NotAClass'",
                     "@ivar = Widget.new",
                     "HEREDOC",
+                    # r8 hostile: a string literal NESTED in an interpolation
+                    # smuggles '}' and def text — neither may desync the mask
+                    'z = "#{h["} def symphantom_ni; end"]}"',
+                    's2 = "#{x} def symphantom_tail; end"',
                 ]))
                 if noise == "HEREDOC":
                     # heredoc bodies are data: fake defs inside must not
@@ -617,6 +633,11 @@ def _ts_program(draw):
                     "// function commented() {}",
                     "let n = compute(1, 2);",
                     "register(handler, cb);",
+                    # r8 hostile: template literals carrying code text, incl.
+                    # a NESTED template inside the interpolation with a '}'
+                    # smuggled in a string — no phantom defs, no mask desync
+                    "const t = `function symphantomTpl() {} ${x} class SymphantomTpl {}`;",
+                    'const u = `${a(`${b("}")}`)} function symphantomNested() {}`;',
                 ])))
                 continue
             nm = next(names)
@@ -689,12 +710,23 @@ def _kt_program(draw):
 
     def fun_body(depth):
         ind = "    " * depth
-        lines.append(ind + draw(st.sampled_from([
+        noise = draw(st.sampled_from([
             "val local = compute(1)",   # LocalVariable → not indexed
             "return",
             'val s = "fun fake() {}"',
             "// fun commented() {}",
-        ])))
+            # r8 hostile: nested literal inside ${} smuggles '}' + fun text
+            'val ni = "${f("} fun symphantomNi() = 1 ")}"',
+            "RAWSTRING",
+        ]))
+        if noise == "RAWSTRING":
+            # triple-quoted raw string: body is data across lines
+            lines.append(ind + 'val raw = """')
+            lines.append(ind + "    fun symphantomRaw() = 1")
+            lines.append(ind + "    class SymphantomRawCls")
+            lines.append(ind + '"""')
+        else:
+            lines.append(ind + noise)
 
     def class_body(depth, kind):
         ind = "    " * depth
@@ -862,7 +894,9 @@ def _java_program(draw):
     def class_body(depth, cname, kind):
         ind = "    " * depth
         for _ in range(draw(st.integers(1, 2))):
-            member = draw(st.sampled_from(["method", "field", "ctor", "nested"]))
+            member = draw(st.sampled_from(
+                ["method", "field", "ctor", "nested", "textblock", "comment"]
+            ))
             nm = next(names)
             if member == "method":
                 mods = draw(st.sampled_from(
@@ -870,10 +904,26 @@ def _java_program(draw):
                 ))
                 if draw(st.booleans()):
                     lines.append(f"{ind}@Override")
+                # deeply nested generics in the signature must not break
+                # the name capture (r8 hostile)
+                rtype = draw(st.sampled_from(
+                    ["List<String>", "Map<String, List<Map<Integer, String>>>"]
+                ))
                 expected.append((nm, len(lines), "Method"))
-                lines.append(f"{ind}{mods}List<String> {nm}(int a, String b) {{")
+                lines.append(f"{ind}{mods}{rtype} {nm}(int a, String b) {{")
                 lines.append(f"{ind}    return null;")
                 lines.append(ind + "}")
+            elif member == "textblock":
+                # Java 15 text block: body is DATA (r8 hostile — caught a
+                # real bug: `\"\"\"` was not a multiline delimiter and the
+                # body leaked class/method text into the code view)
+                lines.append(f'{ind}String tb_{nm} = """')
+                lines.append(f"{ind}    class SymphantomTb {{ }}")
+                lines.append(f"{ind}    void symphantomTb() {{ }}")
+                lines.append(f'{ind}    """;')
+            elif member == "comment":
+                lines.append(f"{ind}/* class SymphantomCmt {{")
+                lines.append(f"{ind}   void symphantomCmt() {{ }} */")
             elif member == "field":
                 # fields are NOT definitions (java/analyzer.rs:64-69)
                 lines.append(
@@ -970,9 +1020,31 @@ def _cs_program(draw):
         ind = "    " * depth
         for _ in range(draw(st.integers(1, 2))):
             member = draw(st.sampled_from(
-                ["method", "prop", "field", "ctor", "event"]
+                ["method", "prop", "field", "ctor", "event", "region", "verbatim"]
             ))
             nm = next(names).capitalize()
+            if member == "region":
+                # r8 hostile: #region titles are FREE TEXT and #if blocks
+                # are transparent — no phantom from the title, the guarded
+                # method still extracts
+                lines.append(f"{ind}#region class SymphantomRegion")
+                lines.append(f"{ind}#if DEBUG")
+                expected.append((f"Dbg{nm}", len(lines), "Method"))
+                lines.append(f"{ind}public void Dbg{nm}() {{")
+                lines.append(f"{ind}    return;")
+                lines.append(ind + "}")
+                lines.append(f"{ind}#endif")
+                lines.append(f"{ind}#endregion")
+                continue
+            if member == "verbatim":
+                # verbatim + interpolated-verbatim strings carry code text
+                lines.append(
+                    f'{ind}string _v{nm} = @"class SymphantomVb {{ }} ""q"" t";'
+                )
+                lines.append(
+                    f'{ind}string _w{nm} = $@"{{x}} void SymphantomIv() {{{{ }}}}";'
+                )
+                continue
             if member == "method":
                 mods = draw(st.sampled_from(
                     ["public ", "public static async ", "internal override ", ""]
@@ -1083,12 +1155,27 @@ def _rs_program(draw):
         ind = "    " * depth
         for _ in range(draw(st.integers(2, 3 if depth == 0 else 2))):
             kind = draw(st.sampled_from(
-                ["struct", "enum", "trait", "impl", "fn", "mod", "const"]
+                ["struct", "enum", "trait", "impl", "fn", "mod", "const", "macro"]
             ))
             nm = next(names)
             cname = nm.capitalize()
+            if kind == "macro":
+                # r8 hostile (caught a real bug): macro_rules! bodies are
+                # TOKEN TREES — struct/fn text inside must not extract
+                lines.append(f"{ind}macro_rules! mk_{nm} {{")
+                lines.append(f"{ind}    ($x:ident) => {{")
+                lines.append(f"{ind}        pub struct Symphantom{cname};")
+                lines.append(f"{ind}        fn symphantom_{nm}() {{}}")
+                lines.append(f"{ind}    }};")
+                lines.append(ind + "}")
+                continue
             if kind == "struct":
                 f1 = next(names)
+                if draw(st.booleans()):
+                    # attribute-heavy items (r8 hostile): attrs with string
+                    # args must not perturb the following definition
+                    lines.append(f"{ind}#[derive(Debug, Clone)]")
+                    lines.append(f'{ind}#[serde(rename_all = "camelCase")]')
                 expected.append((cname, len(lines), "Class"))
                 lines.append(f"{ind}pub struct {cname} {{")
                 expected.append((f1, len(lines), "Field"))
@@ -1127,6 +1214,11 @@ def _rs_program(draw):
                 expected.append((nm, len(lines), "Function"))
                 mods = draw(st.sampled_from(["pub ", "pub async ", "", "pub(crate) "]))
                 lines.append(f"{ind}{mods}fn {nm}(x: u32) -> u32 {{")
+                if draw(st.booleans()):
+                    # raw strings carry code text (r8 hostile)
+                    lines.append(
+                        f'{ind}    let s = r#"fn symphantom_rw() {{}} struct SymphantomRw;"#;'
+                    )
                 lines.append(f"{ind}    x + 1")
                 lines.append(ind + "}")
             elif kind == "mod" and depth == 0:
