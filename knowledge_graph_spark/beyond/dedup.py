@@ -251,14 +251,24 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 64) -> DataFrame:
-    """MinHash signatures: per permutation i, min over shingles of
-    xxhash64(shingle, seed=i). JVM-side hashing, one explode + groupBy."""
+    """MinHash signatures: hash each shingle STRING once (xxhash64), then
+    derive permutation i as xxhash64(base_hash, seed=i) — an 8-byte rehash —
+    and take the per-permutation min over shingles. JVM-side, one explode +
+    groupBy with map-side partial mins.
+
+    The naive form hashes the string num_hashes times; string hashing is
+    length-proportional while the long rehash is a couple of mixing rounds,
+    so this cuts the signature stage's CPU roughly num_hashes-fold on the
+    string traversal. Identical shingle sets still get identical signatures
+    (the derivation is deterministic per permutation index), which is what
+    the planted-copy oracles and the banding recall contract rely on."""
     sh = docs.select("doc_id", F.explode(_shingles(n)).alias("shingle"))
+    bh = sh.select("doc_id", F.xxhash64(F.col("shingle")).alias("bh"))
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("bh"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*mins)
+    return bh.groupBy("doc_id").agg(*mins)
 
 
 def minhash_lsh_pairs(

@@ -957,6 +957,15 @@ def _mask_text(language: str, text: str) -> list[tuple[str, str]]:
                 out.append((" " * n, " " * n))
                 state = "block_line"
                 continue
+        if language == "CSharp" and state is None and line.lstrip().startswith("#"):
+            # preprocessor directive: tree-sitter-c-sharp parses the whole
+            # line as a preproc node with no code children. `#region` titles
+            # are FREE TEXT — `#region helpers compute(1, 2) {` minted a
+            # phantom call and its unbalanced brace desynced scope depth
+            # (pygments-differential catch, r8). #if/#else BODIES stay
+            # visible (both branches are parsed, like the reference).
+            out.append((" " * n, " " * n))
+            continue
         code: list[str] = []
         imp: list[str] = []
         i = 0
@@ -1636,6 +1645,8 @@ def _extract_one_scan(
     skip_lines: set[int] = set()  # continuation lines consumed by a joined signature
     rs_macro_ind: int | None = None  # inside a macro_rules! body (Rust)
     rs_macro_ln = -1
+    py_depth = 0  # running bracket depth over masked lines (Python)
+    py_cont = False  # previous line ended with a backslash continuation
     # Kotlin primary-constructor properties found on a class header's
     # CONTINUATION lines are emitted when the loop reaches that line, so
     # their byte offsets come from the right line_bytes accumulation
@@ -1653,6 +1664,37 @@ def _extract_one_scan(
                 "definition", _pname, _pparent, "Property",
                 None, None, ln, line, _pcol, len(_pname),
             )
+        if language == "Python":
+            # indentation IS scope: any real STATEMENT at indent <= an open
+            # frame's indent ends that frame right here, not lazily at the
+            # next def (lazy popping gave a def inside a module-level
+            # `if:` block the previous def as parent — ast-differential
+            # catch, r8). Not statements: blanks, comments, bracket/backslash
+            # continuations, and multiline-string tails (the masker keeps the
+            # closing delimiter, so those lines start with a quote).
+            _s = line.strip()
+            if (
+                _s
+                and py_depth == 0
+                and not py_cont
+                and _s[0] not in "#\"'"
+                and ln not in skip_lines
+            ):
+                _ind = len(line) - len(line.lstrip())
+                while stack and stack[-1][0] >= _ind and not (
+                    len(stack[-1]) > 3
+                    and stack[-1][3] == ln
+                ):
+                    _f = stack.pop()
+                    if _f[3] is not None:
+                        spans.append((_f[1], _f[3], ln - 1))
+            py_depth += (
+                line.count("(") + line.count("[") + line.count("{")
+                - line.count(")") - line.count("]") - line.count("}")
+            )
+            if py_depth < 0:
+                py_depth = 0
+            py_cont = line.rstrip().endswith("\\")
         if language == "Rust":
             # macro_rules! bodies are TOKEN TREES, not items — tree-sitter
             # parses them as macro_definition with no child definitions, so

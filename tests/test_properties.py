@@ -10,6 +10,9 @@ single-digit row counts — each example is a handful of local Spark jobs.
 
 from __future__ import annotations
 
+import re
+
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -465,6 +468,138 @@ def test_python_extractor_superset_of_ast_on_generated(src):
     # hostile-noise negatives: def text inside f-string interpolations and
     # triple-quoted strings must not mint definitions (r8)
     assert not any(n.startswith("symphantom") for n, _l in got), sorted(got)
+
+
+def _py_ast_oracle(src):
+    """Expected (defs, lambdas) from a REAL parser: defs as
+    {(name, line0, kind, parent_chain)} with the reference's kind rule —
+    ClassDef → Class, (Async)FunctionDef → Method iff the nearest
+    class-or-def ancestor is a class (If/Try/With/For/While are transparent,
+    python/analyzer.rs scope walk) — and lambdas as {(line0, col)}, the
+    extractor's position-derived naming."""
+    import ast as pyast
+
+    defs, lambdas = set(), set()
+
+    def walk(node, chain, in_class):
+        for child in pyast.iter_child_nodes(node):
+            if isinstance(child, pyast.ClassDef):
+                defs.add((child.name, child.lineno - 1, "Class", ".".join(chain) or None))
+                walk(child, chain + [child.name], True)
+            elif isinstance(child, (pyast.FunctionDef, pyast.AsyncFunctionDef)):
+                kind = "Method" if in_class else "Function"
+                defs.add((child.name, child.lineno - 1, kind, ".".join(chain) or None))
+                walk(child, chain + [child.name], False)
+            elif isinstance(child, pyast.Lambda):
+                lambdas.add((child.lineno - 1, child.col_offset))
+                walk(child, chain, False)
+            else:
+                # If/Try/With/For/While/expressions: transparent for scope
+                walk(child, chain, in_class)
+
+    walk(pyast.parse(src), [], False)
+    return defs, lambdas
+
+
+@st.composite
+def _py_program_scoped(draw):
+    """Programs exercising SCOPE-BOUNDARY shapes: defs inside transparent
+    if/try blocks, statements that close a frame at module level, multiline
+    string tails at column 0, bracket/backslash continuations, lambdas in
+    assignments and one-liner defs. Expected sets come from stdlib ast
+    (_py_ast_oracle), not construction."""
+    names = iter(f"sym{i}" for i in range(80))
+
+    def block(depth, in_class):
+        lines = []
+        for _ in range(draw(st.integers(1, 3 if depth == 0 else 2))):
+            kinds = (
+                ["stmt", "lam", "oneliner"]
+                if depth >= 3
+                else ["def", "adef", "class", "if", "try", "stmt", "lam", "oneliner"]
+            )
+            kind = draw(st.sampled_from(kinds))
+            ind = "    " * depth
+            if kind == "stmt":
+                name = next(names)
+                stmt = draw(st.sampled_from([
+                    [f"x_{name} = {depth}"],
+                    # multiline string whose closing delimiter sits at col 0
+                    [f'x_{name} = """', "def symphantom(): pass", '"""'],
+                    # bracket continuation with an unindented tail line
+                    [f"x_{name} = (1,", "2)"],
+                    # backslash continuation
+                    [f"x_{name} = 1 + \\", "2"],
+                    ["# def symphantom2(): pass"],
+                ]))
+                lines.append(ind + stmt[0])
+                lines.extend(stmt[1:])  # continuation/tail lines stay at col 0
+                continue
+            if kind == "lam":
+                name = next(names)
+                lines.append(f"{ind}f_{name} = lambda v: v + {depth}")
+                continue
+            if kind == "oneliner":
+                name = next(names)
+                lines.append(f"{ind}def {name}(): return lambda y: y")
+                continue
+            if kind in ("if", "try"):
+                opener = "if True:" if kind == "if" else "try:"
+                lines.append(f"{ind}{opener}")
+                lines.extend(block(depth + 1, in_class))
+                # bodies can draw only comments — guarantee a real statement
+                lines.append("    " * (depth + 1) + "pass")
+                if kind == "try":
+                    lines.append(f"{ind}except Exception:")
+                    lines.append("    " * (depth + 1) + "pass")
+                continue
+            name = next(names)
+            if draw(st.booleans()):
+                lines.append(f"{ind}@decorator")
+            if kind == "class":
+                lines.append(f"{ind}class {name}:")
+                body = block(depth + 1, True)
+            else:
+                kw = "async def" if kind == "adef" else "def"
+                lines.append(f"{ind}{kw} {name}(a, b=1):")
+                body = block(depth + 1, False)
+            lines.extend(body)
+            # bodies can draw only comments — guarantee a real statement
+            lines.append("    " * (depth + 1) + "pass")
+        return lines
+
+    return "\n".join(block(0, False)) + "\n"
+
+
+@given(_py_program_scoped())
+@settings(**SETTINGS)
+def test_python_extractor_exactly_matches_ast(src):
+    """EXACT agreement with stdlib ast — names, 0-based lines, kinds
+    (Class / Method / Function per the reference's class-ancestor rule),
+    parent chains, and lambda positions, in BOTH directions: nothing
+    missing, nothing phantom. This is the strongest oracle available
+    in-container for any language (a real parser), upgraded r8 from the
+    superset-only check after it caught the lazy frame-pop parent bug
+    (a def inside a module-level if-block inherited the previous def as
+    parent)."""
+    import ast as pyast
+
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    exp_defs, exp_lams = _py_ast_oracle(src)
+    got_defs, got_lams = set(), set()
+    for r in _extract_one("gen.py", "Python", src):
+        if r[2] != "definition":
+            continue
+        if r[5] == "Lambda":
+            _, l, c = r[3].split("_")
+            got_lams.add((int(l), int(c)))
+        else:
+            got_defs.add((r[3], r[8], r[5], r[4]))
+    assert got_defs == exp_defs, (
+        sorted(exp_defs - got_defs), sorted(got_defs - exp_defs), src
+    )
+    assert got_lams == exp_lams, (sorted(exp_lams), sorted(got_lams), src)
 
 
 # ---------------------------------------------------------------------------
@@ -1256,3 +1391,145 @@ def test_rust_extractor_matches_generated_programs(prog):
         if g[0].lower().startswith(("sym", "c_", "flag", "string", "value", "hashmap"))
     } - set(expected)
     assert not phantom, (sorted(phantom), src)
+
+
+# ---------------------------------------------------------------------------
+# Masking layer vs Pygments lexers (r8): the container ships no tree-sitter,
+# but Pygments has battle-tested LEXERS for all 7 languages — enough to
+# differentially validate the string/comment MASKING layer (where regex
+# analyzers historically desync) character by character. Adjudicated
+# exclusions, each verified by hand:
+#   - Ruby `:symbols` lex as Literal.String.Symbol — not string literals for
+#     masking purposes; the extractor rightly keeps them visible.
+#   - Rust attributes `#[...]` and C# preprocessor directives lex as
+#     Comment.Preproc — not comments; checked separately (C# directives are
+#     masked as of r8, Rust attributes stay visible by design).
+#   - String.Affix / String.Interpol / String.Escape / String.Delimiter are
+#     markers, not content.
+#   - Interpolation BODIES are deliberately visible in this repo's masked
+#     view (call-scan parity); lines containing interpolation openers are
+#     excluded from the strings-must-mask direction.
+#   - Pygments' Kotlin lexer itself desyncs on nested quotes inside
+#     interpolations (`"${f("}")}"` — its String.Interpol ends at the
+#     smuggled `}`; probed r8); examples containing that shape skip the
+#     strings-must-mask direction.
+# ---------------------------------------------------------------------------
+
+_PYG_LEXER = {
+    "Python": "python", "Ruby": "ruby", "TypeScript": "typescript",
+    "Java": "java", "Kotlin": "kotlin", "CSharp": "csharp", "Rust": "rust",
+}
+_INTERP_OPENER = re.compile(r'\$\{|#\{|\$"|\$@"|@\$"|f"|f\'|`')
+
+
+def _pyg_char_classes(language, src):
+    """Per-char class from Pygments: 'c' comment (Single/Multiline only),
+    's' string content, 'x' code, 'i' ignored (markers, preproc, symbols)."""
+    from pygments.lexers import get_lexer_by_name
+
+    cls = ["x"] * len(src)
+    for idx, tt, val in get_lexer_by_name(_PYG_LEXER[language]).get_tokens_unprocessed(src):
+        tn = str(tt)
+        if tn.startswith("Token.Comment"):
+            mark = "i" if "Preproc" in tn else "c"
+        elif tn.startswith("Token.Literal.String"):
+            ignorable = (
+                "Affix" in tn or "Interpol" in tn or "Escape" in tn
+                or "Delimiter" in tn or "Symbol" in tn
+            )
+            mark = "i" if ignorable else "s"
+        else:
+            continue
+        for j in range(idx, min(idx + len(val), len(cls))):
+            cls[j] = mark
+    return cls
+
+
+def _mask_divergences(language, src):
+    from knowledge_graph_spark.pipeline.extract import _mask_text
+
+    masked = [m for m, _ in _mask_text(language, src)]
+    cls = _pyg_char_classes(language, src)
+    out = []
+    off = 0
+    for ln, ol in enumerate(src.split("\n")):
+        ml = masked[ln] if ln < len(masked) else ""
+        interp_line = bool(_INTERP_OPENER.search(ol))
+        for col, ch in enumerate(ol):
+            if ch.isalnum() or ch == "_":
+                if ch in "rb" and re.match(r'[rb]{1,2}#*"', ol[col:]):
+                    continue  # raw/byte-string affix: marker, not content
+                c = cls[off + col] if off + col < len(cls) else "x"
+                kept = col < len(ml) and ml[col] == ch
+                if c == "c" and kept:
+                    out.append(("comment-kept", ln, col, ol[:80]))
+                elif c == "x" and not kept:
+                    out.append(("code-masked", ln, col, ol[:80]))
+                elif c == "s" and kept and not interp_line:
+                    out.append(("string-kept", ln, col, ol[:80]))
+        off += len(ol) + 1
+    return out
+
+
+@pytest.mark.parametrize(
+    "language,gen",
+    [
+        ("Python", _py_program_scoped), ("Ruby", _rb_program),
+        ("TypeScript", _ts_program), ("Kotlin", _kt_program),
+        ("Java", _java_program), ("CSharp", _cs_program), ("Rust", _rs_program),
+    ],
+    ids=lambda v: v if isinstance(v, str) else "",
+)
+def test_masking_agrees_with_pygments_on_generated(language, gen):
+    """Every alphanumeric character Pygments lexes as comment content must be
+    masked, every code character must survive, and (outside interpolation
+    lines and known lexer desyncs) every string-content character must be
+    masked — over the hostile generated programs of all 7 languages."""
+    from hypothesis import given, settings as hsettings, HealthCheck as HC
+
+    failures = []
+
+    @given(gen())
+    @hsettings(max_examples=25, deadline=None, suppress_health_check=list(HC))
+    def run(prog):
+        src = prog if isinstance(prog, str) else prog[0]
+        if language == "Kotlin" and re.search(r'\$\{[^}]*"', src):
+            return  # pygments' own nested-interpolation desync (see header)
+        div = _mask_divergences(language, src)
+        if div:
+            failures.append((div[:5], src))
+            raise AssertionError(div[:5])
+
+    run()
+    assert not failures, failures[0]
+
+
+def test_csharp_preprocessor_lines_fully_masked():
+    """#region titles are FREE TEXT (`#region helpers compute(1, 2) {`):
+    before r8 the title minted a phantom call and its unbalanced brace
+    desynced scope depth. The whole directive line is preproc trivia
+    (tree-sitter-c-sharp), so it masks away; #if/#else BODIES stay visible —
+    the reference parses both branches."""
+    from knowledge_graph_spark.pipeline.extract import _extract_one
+
+    src = (
+        "namespace App;\n"
+        "public class C {\n"
+        "    #region helpers compute(1, 2) class Fake {\n"
+        "    public void M() { helper(); }\n"
+        "    #endregion\n"
+        "    #if DEBUG\n"
+        "    public void D() { }\n"
+        "    #else\n"
+        "    public void E() { }\n"
+        "    #endif\n"
+        "}\n"
+    )
+    rows = list(_extract_one("K.cs", "CSharp", src))
+    defs = {(r[3], r[4], r[5]) for r in rows if r[2] == "definition"}
+    calls = {r[3] for r in rows if r[2] == "call"}
+    assert defs == {
+        ("C", "App", "Class"), ("M", "App.C", "Method"),
+        ("D", "App.C", "Method"), ("E", "App.C", "Method"),
+    }, defs
+    assert "compute" not in calls, calls
