@@ -410,7 +410,14 @@ def _pagerank_loop(
         .localCheckpoint(eager=True)
     )
     keys = ranks.select("key", "is_dangling")
+    # `keys` reads the INITIAL ranks checkpoint every round, so the loop's
+    # release base protects everything up to here (nodes, adj, ranks0) and
+    # only prior-round rank vectors are dropped — without this, iterations
+    # pin O(rounds x |V|) rank blocks (local checkpoints are only freed on
+    # GC of the DataFrame) and block-manager eviction churn dominates at sf1
+    loop_base = _persistent_rdd_ids(kg.spark)
     for _ in range(iterations):
+        round_start = _persistent_rdd_ids(kg.spark)
         r = ranks.select(F.col("key").alias("k"), F.col("rank").alias("rk"))
         # dangling mass fused into the contribs aggregation: dangling ranks
         # enter the SAME shuffle under a NULL dst (node keys are never null),
@@ -449,6 +456,9 @@ def _pagerank_loop(
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
+        )
+        _release_persisted_since(
+            kg.spark, loop_base, _persistent_rdd_ids(kg.spark) - round_start
         )
     adj.unpersist()
     out = nodes.join(ranks, "key").select(
@@ -528,7 +538,12 @@ def pagerank_exact(
         )
         .localCheckpoint(eager=True)
     )
+    # prior-round rank vectors are dead once the new checkpoint is
+    # materialized — release them (same hygiene as pagerank/k_core r8);
+    # the base protects prep's edge/degree checkpoints and the initial r
+    loop_base = _persistent_rdd_ids(kg.spark)
     for _ in range(iterations):
+        round_start = _persistent_rdd_ids(kg.spark)
         # dangling mass as a broadcast 1-row frame — the scalar never
         # round-trips through the driver and each iteration is ONE action
         dang_df = r.filter("is_dangling").agg(
@@ -552,6 +567,9 @@ def pagerank_exact(
                 " DIV 100 AS BIGINT) AS rank",
             )
             .localCheckpoint(eager=True)
+        )
+        _release_persisted_since(
+            kg.spark, loop_base, _persistent_rdd_ids(kg.spark) - round_start
         )
     out = r.select("node", "rank").orderBy(F.desc("rank"), "node")
     return _checkpoint_and_release(kg.spark, before, out)
@@ -729,6 +747,7 @@ def k_core(kg: KnowledgeGraph, k: int = 2, max_iter: int = 50) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
+        round_start = _persistent_rdd_ids(kg.spark)
         deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
         # materialize the weak set BEFORE the emptiness probe: without the
         # checkpoint the probe runs the degree aggregation once and the
@@ -748,6 +767,15 @@ def k_core(kg: KnowledgeGraph, k: int = 2, max_iter: int = 50) -> DataFrame:
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
+        # the new edge checkpoint holds its own partitions — PREVIOUS
+        # rounds' edge/weak blocks are dead weight. Unlike CC, peeled edge
+        # sets need not shrink geometrically, so leaving every round pinned
+        # accumulates O(rounds x |E|) in the block manager and eviction
+        # churn made repeat sf1 runs swing 53 -> 201 s (measured r8).
+        # Release everything the loop created before this round.
+        _release_persisted_since(
+            kg.spark, before, _persistent_rdd_ids(kg.spark) - round_start
+        )
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
     out = (
         deg.join(names, "a")
@@ -766,12 +794,24 @@ def label_propagation(kg: KnowledgeGraph, rounds: int = 3) -> DataFrame:
     on a training-data graph.
 
     Fixed round count (LPA does not converge monotonically); each round is
-    one join of the label vector onto the cached adjacency (reusing its
+    one join of the label vector onto the pinned adjacency (reusing its
     hash(b) clustering), one (node, label) count aggregation, and one
     per-node argmax window — all shuffles carry at most |E| narrow rows, and
     each round ends in an eager checkpoint. Isolated nodes keep their own
     label via the left join.
+
+    The adjacency's hash(b) layout is pinned PHYSICALLY — repartition +
+    eager localCheckpoint — rather than via cache() semantics, which
+    canChangeCachedPlanOutputPartitioning (session.py) allows AQE to
+    re-plan. (An r8 A/B first blamed that conf for a 2x sf1 swing; a
+    reversed-order re-run showed the swing was page-cache warmup, not the
+    conf. The physical pin stays: it makes the layout contract explicit
+    instead of optimizer-mode-dependent, and costs nothing.)
     """
+    return _lpa_loop(kg, rounds)
+
+
+def _lpa_loop(kg: KnowledgeGraph, rounds: int) -> DataFrame:
     before = _persistent_rdd_ids(kg.spark)
     parts = []
     for df in kg.edges.values():
@@ -793,14 +833,21 @@ def label_propagation(kg: KnowledgeGraph, rounds: int = 3) -> DataFrame:
     for p in parts[1:]:
         und = und.unionByName(p)
     names = und.groupBy("a").agg(F.first("t").alias("t"), F.first("id").alias("id"))
+    # eager localCheckpoint, not cache(): the materialized RDD's hash(b)
+    # layout survives in LogicalRDD where a cached plan's can be re-planned
+    # away by AQE (see docstring)
     edges = (
         und.filter(F.col("a") != F.col("b")).select("a", "b").distinct()
-        .repartition(F.col("b")).cache()
+        .repartition(F.col("b")).localCheckpoint(eager=True)
     )
-    edges.count()
     labels = names.select(F.col("a").alias("u"), F.col("a").alias("lab"))
     w = Window.partitionBy("a").orderBy(F.desc("n"), "lab")
+    # release prior-round label vectors as soon as the new checkpoint is
+    # materialized (r8 loop hygiene, see k_core) — keeps live blocks at one
+    # |V| vector instead of O(rounds x |V|)
+    loop_base = _persistent_rdd_ids(kg.spark)
     for _ in range(rounds):
+        round_start = _persistent_rdd_ids(kg.spark)
         nb = (
             edges.join(labels.withColumnRenamed("u", "b"), "b")
             .groupBy("a", "lab")
@@ -813,6 +860,9 @@ def label_propagation(kg: KnowledgeGraph, rounds: int = 3) -> DataFrame:
             labels.join(nb, "u", "left_outer")
             .select("u", F.coalesce("new_lab", "lab").alias("lab"))
             .localCheckpoint(eager=True)
+        )
+        _release_persisted_since(
+            kg.spark, loop_base, _persistent_rdd_ids(kg.spark) - round_start
         )
     edges.unpersist()
     out = (

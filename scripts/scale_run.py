@@ -137,6 +137,13 @@ def main() -> None:
                 protected = persistent_rdd_ids(spark)
             else:
                 release_persisted_since(spark, protected, set())
+            # bench.py's long-session hygiene (r8: k_core at sf1 swung
+            # 53 <-> 225 s purely on predecessor debris): shuffle files and
+            # broadcast blocks free on JVM GC of their dependencies — force
+            # it between heavy samples so each query starts clean
+            if dt >= 2.0:
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(2)
 
     for name, r in results.items():
         if r.get("sf0.1") and r.get("sf1"):
