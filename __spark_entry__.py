@@ -621,11 +621,22 @@ def _q_simhash_buckets(spark, sf_dir):  # graduated r6: planted co-bucket pin
     match count equals the planted count whatever the hash seeds are. The
     raw fingerprint frame stays available via dedup.simhash_buckets
     (Hamming-locality pytest)."""
+    from knowledge_graph_spark.persist import (
+        checkpoint_and_release,
+        persistent_rdd_ids,
+        pin_small,
+    )
+
     docs = read_table(spark, sf_dir, "documents")
     planted = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
         "doc_id", F.col("doc_id") + F.lit(_SIMHASH_PLANT_OFFSET)
     )
-    fp = D.simhash_buckets(docs.unionByName(planted))
+    before = persistent_rdd_ids(spark)
+    # pin the per-doc fingerprint table ONCE (r8 optimization): it feeds the
+    # conservation count, the planted-copy projection AND the co-bucket join
+    # — un-pinned, the shingle-explode + 64-bit-sum aggregation re-ran ~4x
+    # per call (guide §1.2: don't recompute what you already have)
+    fp = pin_small(D.simhash_buckets(docs.unionByName(planted)))
     n_rows = fp.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     copies = fp.filter(F.col("doc_id") >= _SIMHASH_PLANT_OFFSET).select(
         (F.col("doc_id") - _SIMHASH_PLANT_OFFSET).alias("doc_id"),
@@ -642,7 +653,7 @@ def _q_simhash_buckets(spark, sf_dir):  # graduated r6: planted co-bucket pin
             .alias("n_planted_cobucket"),
         )
     )
-    return n_rows.crossJoin(matched)
+    return checkpoint_and_release(spark, before, n_rows.crossJoin(matched))
 
 
 def _q_hyperplane_lsh_ann(spark, sf_dir):

@@ -80,12 +80,25 @@ def ngram_jaccard_pairs(
     The shingle index feeds three subplans (sizes + both join sides), so it
     is cached for the run and released with the final checkpoint — the
     explode-and-slice is the expensive pass, not the join.
+
+    Shingles are carried as xxhash64 LONGS from the explode onward (r8
+    optimization, guide §2.3 "narrower types"): the doc-frequency groupBy
+    and the inverted-index self-join shuffle 8-byte keys instead of n-word
+    strings (~25-40 bytes for 3-grams), and the join's hash/compare work is
+    long-equality. Counts are hash-collision-exact in the same sense as
+    triangle_count's long keys (~|distinct shingles|²/2⁶⁴ ≈ 1e-7 odds at
+    1M shingles; the DuckDB oracle stays string-keyed and hash-matches at
+    every checked scale factor).
     """
     from knowledge_graph_spark.persist import checkpoint_and_release, persistent_rdd_ids
 
     spark = docs.sparkSession
     before = persistent_rdd_ids(spark)
-    sh = docs.select("doc_id", F.explode(_shingles(n)).alias("shingle")).cache()
+    sh = (
+        docs.select("doc_id", F.explode(_shingles(n)).alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .cache()
+    )
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle")

@@ -181,9 +181,25 @@ def hyperplane_lsh_invariants(
     """
     import math
 
+    from knowledge_graph_spark.persist import (
+        checkpoint_and_release,
+        persistent_rdd_ids,
+        pin_small,
+    )
+
+    # Plan shape (r8 optimization): `bucketed` (corpus + 6-hyperplane sign
+    # expression) used to be re-executed by three independent metric
+    # subplans and `topk` by three more — the sign-bit scan ran ~6x per
+    # call. Now `bucketed` is pinned once, its two metrics come from ONE
+    # fused aggregation, `topk` (≤k rows) is pinned, and the metric rows
+    # are one `stack` over a 1-row crossJoin. Same rows, one pass per
+    # subtree (guide §1.2/§2.4).
+    spark = emb.sparkSession
+    before = persistent_rdd_ids(spark)
     bucketed, qb, cands = _hyperplane_state(emb, query_vec, planes, seed)
+    bucketed = pin_small(bucketed)
     filtered = bucketed.filter(F.col("bucket").isin(cands))
-    topk = cosine_topk(filtered, query_vec, k)
+    topk = pin_small(cosine_topk(filtered, query_vec, k))
     # independent re-score: plain double arithmetic end-to-end (different
     # accumulator type and no per-term decimal cast vs cosine_topk's path)
     e = F.transform(F.col("embedding"), lambda v: v.cast("double"))
@@ -199,48 +215,57 @@ def hyperplane_lsh_invariants(
         "vec_id", (dot / (na * F.lit(nq))).alias("cos_indep")
     )
     joined = topk.join(rescored, "vec_id")
-    metrics = [
-        bucketed.agg(F.count("*").cast("long").alias("value")).select(
-            F.lit("n_bucketed").alias("metric"), "value"
-        ),
-        bucketed.filter(F.col("vec_id") == F.lit(query_id))
-        .agg(
-            F.max(F.when(F.col("bucket") == F.lit(qb), 1).otherwise(0))
-            .cast("long")
-            .alias("value")
+    # ONE pass over the pinned corpus scan for both bucket metrics —
+    # the planted metric keeps its original empty→NULL semantics via the
+    # nested when (no row with vec_id == query_id ⇒ max over NULLs = NULL)
+    bucket_agg = bucketed.agg(
+        F.count("*").cast("long").alias("n_bucketed"),
+        F.max(
+            F.when(
+                F.col("vec_id") == F.lit(query_id),
+                F.when(F.col("bucket") == F.lit(qb), 1).otherwise(0),
+            )
         )
-        .select(F.lit("planted_copy_cobucket").alias("metric"), "value"),
-        joined.agg(
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.abs(F.col("cosine") - F.col("cos_indep")) > F.lit(2e-6), 1
-                    ).otherwise(0)
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("value")
-        ).select(F.lit("rescore_violations").alias("metric"), "value"),
-        topk.agg(
-            F.max(
+        .cast("long")
+        .alias("planted_copy_cobucket"),
+    )
+    viol_agg = joined.agg(
+        F.coalesce(
+            F.sum(
                 F.when(
-                    (F.col("vec_id") == F.lit(query_id))
-                    & (F.col("cosine") > F.lit(0.9999985)),
-                    1,
+                    F.abs(F.col("cosine") - F.col("cos_indep")) > F.lit(2e-6), 1
                 ).otherwise(0)
-            )
-            .cast("long")
-            .alias("value")
-        ).select(F.lit("query_in_topk").alias("metric"), "value"),
-        topk.agg((F.count("*") <= F.lit(k)).cast("long").alias("value")).select(
-            F.lit("topk_le_k").alias("metric"), "value"
-        ),
-    ]
-    out = metrics[0]
-    for m in metrics[1:]:
-        out = out.unionByName(m)
-    return out.orderBy("metric")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("rescore_violations")
+    )
+    topk_agg = topk.agg(
+        F.max(
+            F.when(
+                (F.col("vec_id") == F.lit(query_id))
+                & (F.col("cosine") > F.lit(0.9999985)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("query_in_topk"),
+        (F.count("*") <= F.lit(k)).cast("long").alias("topk_le_k"),
+    )
+    out = (
+        bucket_agg.crossJoin(viol_agg)
+        .crossJoin(topk_agg)
+        .selectExpr(
+            "stack(5, 'n_bucketed', n_bucketed,"
+            " 'planted_copy_cobucket', planted_copy_cobucket,"
+            " 'query_in_topk', query_in_topk,"
+            " 'rescore_violations', rescore_violations,"
+            " 'topk_le_k', topk_le_k) AS (metric, value)"
+        )
+        .orderBy("metric")
+    )
+    return checkpoint_and_release(spark, before, out)
 
 
 HYPERPLANE_LSH_INVARIANTS_SQL = """
@@ -362,9 +387,22 @@ def _ivf_state(
     """The IVF assignment pipeline, shared by :func:`ivf_ann` and
     :func:`ivf_ann_invariants` — returns (assigned, cents, probe_ids):
     the fully-assigned corpus, the final centroid list, and the n_probe
-    nearest cell ids to the query."""
-    e = emb.select(
-        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("vec")
+    nearest cell ids to the query.
+
+    The corpus projection ``e`` is scanned once per Lloyd round plus once
+    for the final assignment — pinned (eager localCheckpoint) so each scan
+    reads the materialized cast instead of re-reading parquet and re-casting
+    (guide §5: reuse-justified persist; released by the callers' persist
+    hygiene). The returned ``assigned`` frame is pinned too: both callers
+    consume it from ≥2 subplans (candidate filter + invariant re-score),
+    which un-pinned re-ran the whole 16-centroid assignment expression per
+    consumer."""
+    from knowledge_graph_spark.persist import pin_small
+
+    e = pin_small(
+        emb.select(
+            "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("vec")
+        )
     )
 
     cents = [
@@ -415,7 +453,7 @@ def _ivf_state(
         return sum((x - y) * (x - y) for x, y in zip(a, b))
 
     probe_ids = [cid for cid, cv in sorted(cents, key=lambda c: d2(c[1], query_vec))[:n_probe]]
-    assigned = assign(e, cents)
+    assigned = pin_small(assign(e, cents))
     return assigned, cents, probe_ids
 
 
@@ -436,12 +474,16 @@ def ivf_ann(
     the cell assignment is a write-time partition column; queries touch
     n_probe/n_centroids of the data.
     """
+    from knowledge_graph_spark.persist import checkpoint_and_release, persistent_rdd_ids
+
+    spark = emb.sparkSession
+    before = persistent_rdd_ids(spark)
     assigned, _cents, probe_ids = _ivf_state(
         emb, query_vec, n_centroids, n_probe, lloyd_iters
     )
     cand_ids = assigned.filter(F.col("cid").isin(probe_ids)).select("vec_id")
     cands = emb.join(cand_ids, "vec_id", "left_semi")
-    return cosine_topk(cands, query_vec, k)
+    return checkpoint_and_release(spark, before, cosine_topk(cands, query_vec, k))
 
 
 def ivf_ann_invariants(
@@ -467,7 +509,25 @@ def ivf_ann_invariants(
       take the ``n_probe`` nearest) and the exact re-rank must return it at
       cosine 1.0, first among ties (min vec_id). Pinned at 1.
     * ``topk_le_k`` — the result is bounded by ``k``. Pinned at 1.
+
+    Plan shape (r8 optimization): the four metrics used to be a union of
+    four independent aggregations, each re-executing the full 16-centroid
+    assignment subtree (``assigned`` twice, ``topk`` twice — the whole IVF
+    pipeline ran ~4x per call). Now ``assigned`` is pinned once
+    (_ivf_state), the two assignment metrics come from ONE fused
+    aggregation, ``topk`` (≤k rows) is pinned and feeds its two metrics
+    plus nothing else, and the metric rows are produced by a single
+    ``stack`` over a 1-row crossJoin — same rows, one pass per subtree
+    (guide §1.2 "don't compute things you throw away" / §2.4).
     """
+    from knowledge_graph_spark.persist import (
+        checkpoint_and_release,
+        persistent_rdd_ids,
+        pin_small,
+    )
+
+    spark = emb.sparkSession
+    before = persistent_rdd_ids(spark)
     assigned, cents, probe_ids = _ivf_state(
         emb, query_vec, n_centroids, n_probe, lloyd_iters
     )
@@ -509,33 +569,36 @@ def ivf_ann_invariants(
         ).otherwise(0),
     )
     cand_ids = assigned.filter(F.col("cid").isin(probe_ids)).select("vec_id")
-    topk = cosine_topk(emb.join(cand_ids, "vec_id", "left_semi"), query_vec, k)
-    metrics = [
-        checked.agg(F.count("*").cast("long").alias("value")).select(
-            F.lit("n_assigned").alias("metric"), "value"
-        ),
-        checked.agg(F.sum("viol").cast("long").alias("value")).select(
-            F.lit("assign_violations").alias("metric"), "value"
-        ),
-        topk.agg(
-            F.max(
-                F.when(
-                    (F.col("vec_id") == F.lit(query_id))
-                    & (F.col("cosine") > F.lit(0.9999985)),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("value")
-        ).select(F.lit("query_in_topk").alias("metric"), "value"),
-        topk.agg(
-            (F.count("*") <= F.lit(k)).cast("long").alias("value")
-        ).select(F.lit("topk_le_k").alias("metric"), "value"),
-    ]
-    out = metrics[0]
-    for m in metrics[1:]:
-        out = out.unionByName(m)
-    return out.orderBy("metric")
+    topk = pin_small(cosine_topk(emb.join(cand_ids, "vec_id", "left_semi"), query_vec, k))
+    # ONE aggregation pass over `checked` yields both assignment metrics;
+    # ONE pass over the pinned ≤k-row topk yields both result metrics
+    checked_agg = checked.agg(
+        F.count("*").cast("long").alias("n_assigned"),
+        F.sum("viol").cast("long").alias("assign_violations"),
+    )
+    topk_agg = topk.agg(
+        F.max(
+            F.when(
+                (F.col("vec_id") == F.lit(query_id))
+                & (F.col("cosine") > F.lit(0.9999985)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("query_in_topk"),
+        (F.count("*") <= F.lit(k)).cast("long").alias("topk_le_k"),
+    )
+    out = (
+        checked_agg.crossJoin(topk_agg)
+        .selectExpr(
+            "stack(4, 'assign_violations', assign_violations,"
+            " 'n_assigned', n_assigned,"
+            " 'query_in_topk', query_in_topk,"
+            " 'topk_le_k', topk_le_k) AS (metric, value)"
+        )
+        .orderBy("metric")
+    )
+    return checkpoint_and_release(spark, before, out)
 
 
 IVF_ANN_INVARIANTS_SQL = """

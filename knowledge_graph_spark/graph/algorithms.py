@@ -469,31 +469,50 @@ def _pagerank_loop(
 
 def pagerank_exact_prep(kg: KnowledgeGraph):
     """The iteration-invariant prep of :func:`pagerank_exact` — deduped
-    string-keyed edge set, node set (+count), degree-joined edges — as three
+    edge set, node dictionary (+count), degree-joined edges — as three
     eager checkpoints. Split out so callers running the recurrence at
     SEVERAL depths (pagerank_exact @3 and pagerank_top20 @5 share a bench
-    session) pay the edge distinct + degree shuffle once."""
-    parts = [
-        df.select(
-            F.concat_ws("#", "source_table", "source_id").alias("src"),
-            F.concat_ws("#", "target_table", "target_id").alias("dst"),
+    session) pay the edge distinct + degree shuffle once.
+
+    Keys are xxhash64 LONGS inside every shuffle (r8 optimization, guide
+    §2.3 "narrower types"): the edge distinct, the degree aggregation, the
+    degree join and every per-iteration rank exchange move 8-byte keys
+    instead of ~24-byte ``table#id`` strings. The textual keys the oracle
+    compares live ONLY in the ``names`` dictionary (key → ``table#id``),
+    joined back once after the last iteration. Rank values are
+    key-representation-independent (the recurrence sums over graph
+    structure), so results are bit-identical — the same xxhash64-collision
+    bet as triangle_count/connected_components, documented there."""
+    eparts = []
+    nparts = []
+    for df in kg.edges.values():
+        ha = F.xxhash64("source_table", "source_id")
+        hb = F.xxhash64("target_table", "target_id")
+        eparts.append(df.select(ha.alias("src"), hb.alias("dst")))
+        nparts.append(
+            df.select(
+                ha.alias("key"),
+                F.concat_ws("#", "source_table", "source_id").alias("node"),
+            )
         )
-        for df in kg.edges.values()
-    ]
-    e = parts[0]
-    for p in parts[1:]:
+        nparts.append(
+            df.select(
+                hb.alias("key"),
+                F.concat_ws("#", "target_table", "target_id").alias("node"),
+            )
+        )
+    e = eparts[0]
+    for p in eparts[1:]:
         e = e.unionByName(p)
     e = e.distinct().localCheckpoint(eager=True)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n = nodes.count()
+    names = nparts[0]
+    for p in nparts[1:]:
+        names = names.unionByName(p)
+    names = names.dropDuplicates(["key"]).localCheckpoint(eager=True)
+    n = names.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ed = e.join(deg, "src").localCheckpoint(eager=True)
-    return nodes, n, deg, ed
+    return names, n, deg, ed
 
 
 def pagerank_exact(
@@ -515,12 +534,16 @@ def pagerank_exact(
 
     Same scale shape as :func:`pagerank` (edge set shuffled once, rank
     vector per iteration); the per-iteration dangling-mass collect is a
-    1-row scalar, bounded at any data size. Keys are ``table#id`` strings
-    because the oracle must reproduce them textually. Pass ``prep`` (from
+    1-row scalar, bounded at any data size. The loop iterates on xxhash64
+    LONG keys (narrow shuffles, guide §2.3); the ``table#id`` strings the
+    oracle reproduces textually are joined back from the prep's ``names``
+    dictionary after the final iteration — rank values are structure-only,
+    so they are bit-identical either way. Pass ``prep`` (from
     :func:`pagerank_exact_prep`) to reuse the edge/degree build across
     depths."""
     before = _persistent_rdd_ids(kg.spark)
-    nodes, n, deg, ed = prep if prep is not None else pagerank_exact_prep(kg)
+    names, n, deg, ed = prep if prep is not None else pagerank_exact_prep(kg)
+    nodes = names.select(F.col("key").alias("node"))
     base = (15 * (scale // n)) // 100
     # the dangling SET (no out-edges) is iteration-INVARIANT — fold it into
     # the rank vector as a boolean ONCE, so each iteration reads the flag
@@ -571,7 +594,14 @@ def pagerank_exact(
         _release_persisted_since(
             kg.spark, loop_base, _persistent_rdd_ids(kg.spark) - round_start
         )
-    out = r.select("node", "rank").orderBy(F.desc("rank"), "node")
+    # reattach the textual node keys ONCE, after the last iteration — the
+    # only place the oracle-visible strings are needed
+    out = (
+        r.select(F.col("node").alias("key"), "rank")
+        .join(names, "key")
+        .select("node", "rank")
+        .orderBy(F.desc("rank"), "node")
+    )
     return _checkpoint_and_release(kg.spark, before, out)
 
 

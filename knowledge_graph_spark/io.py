@@ -122,6 +122,7 @@ def assign_dense_ids(
     key_cols: list[str],
     id_col: str = "id",
     start: int = 1,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Assign dense sequential ids ordered by ``key_cols``.
 
@@ -132,9 +133,21 @@ def assign_dense_ids(
     1. range-repartition by key → partitions hold contiguous key ranges;
     2. row_number within each partition (parallel) + exclusive prefix sum of
        partition counts (driver-side, one long per partition).
+
+    ``size_hint`` (optional, an upper bound on the row count the caller
+    already knows) makes the partition count SCALE-ADAPTIVE (guide §2:
+    derive partitioning from input size, not a constant): a corpus of a few
+    thousand rows range-partitions into 1 partition — skipping the range
+    sampler's full extra pass over the input and the 32-near-empty-task
+    stages — while anything ≥ ~250k rows/partition-worth keeps the full
+    two-phase parallel path. The assigned ids are partitioning-independent
+    (numbering is key-order only — pinned by tests against the
+    single-window oracle), so the hint changes cost, never values.
     """
     # Range partition gives a deterministic global order across partitions.
     parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    if size_hint is not None:
+        parts = max(1, min(parts, 1 + size_hint // 250_000))
     ranged = df.repartitionByRange(parts, *[F.col(c) for c in key_cols])
     ranged = ranged.sortWithinPartitions(*key_cols)
 

@@ -283,19 +283,31 @@ def build_graph_from_entities(
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(2) as ex:
-        list(ex.map(lambda d: d.count(), (files, entities)))
+        n_files, n_entities = list(ex.map(lambda d: d.count(), (files, entities)))
+    # the freshly-computed counts double as size hints so each dense-id
+    # range partitioning is scale-adaptive (guide §2): a tiny corpus numbers
+    # in 1 partition (no range-sampler pass, no 32-near-empty-task stages),
+    # a 100 TB one keeps the full parallel two-phase path. Directories and
+    # file nodes are bounded by n_files; definitions/imports by n_entities.
     with ThreadPoolExecutor(4) as ex:
-        f_dir = ex.submit(lambda: assign_dense_ids(directories, ["path"]).cache())
-        f_fil = ex.submit(lambda: assign_dense_ids(file_nodes, ["path"]).cache())
+        f_dir = ex.submit(
+            lambda: assign_dense_ids(directories, ["path"], size_hint=n_files).cache()
+        )
+        f_fil = ex.submit(
+            lambda: assign_dense_ids(file_nodes, ["path"], size_hint=n_files).cache()
+        )
         f_def = ex.submit(
             lambda: assign_dense_ids(
                 definitions,
                 ["primary_file_path", "primary_start_byte", "primary_end_byte"],
+                size_hint=n_entities,
             ).cache()
         )
         f_imp = ex.submit(
             lambda: assign_dense_ids(
-                imported, ["file_path", "start_byte", "end_byte", "name"]
+                imported,
+                ["file_path", "start_byte", "end_byte", "name"],
+                size_hint=n_entities,
             ).cache()
         )
         directories = f_dir.result()

@@ -1513,7 +1513,13 @@ def repo_map_xml(
     )
 
     # -- definitions page ----------------------------------------------------
-    defs = (
+    # pinned (eager localCheckpoint of ≤ page_size rows): the paged frame
+    # feeds BOTH the snippet range-join and the per-def assembly join —
+    # un-pinned, each consumer re-ran the full definitions sort+page (the
+    # query's single biggest subtree) once (r8 optimization, guide §1.2)
+    from knowledge_graph_spark.persist import pin_small
+
+    defs = pin_small(
         kg.definitions.join(
             F.broadcast(files), kg.definitions.primary_file_path == files.fpath
         )
