@@ -411,27 +411,37 @@ def _ivf_state(
     ]
 
     def assign(df, cent_rows):
-        carr = F.array(
-            *[
-                F.struct(
-                    F.lit(cid).alias("cid"),
-                    F.array(*[F.lit(x) for x in vec]).alias("cv"),
-                )
-                for cid, vec in cent_rows
-            ]
+        # centroids ride a ONE-ROW broadcast DataFrame carrying the whole
+        # centroid table as an array<struct> COLUMN, not literal expression
+        # trees (r8 optimization): the literal form embedded
+        # n_centroids × dim F.lit nodes (~2,000) into every plan and
+        # Catalyst re-analyzed that tree on EVERY action — at 2k corpus
+        # rows that driver-side plan work WAS the query cost. The one-row
+        # crossJoin is a broadcast width-extension (map-only, no shuffle —
+        # same plan shape at 100 TB), and the argmin expression over the
+        # data column is the exact expression the literal form used, so
+        # assignments are bit-identical.
+        cdf = df.sparkSession.createDataFrame(
+            [([(cid, list(vec)) for cid, vec in cent_rows],)],
+            "carr array<struct<cid:int,cv:array<double>>>",
         )
         dist = lambda cv: F.aggregate(  # noqa: E731
             F.zip_with(F.col("vec"), cv, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        scored = df.withColumn(
-            "cid",
-            F.array_min(
-                F.transform(
-                    carr, lambda c: F.struct(dist(c["cv"]).alias("d"), c["cid"].alias("cid"))
-                )
-            )["cid"],
+        scored = (
+            df.crossJoin(F.broadcast(cdf))
+            .withColumn(
+                "cid",
+                F.array_min(
+                    F.transform(
+                        F.col("carr"),
+                        lambda c: F.struct(dist(c["cv"]).alias("d"), c["cid"].alias("cid")),
+                    )
+                )["cid"],
+            )
+            .drop("carr")
         )
         return scored
 
@@ -533,32 +543,35 @@ def ivf_ann_invariants(
     )
     # independent re-score: per-centroid squared distance via the expanded
     # dot form, argmin via sorting (d, cid) structs — different arithmetic
-    # and different min-selection than the assignment path
-    alt = F.array(
-        *[
-            F.struct(
-                (
-                    F.aggregate(
-                        F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x
-                    )
-                    - 2.0
-                    * F.aggregate(
-                        F.zip_with(
-                            F.col("vec"),
-                            F.array(*[F.lit(float(x)) for x in cv]),
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    )
-                    + F.lit(float(sum(x * x for x in cv)))
-                ).alias("d"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cv in cents
-        ]
+    # and different min-selection than the assignment path. Like assign(),
+    # the centroid table rides a one-row broadcast as DATA (r8): the
+    # literal form re-analyzed ~2,000 expression nodes per action; the
+    # per-pair arithmetic below is the identical plain-double chain
+    # (|v|² − 2·v·c + |c|², same fold order, cnorm the same Python float),
+    # so every distance — and the violation count — is bit-identical.
+    cdf_alt = emb.sparkSession.createDataFrame(
+        [([(cid, list(cv), float(sum(x * x for x in cv))) for cid, cv in cents],)],
+        "carr array<struct<cid:int,cv:array<double>,cnorm:double>>",
     )
-    checked = assigned.withColumn("alt", F.array_sort(alt)).withColumn(
+    alt = F.transform(
+        F.col("carr"),
+        lambda c: F.struct(
+            (
+                F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x)
+                - 2.0
+                * F.aggregate(
+                    F.zip_with(F.col("vec"), c["cv"], lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                + c["cnorm"]
+            ).alias("d"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    checked = assigned.crossJoin(F.broadcast(cdf_alt)).withColumn(
+        "alt", F.array_sort(alt)
+    ).drop("carr").withColumn(
         "viol",
         F.when(
             F.element_at(

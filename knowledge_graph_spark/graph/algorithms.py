@@ -750,46 +750,70 @@ def k_core(kg: KnowledgeGraph, k: int = 2, max_iter: int = 50) -> DataFrame:
     longs (narrow shuffles), the same trick as connected_components.
     """
     before = _persistent_rdd_ids(kg.spark)
-    parts = []
+    nparts = []
+    eparts = []
     for df in kg.edges.values():
         ha = F.xxhash64("source_table", "source_id")
         hb = F.xxhash64("target_table", "target_id")
-        parts.append(
+        nparts.append(
             df.select(
                 F.col("source_table").alias("t"), F.col("source_id").alias("id"),
-                ha.alias("a"), hb.alias("b"),
+                ha.alias("a"),
             )
         )
-        parts.append(
+        nparts.append(
             df.select(
                 F.col("target_table").alias("t"), F.col("target_id").alias("id"),
-                hb.alias("a"), ha.alias("b"),
+                hb.alias("a"),
             )
         )
-    und = parts[0]
-    for p in parts[1:]:
+        # canonical (least, greatest) orientation at the SOURCE (r8
+        # optimization, guide §2.3): the dedup shuffle moves ONE row per
+        # directed edge instead of the two mirrored rows the old
+        # both-directions union shuffled — half the distinct's input for the
+        # identical undirected edge set (the mirror is re-added map-side
+        # after the dedup)
+        eparts.append(
+            df.select(F.least(ha, hb).alias("u"), F.greatest(ha, hb).alias("v"))
+        )
+    und = nparts[0]
+    for p in nparts[1:]:
         und = und.unionByName(p)
-    # node dictionary (one row per endpoint key) + deduped directed-both-ways
-    # edge list, from ONE pass over the union
+    # node dictionary (one row per endpoint key), one pass over the union
     names = und.groupBy("a").agg(F.first("t").alias("t"), F.first("id").alias("id"))
+    ecan = eparts[0]
+    for p in eparts[1:]:
+        ecan = ecan.unionByName(p)
+    ecan = ecan.filter(F.col("u") != F.col("v")).distinct()
     edges = (
-        und.filter(F.col("a") != F.col("b")).select("a", "b").distinct()
+        ecan.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(ecan.select(F.col("v").alias("a"), F.col("u").alias("b")))
         .localCheckpoint(eager=True)
     )
+    converged = False
+    deg = None
     for _ in range(max_iter):
         round_start = _persistent_rdd_ids(kg.spark)
-        deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
-        # materialize the weak set BEFORE the emptiness probe: without the
-        # checkpoint the probe runs the degree aggregation once and the
-        # anti-joins below run it AGAIN through lineage — two full-edge
-        # shuffles per peeling round instead of one (measured ~2x round cost)
-        weak = deg.filter(F.col("d") < k).select("a").localCheckpoint(eager=True)
+        # pin the per-round degree table (|V| narrow rows) instead of a
+        # separate weak-set checkpoint (r8 optimization): the weak set is a
+        # FILTER over it, the emptiness probe a cheap scan of pinned rows,
+        # the anti-join build sides read it with true size stats (AQE
+        # broadcasts exactly when weak is genuinely small), and on
+        # convergence the SAME pinned table is the output degree — the old
+        # shape re-ran a full-edge degree shuffle after the loop
+        deg = (
+            edges.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        weak = deg.filter(F.col("d") < k).select("a")
         if weak.isEmpty():
+            converged = True
             break
         # drop every edge touching a weak node (both directions are present,
         # so two semi-filters on `a`-side suffice via the mirrored copy).
         # No forced broadcast: round-1 weak can be a large node fraction at
-        # scale; the checkpoint above gives AQE the true size, so it picks
+        # scale; the pinned deg gives AQE the true size, so it picks
         # broadcast-anti exactly when weak is genuinely small
         edges = (
             edges.join(weak, "a", "left_anti")
@@ -806,7 +830,13 @@ def k_core(kg: KnowledgeGraph, k: int = 2, max_iter: int = 50) -> DataFrame:
         _release_persisted_since(
             kg.spark, before, _persistent_rdd_ids(kg.spark) - round_start
         )
-    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+    if converged and deg is not None:
+        deg = deg.withColumnRenamed("d", "degree")
+    else:
+        # max_iter exhausted mid-peel: the pinned deg predates the final
+        # edge update — recompute from the last edge set (convergence
+        # normally breaks the loop, so this path is the rare fallback)
+        deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
     out = (
         deg.join(names, "a")
         .select(F.col("t").alias("node_table"), F.col("id").alias("node_id"), "degree")
@@ -843,31 +873,42 @@ def label_propagation(kg: KnowledgeGraph, rounds: int = 3) -> DataFrame:
 
 def _lpa_loop(kg: KnowledgeGraph, rounds: int) -> DataFrame:
     before = _persistent_rdd_ids(kg.spark)
-    parts = []
+    nparts = []
+    eparts = []
     for df in kg.edges.values():
         ha = F.xxhash64("source_table", "source_id")
         hb = F.xxhash64("target_table", "target_id")
-        parts.append(
+        nparts.append(
             df.select(
                 F.col("source_table").alias("t"), F.col("source_id").alias("id"),
-                ha.alias("a"), hb.alias("b"),
+                ha.alias("a"),
             )
         )
-        parts.append(
+        nparts.append(
             df.select(
                 F.col("target_table").alias("t"), F.col("target_id").alias("id"),
-                hb.alias("a"), ha.alias("b"),
+                hb.alias("a"),
             )
         )
-    und = parts[0]
-    for p in parts[1:]:
+        # canonical orientation at the source — half the dedup shuffle,
+        # identical undirected edge set (same shape as k_core r8)
+        eparts.append(
+            df.select(F.least(ha, hb).alias("u"), F.greatest(ha, hb).alias("v"))
+        )
+    und = nparts[0]
+    for p in nparts[1:]:
         und = und.unionByName(p)
     names = und.groupBy("a").agg(F.first("t").alias("t"), F.first("id").alias("id"))
+    ecan = eparts[0]
+    for p in eparts[1:]:
+        ecan = ecan.unionByName(p)
+    ecan = ecan.filter(F.col("u") != F.col("v")).distinct()
     # eager localCheckpoint, not cache(): the materialized RDD's hash(b)
     # layout survives in LogicalRDD where a cached plan's can be re-planned
     # away by AQE (see docstring)
     edges = (
-        und.filter(F.col("a") != F.col("b")).select("a", "b").distinct()
+        ecan.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(ecan.select(F.col("v").alias("a"), F.col("u").alias("b")))
         .repartition(F.col("b")).localCheckpoint(eager=True)
     )
     labels = names.select(F.col("a").alias("u"), F.col("a").alias("lab"))
