@@ -226,12 +226,21 @@ def dup_ngram_stats(
     is integer cross-multiplication (n_dup*100 <= n*pct) — no float drift
     between engines.
     """
-    grams = docs.select(
-        "doc_id", F.explode(_shingles(n)).alias("gram")
-    ).select("doc_id", F.xxhash64("gram").alias("gh"))
+    from knowledge_graph_spark.persist import checkpoint_and_release, persistent_rdd_ids
+
+    spark = docs.sparkSession
+    before = persistent_rdd_ids(spark)
+    # cached: the gram table feeds BOTH the doc-frequency aggregation and
+    # the join-back — un-cached, the n-gram explode (the expensive pass,
+    # ~n× the corpus tokens) ran twice per call (r8, guide §1.2)
+    grams = (
+        docs.select("doc_id", F.explode(_shingles(n)).alias("gram"))
+        .select("doc_id", F.xxhash64("gram").alias("gh"))
+        .cache()
+    )
     # _shingles is per-doc distinct, so count(*) per gh = document frequency
     dfs = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
-    return (
+    out = (
         grams.join(dfs, "gh")
         .groupBy("doc_id")
         .agg(
@@ -244,6 +253,7 @@ def dup_ngram_stats(
         )
         .orderBy("doc_id")
     )
+    return checkpoint_and_release(spark, before, out)
 
 
 DUP_NGRAM_STATS_SQL = """

@@ -73,6 +73,8 @@ def apply_file_changes(
         heads_df = heads_df.unionByName(h)
     heads = {r["tbl"]: r["head"] for r in heads_df.collect()}
 
+    from knowledge_graph_spark.persist import pin_small
+
     nodes: dict[str, DataFrame] = {}
     dropped_ids: dict[str, DataFrame] = {}
     renumbered_rows: dict[str, DataFrame] = {}
@@ -86,7 +88,12 @@ def apply_file_changes(
         doomed = df.join(
             F.broadcast(touched_df), df[path_col] == touched_df.path, "left_semi"
         )
-        dropped_ids[key] = doomed.select("id")
+        # pinned: the dropped-id set (bounded by the changed-file batch at
+        # any corpus size) is the broadcast build side of ~15 anti/re-key
+        # joins below — un-pinned, every one of them re-ran the base-table
+        # semi-join and re-built the broadcast (r8: the splice dispatched
+        # ~390 Spark jobs per call, mostly these rebuilds)
+        dropped_ids[key] = pin_small(doomed.select("id"))
         kept = df.join(
             F.broadcast(touched_df), df[path_col] == touched_df.path, "left_anti"
         )
@@ -102,8 +109,8 @@ def apply_file_changes(
             "definition_nodes": ["primary_file_path", "primary_start_byte", "primary_end_byte"],
             "imported_symbol_nodes": ["file_path", "start_byte", "end_byte", "name"],
         }[key]
-        renumbered = assign_dense_ids(
-            fresh_rows.drop("id"), sort_keys, start=head + 1
+        renumbered = pin_small(
+            assign_dense_ids(fresh_rows.drop("id"), sort_keys, start=head + 1)
         )
         renumbered_rows[key] = renumbered
         nodes[key] = kept.unionByName(renumbered.select(*df.columns))
@@ -132,7 +139,9 @@ def apply_file_changes(
         new_side = renumbered_rows[tab].select(F.col("id").alias("new_id"), *keys)
         # natural keys can repeat (e.g. overloaded names): make the map 1:1
         # per old id so each surviving edge lands on exactly one target
-        remaps[tab] = (
+        # pinned for the same reason as dropped_ids: each remap is the
+        # broadcast side of one re-key join per (edge table, target) pair
+        remaps[tab] = pin_small(
             old_side.join(new_side, keys)
             .withColumn(
                 "rk",
@@ -201,7 +210,7 @@ def apply_file_changes(
     merged = KnowledgeGraph(
         spark, nodes, edges, base.repository_name, file_lines=merged_lines
     )
-    return _splice_fresh_edges(spark, merged, fresh, touched_df)
+    return _splice_fresh_edges(spark, merged, fresh, touched_df, renumbered_rows)
 
 
 def _edge_endpoint_tables(edge_key: str) -> tuple[str, list[str]]:
@@ -212,14 +221,32 @@ def _edge_endpoint_tables(edge_key: str) -> tuple[str, list[str]]:
 
 
 def _splice_fresh_edges(
-    spark: SparkSession, merged: KnowledgeGraph, fresh: KnowledgeGraph, touched_df
+    spark: SparkSession,
+    merged: KnowledgeGraph,
+    fresh: KnowledgeGraph,
+    touched_df,
+    renumbered_rows: dict[str, DataFrame] | None = None,
 ) -> KnowledgeGraph:
     """Re-key the fresh sub-graph's edges to the merged graph's new ids via
     natural keys (path for files, (file, byte-range) for defs/imports) and
     union them in. Directory edges are recomputed only when new files appear
     under new directories — here we keep base directory edges and add
-    DIR_CONTAINS_FILE for renumbered files."""
+    DIR_CONTAINS_FILE for renumbered files.
+
+    ``renumbered_rows`` (r8 optimization): the new-id side of every re-key
+    join. Fresh nodes all belong to CHANGED files, and the merged graph's
+    kept rows all belong to UNchanged files, so their natural-key spaces
+    are disjoint — a fresh edge endpoint can only ever match a RENUMBERED
+    row. Joining against the small pinned renumbered frames instead of the
+    full merged node plans (kept ∪ renumbered, re-executed once per
+    endpoint pair — ~10 re-executions of every node table's plan) is
+    therefore result-identical and drops the splice's job count several
+    fold. Directory nodes (not file-keyed, never renumbered) still read
+    the merged table."""
     f_nodes = fresh.nodes
+    new_nodes = dict(merged.nodes)
+    if renumbered_rows:
+        new_nodes.update(renumbered_rows)
 
     def keymap(kind: str, df: DataFrame, id_alias: str):
         if kind == "file_nodes":
@@ -254,8 +281,8 @@ def _splice_fresh_edges(
             )
             old_src = keymap(from_tab, f_nodes[from_tab], "source_id")
             old_dst = keymap(to_tab, f_nodes[to_tab], "target_id")
-            new_src = keymap(from_tab, merged.nodes[from_tab], "new_source_id")
-            new_dst = keymap(to_tab, merged.nodes[to_tab], "new_target_id")
+            new_src = keymap(from_tab, new_nodes[from_tab], "new_source_id")
+            new_dst = keymap(to_tab, new_nodes[to_tab], "new_target_id")
             src_keys = [c for c in old_src.columns if c != "source_id"]
             dst_keys = [c for c in old_dst.columns if c != "target_id"]
             joined = (

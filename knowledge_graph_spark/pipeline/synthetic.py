@@ -1169,13 +1169,9 @@ def lambda_edges_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     kg = build_graph_from_entities(spark, files, extract_entities(files), "lambda-corpus")
 
     # one aggregate per side: definition_type counts + hierarchy-edge type
-    # counts (single action each over tiny frames)
-    def_counts = {
-        r["definition_type"]: r["n"]
-        for r in kg.definitions.groupBy("definition_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    # counts — submitted CONCURRENTLY (r8): both are independent tiny jobs
+    # over the just-built graph, and sequential submission paid two full
+    # scheduler round-trips on the build-heavy path
     lam_types = [
         "CLASS_TO_LAMBDA",
         "CLASS_TO_PROC",
@@ -1183,14 +1179,23 @@ def lambda_edges_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "INTERFACE_TO_LAMBDA",
         "LAMBDA_TO_LAMBDA",
     ]
-    edge_counts = {
-        r["type"]: r["n"]
-        for r in kg.edges["definition_relationships"]
-        .filter(F.col("type").isin(lam_types))
-        .groupBy("type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        f_defs = ex.submit(
+            kg.definitions.groupBy("definition_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect
+        )
+        f_edges = ex.submit(
+            kg.edges["definition_relationships"]
+            .filter(F.col("type").isin(lam_types))
+            .groupBy("type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect
+        )
+        def_counts = {r["definition_type"]: r["n"] for r in f_defs.result()}
+        edge_counts = {r["type"]: r["n"] for r in f_edges.result()}
     rows = [
         ("n_lambda_defs", def_counts.get("Lambda", 0)),
         ("n_proc_defs", def_counts.get("Proc", 0)),

@@ -365,7 +365,13 @@ def import_usage_xml(
             F.col("src.start_line").alias("def_start"),
         )
     )
-    all_items = items_imp.unionByName(items_use)
+    # pinned (r8): the tagged item frame — bounded by the matched imports'
+    # usage sites for ≤ a handful of requested paths — feeds the page
+    # selection collect AND the page-restricted render; un-pinned, the
+    # imports-filter ⋈ edges ⋈ definitions subtree ran twice per call
+    from knowledge_graph_spark.persist import pin_small
+
+    all_items = pin_small(items_imp.unionByName(items_use))
 
     # -- page-first: pick the page's file set (and the corpus-wide file
     # total for next-page) from a slim distinct over paths alone, BEFORE any
