@@ -561,6 +561,12 @@ class LiveReindexer:
                 "n_paths": len(paths),
             }
         )
+        from knowledge_graph_spark.persist import (
+            persistent_rdd_ids,
+            release_persisted_since,
+        )
+
+        cycle_base = persistent_rdd_ids(self.spark)
         base = KnowledgeGraph.read(self.spark, info.graph_dir, "live")
         fresh, _ = index_repository(self.spark, project_path, repository_name="live")
         merged = apply_file_changes(
@@ -577,6 +583,10 @@ class LiveReindexer:
         merged.write(info.graph_dir)
         for df in (*merged.nodes.values(), *merged.edges.values()):
             df.unpersist()
+        # release every block this cycle pinned (the splice's dropped-id /
+        # remap / renumbered pins, fresh-build caches) — a long-running
+        # watcher server must not accrete per-reindex blocks (r8)
+        release_persisted_since(self.spark, cycle_base, set())
         self.invalidate(info.graph_dir)
         with self._lock:
             self.reindexes_done += 1

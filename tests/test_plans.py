@@ -205,12 +205,16 @@ def test_gopher_filter_is_single_narrow_pass(spark):
     assert _exchange_count(plan) <= 1, plan[:2000]
 
 
-def test_dup_ngram_stats_stays_on_hashes(spark):
+def test_dup_ngram_stats_stays_on_hashes(spark, monkeypatch):
     """The doc-frequency shuffle must move xxhash64 longs, not n-word gram
-    strings, and nothing in the plan leaves the JVM."""
+    strings, and nothing in the plan leaves the JVM. KG_PLAN_CAPTURE makes
+    the operator return its live plan instead of the r8 result checkpoint
+    (persist.checkpoint_and_release pass-through) so the pin still sees the
+    computation."""
     from knowledge_graph_spark.beyond.dedup import dup_ngram_stats
     from knowledge_graph_spark.io import read_table
 
+    monkeypatch.setenv("KG_PLAN_CAPTURE", "1")
     plan = _plan(dup_ngram_stats(read_table(spark, SF_SMALL, "documents")))
     assert "xxhash64" in plan, plan[:2000]
     assert "BatchEvalPython" not in plan and "PythonRDD" not in plan
