@@ -28,6 +28,167 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Capture-line membership (r9, verdict task #2): the driver keeps only the
+# LAST 2000 chars of stdout, and the full 92-entry JSON line is ~2300 chars
+# (the query NAMES alone are ~1900), so a second, fully-parseable line is
+# printed for that window. Through r8 its membership was the top-N *slowest*
+# queries — which rotates with timing noise, so every round the driver
+# mis-reported a couple of phantom dropped/new queries. Membership is now
+# STATIC: this committed priority order (the 71 entries the r8 driver window
+# captured, in its order, then the rest alphabetically), cut by a
+# timing-independent width model — the same set survives capture every round
+# regardless of how fast anything runs. Queries added later sort after by
+# name. The FULL line (all entries, 3-decimal values) still prints first and
+# lands verbatim in BENCH_LOCAL.json / --out artifacts.
+_CAPTURE_PRIORITY = (
+    "workspace_index_stats",
+    "minhash_lsh_pairs",
+    "graph_build",
+    "incremental_merge_stats",
+    "pagerank_top20",
+    "k_core_sizes",
+    "pagerank_exact",
+    "simhash_buckets",
+    "repo_map_xml",
+    "watcher_queue_stats",
+    "ngram_jaccard_pairs",
+    "ivf_ann",
+    "sessionize",
+    "lambda_edges_stats",
+    "import_usage_xml",
+    "decontaminate",
+    "dup_ngram_stats",
+    "dir_tree_closure",
+    "embedding_near_dup",
+    "get_definition_xml",
+    "dedup_clusters",
+    "intra_doc_repetition",
+    "triangle_count",
+    "import_chain_resolution",
+    "neighbors_file",
+    "read_definitions_xml",
+    "search_xml",
+    "debounce_jobs_stats",
+    "pricing_summary",
+    "search_with_context",
+    "hyperplane_lsh_ann",
+    "repo_map_walk",
+    "order_priority_rollup",
+    "degree_distribution",
+    "import_usage",
+    "regional_revenue",
+    "get_references_page2",
+    "get_references_xml",
+    "top_revenue_orders",
+    "approx_user_counts",
+    "media_resize_stats",
+    "distinct_edge_endpoints",
+    "small_quantity_revenue",
+    "token_counts",
+    "cosine_topk",
+    "tf_idf",
+    "session_interval_attribution",
+    "definition_at",
+    "lpa_invariants",
+    "repo_map",
+    "media_decode_stats",
+    "file_definitions",
+    "bm25",
+    "callees_of",
+    "graph_stats",
+    "get_references",
+    "event_type_stats",
+    "media_frame_sample",
+    "redact_pii",
+    "pipeline_index_stats",
+    "read_definitions",
+    "event_hourly_rollup",
+    "customer_order_distribution",
+    "asof_last_click",
+    "neighbors_dir",
+    "callers_of",
+    "chunk_documents",
+    "top_events_per_type",
+    "calls_to_imported_symbol",
+    "gopher_filter",
+    "max_ids",
+    "connected_components_sizes",
+    "deterministic_sample",
+    "doc_stats",
+    "exact_duplicates",
+    "file_imports",
+    "fingerprint",
+    "initial_graph",
+    "label_prop_communities",
+    "lang_id",
+    "list_matches",
+    "pack_documents",
+    "parts_not_recently_shipped",
+    "quality_percentiles",
+    "quality_score",
+    "search_definitions",
+    "search_nodes",
+    "sql_passthrough",
+    "stratified_sample",
+    "supplier_nation_rollup",
+    "user_value_running_total",
+    "weighted_mix",
+)
+
+
+def _capture_value(v: float):
+    """Render a timing in at most 4 chars of JSON (2dp under 10 s, 1dp under
+    100 s, whole seconds above) so the capture line's width model holds.
+    Integral results return int — json.dumps(10.0) is "10.0", not "10"."""
+    for spec in (".2f", ".1f", ".0f"):
+        s = format(v, spec)
+        if len(s) <= 4:
+            break
+    f = float(s)
+    return int(f) if f.is_integer() else f
+
+
+def _capture_line(timings: dict, metric: str, total: float, sf) -> str:
+    order = [n for n in _CAPTURE_PRIORITY if n in timings]
+    order += sorted(n for n in timings if n not in _CAPTURE_PRIORITY)
+    # deterministic cut: fixed allowance per entry ("name":VVVV, = len+9) and
+    # a fixed-width headline placeholder — membership depends only on the
+    # query-name set, never on this run's timings
+    overhead = len(
+        json.dumps(
+            {
+                "queries": {},
+                "queries_truncated_to_top_n": 99,
+                "metric": metric,
+                "value": 99999.99,
+                "unit": "sec",
+                "sf": 0.001,
+            },
+            separators=(",", ":"),
+        )
+    )
+    budget = 1970 - overhead
+    members = []
+    for n in order:
+        cost = len(n) + 9
+        if budget - cost < 0:
+            break
+        budget -= cost
+        members.append(n)
+    line = json.dumps(
+        {
+            "queries": {n: _capture_value(timings[n]) for n in members},
+            "queries_truncated_to_top_n": len(members),
+            "metric": metric,
+            "value": round(total, 2),
+            "unit": "sec",
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) <= 1999, len(line)
+    return line
+
 
 def main() -> None:
     from knowledge_graph_spark.session import get_spark
@@ -162,23 +323,10 @@ def main() -> None:
     line = json.dumps(payload, separators=(",", ":"))
     print(line)
     if len(line) > 1900:
-        # a second, fully-parseable line with the headline + the slowest
-        # queries trimmed to the capture window — tail-captures and
-        # last-line parsers both recover the totals from it
-        top = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
-        small = None
-        for n in range(len(top), 0, -1):
-            small = {
-                "queries": dict(list(top.items())[:n]),
-                "queries_truncated_to_top_n": n,
-                "metric": payload["metric"],
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-            }
-            if len(json.dumps(small, separators=(",", ":"))) <= 1900:
-                break
-        print(json.dumps(small, separators=(",", ":")))
+        # a second, fully-parseable line for the driver's 2000-char tail
+        # window — STATIC membership (see _CAPTURE_PRIORITY), so the same
+        # query set survives capture every round
+        print(_capture_line(timings, payload["metric"], total, sf))
     try:
         # default artifact: BENCH_LOCAL.json (overwritten by every run,
         # including the driver's). `--out FILE` writes a DISTINCT artifact

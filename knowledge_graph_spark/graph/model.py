@@ -90,13 +90,15 @@ class KnowledgeGraph:
         from concurrent.futures import ThreadPoolExecutor
 
         if truncate:
+            from knowledge_graph_spark.persist import tracked_local_checkpoint
+
             def pin(d: DataFrame) -> DataFrame:
                 # small known-size graphs: collapsing partitions first makes
                 # the eager checkpoint a handful of tasks instead of a
                 # (shuffle-partitions × tables) task storm
                 if coalesce_to is not None:
                     d = d.coalesce(coalesce_to)
-                return d.localCheckpoint(eager=True)
+                return tracked_local_checkpoint(d)
 
             with ThreadPoolExecutor(parallelism) as ex:
                 node_keys = list(self.nodes)

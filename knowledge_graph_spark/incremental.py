@@ -210,7 +210,7 @@ def apply_file_changes(
     merged = KnowledgeGraph(
         spark, nodes, edges, base.repository_name, file_lines=merged_lines
     )
-    return _splice_fresh_edges(spark, merged, fresh, touched_df, renumbered_rows)
+    return _splice_fresh_edges(spark, merged, fresh)
 
 
 def _edge_endpoint_tables(edge_key: str) -> tuple[str, list[str]]:
@@ -224,8 +224,6 @@ def _splice_fresh_edges(
     spark: SparkSession,
     merged: KnowledgeGraph,
     fresh: KnowledgeGraph,
-    touched_df,
-    renumbered_rows: dict[str, DataFrame] | None = None,
 ) -> KnowledgeGraph:
     """Re-key the fresh sub-graph's edges to the merged graph's new ids via
     natural keys (path for files, (file, byte-range) for defs/imports) and
@@ -233,20 +231,24 @@ def _splice_fresh_edges(
     under new directories — here we keep base directory edges and add
     DIR_CONTAINS_FILE for renumbered files.
 
-    ``renumbered_rows`` (r8 optimization): the new-id side of every re-key
-    join. Fresh nodes all belong to CHANGED files, and the merged graph's
-    kept rows all belong to UNchanged files, so their natural-key spaces
-    are disjoint — a fresh edge endpoint can only ever match a RENUMBERED
-    row. Joining against the small pinned renumbered frames instead of the
-    full merged node plans (kept ∪ renumbered, re-executed once per
-    endpoint pair — ~10 re-executions of every node table's plan) is
-    therefore result-identical and drops the splice's job count several
-    fold. Directory nodes (not file-keyed, never renumbered) still read
-    the merged table."""
+    The new-id side of every re-key join is the MERGED node set (kept ∪
+    renumbered): when ``fresh`` is a full reindex (reindex_from_git_status,
+    the live watcher) a fresh edge out of a changed file into an UNCHANGED
+    file must re-key to a KEPT row's id — the base graph already anti-joined
+    that edge away (its source id was dropped), so the splice is its only
+    restore path. r8 joined against the renumbered frames alone on the
+    assumption that fresh endpoints always live in changed files; that holds
+    only for the synthetic bench path, which extracts changed files only
+    (r9 fix; regression test:
+    test_cross_file_edge_into_unchanged_file_survives).
+
+    To keep r8's job-count win, each endpoint table's natural-key → new-id
+    lookup is projected narrow and pinned ONCE, then aliased per endpoint
+    pair — one keymap pass per table instead of ~10 re-executions of every
+    merged node plan (one per endpoint pair). The pins are released by the
+    callers' persisted-block hygiene (checkpoint_and_release / watcher cycle
+    sweep / reindex_from_git_status release)."""
     f_nodes = fresh.nodes
-    new_nodes = dict(merged.nodes)
-    if renumbered_rows:
-        new_nodes.update(renumbered_rows)
 
     def keymap(kind: str, df: DataFrame, id_alias: str):
         if kind == "file_nodes":
@@ -269,6 +271,20 @@ def _splice_fresh_edges(
         return df.select(F.col("id").alias(id_alias), F.col("path").alias(f"{id_alias}_k1"))
 
     from knowledge_graph_spark import schema as S
+    from knowledge_graph_spark.persist import pin_small
+
+    lookups: dict[str, DataFrame] = {}
+
+    def lookup(kind: str, id_alias: str) -> DataFrame:
+        if kind not in lookups:
+            lookups[kind] = pin_small(keymap(kind, merged.nodes[kind], "id"))
+        lk = lookups[kind]
+        return lk.select(
+            *[
+                F.col(c).alias(id_alias if c == "id" else id_alias + c[2:])
+                for c in lk.columns
+            ]
+        )
 
     out_edges = dict(merged.edges)
     for ekey, pairs in S.EDGE_TABLES.items():
@@ -281,8 +297,8 @@ def _splice_fresh_edges(
             )
             old_src = keymap(from_tab, f_nodes[from_tab], "source_id")
             old_dst = keymap(to_tab, f_nodes[to_tab], "target_id")
-            new_src = keymap(from_tab, new_nodes[from_tab], "new_source_id")
-            new_dst = keymap(to_tab, new_nodes[to_tab], "new_target_id")
+            new_src = lookup(from_tab, "new_source_id")
+            new_dst = lookup(to_tab, "new_target_id")
             src_keys = [c for c in old_src.columns if c != "source_id"]
             dst_keys = [c for c in old_dst.columns if c != "target_id"]
             joined = (

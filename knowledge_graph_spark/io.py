@@ -170,7 +170,9 @@ def assign_dense_ids(
     # eager local checkpoint pins one layout for both branches; it also
     # stands in for the write stage this numbering precedes in the reference
     # (writer.rs:120-126 assigns ids while materializing parquet).
-    with_mid = with_mid.localCheckpoint(eager=True)
+    from knowledge_graph_spark.persist import tracked_local_checkpoint
+
+    with_mid = tracked_local_checkpoint(with_mid)
     # Per-partition counts are one row per partition — the exclusive prefix
     # sum over them is a tiny single-partition window, then broadcast-joined
     # back so the big side never moves again.

@@ -669,8 +669,10 @@ def build_graph_from_entities(
         # 32-cpu session) — coalesce back to the session's parallelism
         # first (narrow, no shuffle) so the checkpoint and every chase
         # round dispatch 32 tasks, not 260 near-empty ones.
+        from knowledge_graph_spark.persist import tracked_local_checkpoint
+
         _par = max(spark.sparkContext.defaultParallelism, 1)
-        recv_calls = recv_calls.coalesce(_par).localCheckpoint(eager=True)
+        recv_calls = tracked_local_checkpoint(recv_calls.coalesce(_par))
     recv_resolved = None
     cur = recv_calls
     for _depth in range(4 if has_recv else 0):  # type itself + 3 superclass hops

@@ -169,18 +169,33 @@ def reindex_from_git_status(spark, base, repo_path: str, repository_name: str = 
     """
     from knowledge_graph_spark.incremental import apply_file_changes
     from knowledge_graph_spark.pipeline.indexer import index_repository
+    from knowledge_graph_spark.persist import release_ids, track_pins
 
     changes = git_status_changes(repo_path)
     if not changes.has_changes():
         return base, changes
     # fresh extraction of current content; apply_file_changes selects only
-    # the touched files' rows out of it (left-semi on the change set)
-    fresh, _ = index_repository(spark, repo_path, repository_name=repository_name)
-    merged = apply_file_changes(
-        spark,
-        base,
-        fresh,
-        sorted(changes.changed_files),
-        sorted(changes.deleted_files),
-    )
+    # the touched files' rows out of it (left-semi on the change set).
+    # Pin hygiene (r9, ADVICE r8): the splice pins its build sides eagerly;
+    # repeated git-driven reindexes in a long-lived session must not accrete
+    # those blocks. The merged graph is materialized (lineage truncated) so
+    # the intermediate pins can be released before returning — the returned
+    # tables read their own checkpoints; callers unpersist them when done.
+    with track_pins() as pins:
+        fresh, _ = index_repository(spark, repo_path, repository_name=repository_name)
+        merged = apply_file_changes(
+            spark,
+            base,
+            fresh,
+            sorted(changes.changed_files),
+            sorted(changes.deleted_files),
+        )
+    # materialize OUTSIDE the tracked scope: the merged tables' own
+    # checkpoint blocks must survive the release below (the returned graph
+    # reads them); it must run BEFORE the release, while the splice's pinned
+    # build sides its plan references still exist
+    merged.materialize(truncate=True, coalesce_to=4)
+    for df in getattr(fresh, "_cached_intermediates", []):
+        df.unpersist()
+    release_ids(spark, pins)
     return merged, changes

@@ -561,32 +561,37 @@ class LiveReindexer:
                 "n_paths": len(paths),
             }
         )
-        from knowledge_graph_spark.persist import (
-            persistent_rdd_ids,
-            release_persisted_since,
-        )
+        from knowledge_graph_spark.persist import release_ids, track_pins
 
-        cycle_base = persistent_rdd_ids(self.spark)
-        base = KnowledgeGraph.read(self.spark, info.graph_dir, "live")
-        fresh, _ = index_repository(self.spark, project_path, repository_name="live")
-        merged = apply_file_changes(
-            self.spark,
-            base,
-            fresh,
-            sorted(changes.changed_files),
-            sorted(changes.deleted_files),
-        )
-        # truncate lineage BEFORE overwriting the dir the plan reads from —
-        # after localCheckpoint the merged tables no longer reference the
-        # base parquet, so the in-place overwrite (M4) is safe
-        merged.materialize(truncate=True, coalesce_to=4)
+        # Scoped release (r9, ADVICE r8): track exactly the checkpoint blocks
+        # THIS cycle creates (dense-id layout pins, the splice's dropped-id /
+        # remap / renumbered / lookup pins, the merged materialize) and
+        # release those — never a session-wide diff sweep, which also
+        # released blocks concurrent query threads pinned mid-query and,
+        # because localCheckpoint truncates lineage, failed those queries
+        # with missing-block errors. The fresh build's plain caches are
+        # released explicitly via its _cached_intermediates list.
+        with track_pins() as cycle_pins:
+            base = KnowledgeGraph.read(self.spark, info.graph_dir, "live")
+            fresh, _ = index_repository(
+                self.spark, project_path, repository_name="live"
+            )
+            merged = apply_file_changes(
+                self.spark,
+                base,
+                fresh,
+                sorted(changes.changed_files),
+                sorted(changes.deleted_files),
+            )
+            # truncate lineage BEFORE overwriting the dir the plan reads
+            # from — after localCheckpoint the merged tables no longer
+            # reference the base parquet, so the in-place overwrite (M4)
+            # is safe
+            merged.materialize(truncate=True, coalesce_to=4)
         merged.write(info.graph_dir)
-        for df in (*merged.nodes.values(), *merged.edges.values()):
+        for df in getattr(fresh, "_cached_intermediates", []):
             df.unpersist()
-        # release every block this cycle pinned (the splice's dropped-id /
-        # remap / renumbered pins, fresh-build caches) — a long-running
-        # watcher server must not accrete per-reindex blocks (r8)
-        release_persisted_since(self.spark, cycle_base, set())
+        release_ids(self.spark, cycle_pins)
         self.invalidate(info.graph_dir)
         with self._lock:
             self.reindexes_done += 1

@@ -149,6 +149,38 @@ def test_cross_file_edges_rekeyed_to_surviving_targets(incremental_case):
     assert dangling.count() == 0
 
 
+def test_cross_file_edge_into_unchanged_file_survives(incremental_case):
+    """r9 regression (ADVICE r8): user.py (CHANGED) imports format_name from
+    helpers.py (UNCHANGED). The import node is renumbered; the target
+    definition keeps its base id. The base edge is anti-joined away with its
+    dropped source, so the splice is its only restore path — and it must
+    re-key the target against the KEPT definition row. r8's splice joined
+    the renumbered frames only and silently dropped this edge whenever
+    ``fresh`` is a full reindex (every production path)."""
+    _, merged, full, _ = incremental_case
+
+    def imp_to_def_count(kg):
+        imp = kg.imports.filter(
+            (F.col("file_path") == "app/models/user.py")
+            & (F.col("name") == "format_name")
+        ).select(F.col("id").alias("source_id"))
+        dfn = kg.definitions.filter(
+            (F.col("primary_file_path") == "app/utils/helpers.py")
+            & (F.col("name") == "format_name")
+        ).select(F.col("id").alias("target_id"))
+        return (
+            kg.edges["imported_symbol_relationships"]
+            .filter(F.col("type") == "IMPORTED_SYMBOL_TO_DEFINITION")
+            .join(imp, "source_id", "left_semi")
+            .join(dfn, "target_id", "left_semi")
+            .count()
+        )
+
+    # sanity: the extractor produces this edge in a from-scratch index
+    assert imp_to_def_count(full) >= 1
+    assert imp_to_def_count(merged) >= 1
+
+
 def test_splice_plan_is_broadcast_anti_join_not_except(incremental_case):
     """Doomed-edge removal must stay a broadcast anti-join on the dropped-id
     set: an Except(All) here shuffles the FULL edge table per target-table
