@@ -495,11 +495,24 @@ def build_graph_from_entities(
             F.col("end_col").alias("source_end_col"),
         )
 
-    # candidate definitions by name (broadcast definition map, J7)
-    target_defs = definitions.select(
-        F.col("id").alias("target_id"),
-        F.col("name").alias("callee"),
-        F.col("fqn").alias("_tfqn"),
+    # candidate definitions by name (broadcast definition map, J7).
+    # Pinned to one partition (r9, guide §1.2): this frame is the broadcast
+    # build side at several join sites across the edge-table plans, and every
+    # downstream action (each table write, each splice materialization)
+    # re-ran its derivation per site — ~0.4-0.7 s per broadcast build on a
+    # 32-thread local session, the single largest slice of the ~150
+    # broadcast jobs one index run dispatched. A broadcastable frame is by
+    # definition small enough to serialize through one task, so coalesce(1)
+    # + localCheckpoint costs one pass and makes every later broadcast build
+    # a single-task scan of the pinned rows.
+    from knowledge_graph_spark.persist import pin_small
+
+    target_defs = pin_small(
+        definitions.select(
+            F.col("id").alias("target_id"),
+            F.col("name").alias("callee"),
+            F.col("fqn").alias("_tfqn"),
+        ).coalesce(1)
     )
     # constructor preference (expression_resolver.rs:741-749,1459-1468): a
     # bare call naming a class resolves to `{class}.<init>` when an explicit
@@ -571,6 +584,24 @@ def build_graph_from_entities(
     )
     has_recv = _flags["nr"] > 0
 
+    # The whole receiver-resolution decision — property hop, LCA
+    # unification, and the 4-round inheritance chase — is a pure function of
+    # (callee, receiver_type, language, call_flavor), never of the call
+    # site. r9 (guide §1.2/§8, verdict task #1): run each decision ONCE over
+    # the DISTINCT keys and pin the resulting key→answer maps; call rows
+    # re-attach with one broadcast join each. Before, the per-row chase
+    # embedded the typed_targets/inherits subtrees ~12× in the
+    # definition_relationships plan AND re-embedded the whole resolved
+    # subtree in the unresolved anti-join, so every downstream action
+    # (each table write, each splice pass) re-built dozens of broadcast
+    # relations (~0.4-0.7 s per build); the key-level maps also retire the
+    # O(call-rows) mid-build checkpoint the hop/LCA rewrites used to need.
+    if has_recv or _flags["nh"] > 0 or _flags["nm"] > 0:
+        # pinned like target_defs: these are the build sides the decision
+        # passes below join repeatedly
+        typed_targets = pin_small(typed_targets.coalesce(1))
+        inherits = pin_small(inherits.coalesce(1))
+
     # property-hop receivers ("ExtendMe#reversed" from `x.prop.method()`
     # with x typed): resolve prop through the global extension/member map —
     # the property's result type becomes the receiver
@@ -589,16 +620,28 @@ def build_graph_from_entities(
             )
             .distinct()
         )
-        hop = (
-            hop.withColumn("_hcont", F.split("receiver_type", "#")[0])
+        # key-level: receiver_type → hopped receiver(s); fan-out per map row
+        # matches the old per-row join exactly
+        hop_map = pin_small(
+            hop.select("receiver_type")
+            .distinct()
+            .withColumn("_hcont", F.split("receiver_type", "#")[0])
             .withColumn("_hattr", F.split("receiver_type", "#")[1])
             .join(
                 F.broadcast(ext_members),
                 (F.col("_hcont") == F.col("_mcont"))
                 & (F.col("_hattr") == F.col("_mname")),
             )
-            .drop("receiver_type", "_hcont", "_hattr", "_mcont", "_mname")
-            .withColumnRenamed("_mtype", "receiver_type")
+            .select(
+                F.col("receiver_type").alias("_hop_rt"),
+                F.col("_mtype").alias("_hop_to"),
+            )
+            .coalesce(1)
+        )
+        hop = (
+            hop.join(F.broadcast(hop_map), F.col("receiver_type") == F.col("_hop_rt"))
+            .drop("receiver_type", "_hop_rt")
+            .withColumnRenamed("_hop_to", "receiver_type")
         )
         recv_calls = plain.unionByName(hop.select(*plain.columns))
 
@@ -610,19 +653,23 @@ def build_graph_from_entities(
     # pick the first type that every other branch also reaches and that
     # names a known definition. All set algebra — explode branches, join a
     # bounded-depth ancestor closure, count distinct branches per candidate.
+    # The LCA is a function of the receiver_type STRING alone, so it is
+    # computed per distinct string and attached by broadcast join.
     has_multi = _flags["nm"] > 0
     if has_multi:
         single = recv_calls.filter(~F.col("receiver_type").contains("|"))
         multi = recv_calls.filter(F.col("receiver_type").contains("|"))
-        _key = ["call_file", "caller_id", "start_byte"]
-        br = multi.select(
-            *_key,
+        rts = multi.select("receiver_type").distinct()
+        br = rts.select(
+            "receiver_type",
             F.posexplode(F.split("receiver_type", r"\|")).alias("_bi", "_btype"),
         )
-        k_of = br.groupBy(*_key).agg(F.countDistinct("_bi").alias("_k"))
+        k_of = br.groupBy("receiver_type").agg(F.countDistinct("_bi").alias("_k"))
         # ancestor closure, identity at depth 0, superclass hops ≤ 4 (the
         # same bound as the per-receiver chase below)
-        anc = br.select(*_key, "_bi", F.col("_btype").alias("_anc"), F.lit(0).alias("_depth"))
+        anc = br.select(
+            "receiver_type", "_bi", F.col("_btype").alias("_anc"), F.lit(0).alias("_depth")
+        )
         cur_anc = anc
         for _d in range(1, 5):
             cur_anc = (
@@ -638,68 +685,90 @@ def build_graph_from_entities(
         containers = typed_targets.select(F.col("tcontainer").alias("_anc")).distinct()
         common = (
             anc.join(F.broadcast(containers), "_anc")
-            .groupBy(*_key, "_anc")
+            .groupBy("receiver_type", "_anc")
             .agg(
                 F.countDistinct("_bi").alias("_nb"),
                 F.min(F.when(F.col("_bi") == 0, F.col("_depth"))).alias("_d0"),
             )
-            .join(k_of, _key)
+            .join(k_of, ["receiver_type"])
             .filter((F.col("_nb") == F.col("_k")) & F.col("_d0").isNotNull())
         )
-        _w = Window.partitionBy(*_key).orderBy("_d0", "_anc")
-        lca = (
+        _w = Window.partitionBy("receiver_type").orderBy("_d0", "_anc")
+        lca_map = pin_small(
             common.withColumn("_rn", F.row_number().over(_w))
             .filter(F.col("_rn") == 1)
-            .select(*_key, F.col("_anc").alias("_lca"))
+            .select(F.col("receiver_type").alias("_lca_rt"), F.col("_anc").alias("_lca"))
+            .coalesce(1)
         )
         recv_calls = single.unionByName(
-            multi.join(lca, _key)
-            .drop("receiver_type")
+            multi.join(F.broadcast(lca_map), F.col("receiver_type") == F.col("_lca_rt"))
+            .drop("receiver_type", "_lca_rt")
             .withColumnRenamed("_lca", "receiver_type")
             .select(*multi.columns)
         )
-    if has_hop or has_multi:
-        # the hop/LCA rewrites embed the recv_calls subplan several times
-        # each, and the 4-round chase below re-embeds the result ~8 more —
-        # left un-truncated the physical plan grows multiplicatively (a
-        # 3-file corpus took 140 s). The rewritten frame is a small subset
-        # of call rows; pin it and let the chase build on the materialized
-        # RDD, the same lineage-cut dense-id assignment uses. The hop/LCA
-        # unions SUM their branches' partition counts (260 observed on a
-        # 32-cpu session) — coalesce back to the session's parallelism
-        # first (narrow, no shuffle) so the checkpoint and every chase
-        # round dispatch 32 tasks, not 260 near-empty ones.
-        from knowledge_graph_spark.persist import tracked_local_checkpoint
-
-        _par = max(spark.sparkContext.defaultParallelism, 1)
-        recv_calls = tracked_local_checkpoint(recv_calls.coalesce(_par))
+    # the chase, over DISTINCT keys: rows with equal keys follow identical
+    # match/climb paths, so looping over keys and re-attaching is row-for-row
+    # identical to looping over call rows (multi-parent fan-outs included —
+    # the climb join fans keys out exactly as it fanned rows out). _rt0
+    # remembers the pre-climb receiver so resolved targets re-attach to the
+    # original rows.
     recv_resolved = None
-    cur = recv_calls
-    for _depth in range(4 if has_recv else 0):  # type itself + 3 superclass hops
-        m = cur.join(
-            F.broadcast(typed_targets),
-            (F.col("callee") == F.col("tcallee"))
-            & (F.col("receiver_type") == F.col("tcontainer"))
-            & ((F.col("call_flavor") == F.col("tflavor")) | (F.col("language") != "Ruby")),
-        ).drop("tcallee", "tcontainer", "tflavor")
-        recv_resolved = m if recv_resolved is None else recv_resolved.unionByName(m)
-        # unmatched calls climb to the superclass; types without a recorded
-        # parent drop out (unresolvable, like the reference)
-        survivors = cur.join(
-            typed_targets,
-            (F.col("callee") == F.col("tcallee"))
-            & (F.col("receiver_type") == F.col("tcontainer")),
-            "left_anti",
+    resolved_map = None
+    if has_recv:
+        recv_keys = pin_small(
+            recv_calls.select("callee", "receiver_type", "language", "call_flavor")
+            .distinct()
+            .withColumn("_rt0", F.col("receiver_type"))
+            .coalesce(1)
         )
-        cur = (
-            survivors.join(
-                F.broadcast(inherits),
-                survivors.receiver_type == inherits.child,
+        cur = recv_keys
+        key_matches = None
+        for _depth in range(4):  # type itself + 3 superclass hops
+            m = cur.join(
+                F.broadcast(typed_targets),
+                (F.col("callee") == F.col("tcallee"))
+                & (F.col("receiver_type") == F.col("tcontainer"))
+                & ((F.col("call_flavor") == F.col("tflavor")) | (F.col("language") != "Ruby")),
+            ).drop("tcallee", "tcontainer", "tflavor")
+            key_matches = m if key_matches is None else key_matches.unionByName(m)
+            # unmatched keys climb to the superclass; types without a
+            # recorded parent drop out (unresolvable, like the reference)
+            survivors = cur.join(
+                typed_targets,
+                (F.col("callee") == F.col("tcallee"))
+                & (F.col("receiver_type") == F.col("tcontainer")),
+                "left_anti",
             )
-            .drop("receiver_type", "child")
-            .withColumnRenamed("parent", "receiver_type")
+            cur = (
+                survivors.join(
+                    F.broadcast(inherits),
+                    survivors.receiver_type == inherits.child,
+                )
+                .drop("receiver_type", "child")
+                .withColumnRenamed("parent", "receiver_type")
+            )
+        resolved_map = pin_small(
+            key_matches.select(
+                F.col("callee").alias("_rk_callee"),
+                F.col("_rt0").alias("_rk_rt"),
+                F.col("language").alias("_rk_lang"),
+                F.col("call_flavor").alias("_rk_flavor"),
+                "target_id",
+            ).coalesce(1)
         )
-    if recv_resolved is not None:
+        # null-safe on every key: a null-language (or null-flavor) key can
+        # still match in the chase via the flavor/Ruby OR, and the distinct
+        # keeps it as a key row — plain equality here would drop rows the
+        # old per-row loop kept
+        _attach = (
+            F.col("callee").eqNullSafe(F.col("_rk_callee"))
+            & F.col("receiver_type").eqNullSafe(F.col("_rk_rt"))
+            & F.col("language").eqNullSafe(F.col("_rk_lang"))
+            & F.col("call_flavor").eqNullSafe(F.col("_rk_flavor"))
+        )
+        recv_resolved = recv_calls.join(F.broadcast(resolved_map), _attach).drop(
+            "_rk_callee", "_rk_rt", "_rk_lang", "_rk_flavor"
+        )
         def_refs = def_refs.unionByName(_ref_edges(recv_resolved))
 
     # unresolved-by-defs calls matching an import in the same file → def→imp

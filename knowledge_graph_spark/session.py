@@ -79,8 +79,10 @@ def get_spark(app_name: str = "knowledge-graph-spark", master: str | None = None
         # metrics for a UI we run disabled; trim the retention so hundreds
         # of queries don't accrete driver heap
         .config("spark.sql.ui.retainedExecutions", "20")
-        .config("spark.ui.retainedJobs", "100")
-        .config("spark.ui.retainedStages", "100")
+        # env-tunable so profiling runs (scripts/profile_jobs.py) can read
+        # full job attribution from the REST API; default stays trimmed
+        .config("spark.ui.retainedJobs", os.environ.get("SPARK_GRAFT_RETAINED_JOBS", "100"))
+        .config("spark.ui.retainedStages", os.environ.get("SPARK_GRAFT_RETAINED_JOBS", "100"))
         .config("spark.ui.retainedTasks", "2000")
     )
     if master is not None:
