@@ -88,7 +88,13 @@ def ngram_jaccard_pairs(
     long-equality. Counts are hash-collision-exact in the same sense as
     triangle_count's long keys (~|distinct shingles|²/2⁶⁴ ≈ 1e-7 odds at
     1M shingles; the DuckDB oracle stays string-keyed and hash-matches at
-    every checked scale factor).
+    every checked scale factor). Unlike triangle_count, a collision here
+    feeds a pair-similarity THRESHOLD, so a single merge can flip one
+    output row — the bet is certified per corpus by
+    ``knowledge_graph_spark.audit.audit_shingles`` (distinct shingles vs
+    distinct hashes, tests/test_hash_audit.py; collisions become EXPECTED
+    past ~2³² distinct shingles — audit before trusting a 1e9+-shingle
+    corpus, and fall back to string shingles if it ever reports a merge).
     """
     from knowledge_graph_spark.persist import checkpoint_and_release, persistent_rdd_ids
 

@@ -198,6 +198,15 @@ def connected_components(
     The per-round merge maps are retained (they shrink with the graph) and
     composed at the end in a single plan — one shuffled join for the round-1
     map, broadcast joins for the tail.
+
+    Collision bound (r9 audit, shared by every algorithm in this module
+    that keys nodes as ``xxhash64(table, id)`` — components, pagerank,
+    k_core, label_propagation, triangle_count): birthday odds ≈ k²/2⁶⁵ for
+    k distinct nodes — 2.7e-8 at 1M, 2.7e-6 at 10M, and EXPECTED past ~2³²
+    keys. ``knowledge_graph_spark.audit.audit_graph_node_keys`` runs the
+    one-pass distinct-keys vs distinct-hashes certification
+    (tests/test_hash_audit.py at sf0.01; ROUND_NOTES for the replicated
+    sf1) — run it before trusting a new 1e8+-node corpus.
     """
     before = _persistent_rdd_ids(kg.spark)
     parts = []

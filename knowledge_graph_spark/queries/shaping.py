@@ -350,11 +350,19 @@ def import_usage_xml(
         F.lit(-1).alias("def_start"),
     )
     imp_ids = imp_match.select(F.col("id").alias("_imp_id"))
+    # the usage-edge side is bounded by the requested paths (it is broadcast
+    # again for the page render below) — hint it EXPLICITLY so the
+    # definitions lookup is a deterministic BroadcastHashJoin whatever the
+    # session's cache/statistics state; un-hinted, the un-materialized
+    # definitions plan estimate can exceed the auto threshold and flip this
+    # to a SortMergeJoin (r9, guide §3.1: hint when you know the side)
     items_use = (
-        kg.edge("definition_relationships", S.REFERENCE_EDGE_TYPES)
-        .filter(F.col("target_table") == "imported_symbol_nodes")
-        .alias("r")
-        .join(F.broadcast(imp_ids), F.col("r.target_id") == F.col("_imp_id"))
+        F.broadcast(
+            kg.edge("definition_relationships", S.REFERENCE_EDGE_TYPES)
+            .filter(F.col("target_table") == "imported_symbol_nodes")
+            .alias("r")
+            .join(F.broadcast(imp_ids), F.col("r.target_id") == F.col("_imp_id"))
+        )
         .join(kg.definitions.alias("src"), F.col("r.source_id") == F.col("src.id"))
         .select(
             F.lit(1).alias("kind"),
@@ -701,11 +709,17 @@ def get_references_xml(
         (F.col("name") == definition_name)
         & (F.col("primary_file_path") == relative_file_path)
     ).select(F.col("id").alias("_tid"))
+    # the ref-edge side is bounded by the one requested definition (and is
+    # broadcast again for the context render below) — hint it so the
+    # source-definition lookup stays a BroadcastHashJoin regardless of the
+    # session's cache/statistics state (r9, guide §3.1)
     refs = (
-        kg.edge("definition_relationships", S.REFERENCE_EDGE_TYPES)
-        .filter(F.col("target_table") == "definition_nodes")
-        .alias("r")
-        .join(F.broadcast(target), F.col("r.target_id") == F.col("_tid"))
+        F.broadcast(
+            kg.edge("definition_relationships", S.REFERENCE_EDGE_TYPES)
+            .filter(F.col("target_table") == "definition_nodes")
+            .alias("r")
+            .join(F.broadcast(target), F.col("r.target_id") == F.col("_tid"))
+        )
         .join(kg.definitions.alias("t"), F.col("r.source_id") == F.col("t.id"))
         .select(
             F.col("t.name").alias("dname"),
@@ -1180,8 +1194,11 @@ def get_definition_xml(
             & (F.col("r.source_end_col") >= F.col("occ_col") + sym_len - 1),
         )
     )
+    # `edges` is bounded by the matched symbol occurrences (already the
+    # result of two broadcast joins) — hint it so the node-table lookups
+    # stay BroadcastHashJoins whatever the cache/statistics state (r9)
     defs_hits = (
-        edges.filter(F.col("r.target_table") == "definition_nodes")
+        F.broadcast(edges.filter(F.col("r.target_table") == "definition_nodes"))
         .join(kg.definitions.alias("t"), F.col("r.target_id") == F.col("t.id"))
         .filter(F.lower(F.col("t.name")) == symbol_name.lower())
         .select(
@@ -1200,7 +1217,7 @@ def get_definition_xml(
         # tid anyway, and duplicate rows cannot change the rn=1 winner
     )
     imp_hits = (
-        edges.filter(F.col("r.target_table") == "imported_symbol_nodes")
+        F.broadcast(edges.filter(F.col("r.target_table") == "imported_symbol_nodes"))
         .join(kg.imports.alias("i"), F.col("r.target_id") == F.col("i.id"))
         .select(
             F.lit("ImportedSymbol").alias("ttype"),

@@ -64,7 +64,7 @@ def main() -> None:
     protected = persistent_rdd_ids(spark)
     results: dict[str, list[float]] = {"pin": [], "nopin": []}
     for r in range(rounds):
-        for label, pin in (("pin", True), ("nopin", False)):
+        for label, pin in (("nopin", False), ("pin", True)):
             t0 = time.time()
             rows = run(spark, SF_DIR, pin).collect()
             dt = round(time.time() - t0, 3)

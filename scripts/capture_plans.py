@@ -26,7 +26,9 @@ os.environ["KG_PLAN_CAPTURE"] = "1"
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r08"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("KG_PLANS_ROUND", "r09"),
 )
 
 

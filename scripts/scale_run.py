@@ -71,6 +71,10 @@ QUERIES = [
     # r7: graduated as invariants (assignment over all rows + independent
     # argmin re-score) — data-sized, linear expected
     "ivf_ann",
+    # r9 (verdict task #6: every ≥3 s operator needs a current exponent) —
+    # both data-sized: embeddings table / directory tree scale with sf
+    "embedding_near_dup",
+    "dir_tree_closure",
 ]
 
 
@@ -122,8 +126,10 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for sf_dir, label in ((SRC, "sf0.1"), (DST, "sf1")):
+        t0 = time.time()
         kg = mod._graph(spark, sf_dir)
         kg.materialize()
+        results.setdefault("graph_build", {})[label] = round(time.time() - t0, 2)
         protected = persistent_rdd_ids(spark)
         qs = mod.queries()
         cache_creators = getattr(mod, "SESSION_CACHE_QUERIES", set())

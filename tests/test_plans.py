@@ -248,6 +248,39 @@ def test_xml_tool_renders_broadcast_the_page(spark):
         assert "BatchEvalPython" not in plan and "PythonRDD" not in plan
 
 
+def test_xml_tool_renders_broadcast_without_cache_stats(spark):
+    """r9 regression: the tool renders' definitions/imports lookups must be
+    broadcast-shaped on an UNCACHED graph too. The session-scoped graph
+    cache can lose its blocks to another query's persist hygiene mid-
+    session; the un-materialized definitions plan then carries a join-
+    inflated size estimate over the auto-broadcast threshold, and the
+    un-hinted lookup in get_references_xml flipped to SortMergeJoin
+    (observed as an order-dependent full-suite flake). The bounded side —
+    the page/hit set every render already broadcasts downstream — is now
+    hinted explicitly, so the plan no longer depends on cache state."""
+    from knowledge_graph_spark.adapters import tpch
+    from knowledge_graph_spark.queries.shaping import (
+        get_references_xml,
+        import_usage_xml,
+        read_definitions_xml,
+    )
+
+    kg = tpch.build_graph(spark, SF_SMALL)  # no .cache(): raw plan stats
+    paths = [
+        r["import_path"]
+        for r in kg.imports.select("import_path").distinct().orderBy("import_path").limit(2).collect()
+    ]
+    d = kg.definitions.orderBy("id").limit(1).collect()[0]
+    for df in (
+        import_usage_xml(kg, paths),
+        get_references_xml(kg, d["name"], d["primary_file_path"]),
+        read_definitions_xml(kg, [(d["name"], d["primary_file_path"])]),
+    ):
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan, plan[:1500]
+        assert "SortMergeJoin" not in plan, plan[:1500]
+
+
 def test_xml_export_is_distributed(spark):
     """The corpus-wide export must not collapse to one row or one
     partition — it is a per-definition frame whose fragments match the
